@@ -1,0 +1,106 @@
+"""Scalar column helpers shared across operators.
+
+These replace the reference's string-era utilities
+(``commons/src/main/scala/commons/utils/Utils.scala``): sentinel
+handling, CSV-encoded arrays, exact money arithmetic, and the
+visit/step bucket classifiers — all as Catalyst ``Column``
+expressions (JVM-side, codegen'd), never Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Sentinel / CSV compatibility (SURVEY.md §1.3)
+# ---------------------------------------------------------------------------
+
+
+def nullif_sentinel(col: Column | str, sentinel: int = -1) -> Column:
+    """``-1``-as-null compat: reference uses Long -1 / String null
+    sentinels (``MockDataGenerate.scala:58-64``); the engine uses real
+    NULLs at the boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(c, F.lit(sentinel))
+
+
+def csv_to_array(col: Column | str) -> Column:
+    """Comma-joined id string -> array<bigint> (reference keeps
+    ``order_category_ids`` as ``"12,34"`` and re-splits at every use
+    site — ``SessionStat.scala:173-179``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull() & (F.length(c) > 0), F.split(c, ",").cast("array<bigint>"))
+
+
+# ---------------------------------------------------------------------------
+# Exact money arithmetic for oracle-stable aggregates
+# ---------------------------------------------------------------------------
+
+
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """Order-insensitive, bit-stable sum of a money-like double.
+
+    Summing doubles is order-dependent, so a Spark sum and a DuckDB
+    sum can differ in the last ulp and break value-hash comparison.
+    Casting each addend to decimal makes the sum exact, then one
+    deterministic rounding back to double.
+    """
+    return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
+
+
+def money_avg(col: Column, scale: int = 6) -> Column:
+    """Exact-decimal sum -> double division -> deterministic rounding.
+
+    (Dividing the *exact* sum keeps the whole computation bit-stable
+    across engines; decimal/bigint division semantics differ between
+    dialects, double division does not.)
+    """
+    return F.round(
+        F.sum(col.cast("decimal(30,8)")).cast("double") / F.count(col), scale
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucket classifiers (reference: Constants.scala:50-67 +
+# SessionStat.scala:581-617 — accumulator-based; here pure expressions)
+# ---------------------------------------------------------------------------
+
+# (label, lo_seconds, hi_seconds) — inclusive bounds; None = open.
+VISIT_LENGTH_BUCKETS: list[tuple[str, int | None, int | None]] = [
+    ("1s_3s", 1, 3),
+    ("4s_6s", 4, 6),
+    ("7s_9s", 7, 9),
+    ("10s_30s", 10, 30),
+    ("30s_60s", 31, 60),
+    ("1m_3m", 61, 180),
+    ("3m_10m", 181, 600),
+    ("10m_30m", 601, 1800),
+    ("30m", 1801, None),
+]
+
+STEP_LENGTH_BUCKETS: list[tuple[str, int | None, int | None]] = [
+    ("1_3", 1, 3),
+    ("4_6", 4, 6),
+    ("7_9", 7, 9),
+    ("10_30", 10, 30),
+    ("30_60", 31, 60),
+    ("60", 61, None),
+]
+
+
+def bucket_flag(col: Column, lo: int | None, hi: int | None) -> Column:
+    """1 when col falls in [lo, hi] (open-ended when a bound is None)."""
+    if hi is None:
+        cond = col >= F.lit(lo)
+    elif lo is None:
+        cond = col <= F.lit(hi)
+    else:
+        cond = col.between(F.lit(lo), F.lit(hi))
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+
+def ratio(numer: Column, denom: Column, scale: int = 2) -> Column:
+    """HALF_UP-style rounded ratio (reference ``Utils.formatDouble``,
+    ``Utils.scala:156-168``); 0.0 when the denominator is empty."""
+    return F.when(denom == 0, F.lit(0.0)).otherwise(F.round(numer / denom, scale))

@@ -1,0 +1,157 @@
+"""Sessionization + session aggregate statistics (reqs 1-2).
+
+The reference pre-assigns session_id in its mock data and computes
+per-session aggregates with ``groupByKey`` + a per-session fold into
+a ``k=v|k=v`` concat-string (``SessionStat.scala:47-48,618-673``) and
+histogram buckets via a custom accumulator mutated inside a filter
+(``SessionAccumulator.scala:5-38``). Both patterns are RDD-era: the
+groupByKey materializes whole sessions in executor memory, and
+accumulator metrics are not retry-safe.
+
+Here:
+- gap sessionization is a window ``lag`` + conditional cumulative sum
+  (no group materialization; one shuffle on the user key);
+- the per-session fold is a hash aggregate (min/max/count/collect_set)
+  with map-side partial aggregation;
+- the histogram is one conditional aggregation over the session
+  aggregate — exact, retry-safe, single pass.
+
+At 100 TB the session aggregate shuffles once on (user_id) and the
+histogram reduces to a single row via partial aggregation — no
+driver-side state, no accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.functions import (
+    STEP_LENGTH_BUCKETS,
+    VISIT_LENGTH_BUCKETS,
+    bucket_flag,
+    ratio,
+)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    since the user's previous event exceeds ``gap_minutes``.
+
+    session_id = (user_id, running count of gap-breaks) — stable,
+    deterministic, and computable identically in ANSI SQL (lag +
+    sum-over) for oracle checking.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col)
+    # Exact microsecond arithmetic (unix_timestamp truncates to seconds,
+    # which would disagree with an interval-based oracle on sub-second
+    # boundary gaps).
+    gap_break = (
+        F.when(
+            F.lag(ts_col).over(w_user).isNull()
+            | (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(w_user))
+                > gap_minutes * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    seq = F.sum(gap_break).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        session_col, F.concat_ws("_", F.col(user_col).cast("string"), seq.cast("string"))
+    )
+
+
+def session_aggregates(
+    df: DataFrame,
+    session_col: str = "session_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session aggregate: start/end, visit_length (sec), step_length.
+
+    Mirrors ``getSessionFullInfo`` (``SessionStat.scala:618-673``)
+    minus the concat-string encoding — real columns instead.
+    """
+    return df.groupBy(session_col).agg(
+        F.min(user_col).alias(user_col),
+        F.min(ts_col).alias("start_time"),
+        F.max(ts_col).alias("end_time"),
+        F.count(F.lit(1)).alias("step_length"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("visit_length"),
+    )
+
+
+def visit_step_histogram(session_agg: DataFrame) -> DataFrame:
+    """Req 1: one-row histogram of visit-length / step-length buckets as
+    ratios of the session count.
+
+    Conditional aggregation replaces the reference's accumulator
+    (intended semantics per SURVEY.md §2.12: each ratio from its own
+    bucket, counts = occurrences — the reference double-counts the
+    first add and wires the 1s_3s ratio to the 1m_3m bucket).
+    """
+    aggs = [F.count(F.lit(1)).alias("session_count")]
+    for label, lo, hi in VISIT_LENGTH_BUCKETS:
+        aggs.append(F.sum(bucket_flag(F.col("visit_length"), lo, hi)).alias(f"vl_{label}"))
+    for label, lo, hi in STEP_LENGTH_BUCKETS:
+        aggs.append(F.sum(bucket_flag(F.col("step_length"), lo, hi)).alias(f"sl_{label}"))
+    counts = session_agg.agg(*aggs)
+
+    total = F.col("session_count")
+    out_cols = [total.alias("session_count")]
+    for label, _, _ in VISIT_LENGTH_BUCKETS:
+        out_cols.append(ratio(F.col(f"vl_{label}"), total).alias(f"visit_ratio_{label}"))
+    for label, _, _ in STEP_LENGTH_BUCKETS:
+        out_cols.append(ratio(F.col(f"sl_{label}"), total).alias(f"step_ratio_{label}"))
+    return counts.select(*out_cols)
+
+
+def stratified_session_sample(
+    session_agg: DataFrame,
+    per_day: int = 100,
+    ts_col: str = "start_time",
+) -> DataFrame:
+    """Req 2: proportional per-(day, hour) session extraction.
+
+    The reference does countByKey -> driver-side random index lists ->
+    broadcast -> groupByKey position-match
+    (``SessionStat.scala:314-454``) — driver state proportional to
+    day*hour cardinality and unseeded randomness.
+
+    Here the quota per (day, hour) is computed in-plan
+    (hour_count / day_count * per_day, the reference's integer-ratio
+    intent) and rows are picked by ranking on a *deterministic*
+    pseudo-random key, md5(session_id) — reproducible run-to-run and
+    expressible identically in the DuckDB oracle. No driver state:
+    scales to any number of days.
+    """
+    keyed = session_agg.withColumn("s_date", F.to_date(ts_col)).withColumn(
+        "s_hour", F.hour(ts_col)
+    )
+    w_hour = Window.partitionBy("s_date", "s_hour")
+    w_day = Window.partitionBy("s_date")
+    w_rank = Window.partitionBy("s_date", "s_hour").orderBy(F.md5(F.col("session_id").cast("string")))
+    return (
+        keyed.withColumn("hour_count", F.count(F.lit(1)).over(w_hour))
+        .withColumn("day_count", F.count(F.lit(1)).over(w_day))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.floor(F.col("hour_count") * per_day / F.col("day_count")),
+                F.lit(1),
+            ),
+        )
+        .withColumn("pick", F.row_number().over(w_rank))
+        .where(F.col("pick") <= F.col("quota"))
+        .drop("hour_count", "day_count", "quota", "pick")
+    )

@@ -1,0 +1,7 @@
+"""Query catalog: the reference's ten requirements (plus the
+relational and training-data operator suites) as (Spark, oracle-SQL)
+pairs over the shared testdata."""
+
+from bigdata_commerce_spark.plans.catalog import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference builds ad-hoc local sessions per main
+(``session/src/main/scala/SessionStat.scala:35-38``). Here a single
+factory pins the settings that matter for correctness (UTC session
+timezone so timestamps hash-match a UTC-naive oracle) and for scale
+(AQE on, shuffle partitions sized to the cluster, Arrow enabled for
+the pandas-UDF slow path).
+
+At 100 TB the same code runs unchanged: ``shuffle.partitions`` is a
+starting hint only — AQE coalesces/splits at runtime, and the skew
+join handler deals with hot keys without manual salting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigdata_commerce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Defaults honour the driver environment: ``local[$SPARK_GRAFT_CPUS]``
+    when no master is given, 32 shuffle partitions to match cores.
+    On a real cluster callers pass master/None via spark-submit and a
+    shuffle partition count ~2-3x total executor cores; AQE then owns
+    the runtime partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Columnar parquet IO: bigger scan partitions than the 128MB
+        # default hurt nothing locally and keep task counts sane at scale.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) columns (pandas-written testdata)
+        # otherwise fail the scan; read as long and convert at ingest
+        # (sources.testdata normalizes to microsecond timestamps, the
+        # same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,5 @@
+"""Typed ingest: testdata loaders and fixture generators."""
+
+from bigdata_commerce_spark.sources.testdata import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,65 @@
+"""Loaders for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+
+Tables (one parquet each): region nation customer supplier part
+orders lineitem events documents embeddings.
+
+Reading is plain ``spark.read.parquet`` — columnar scan, filter and
+projection pushdown come free from Catalyst. The reference instead
+round-trips every scan through ``Dataset.as[CaseClass].rdd``
+(``session/src/main/scala/SessionStat.scala:705-710``) which defeats
+column pruning; staying in DataFrame land is the fix, not a feature.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
+# long (spark.sql.legacy.parquet.nanosAsLong=true, set in session.py);
+# normalize to microsecond timestamps by truncation — the same
+# conversion DuckDB applies, so oracle comparisons agree.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; required even for externally-built sessions
+        # (e.g. the verify driver's), or the scan fails with
+        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
