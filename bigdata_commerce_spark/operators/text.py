@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not present in the reference (its only text processing is CSV splits
+and a JSON field UDF — SURVEY.md §2.8); these are the north-star
+extensions: token counting, quality scoring, language ID, document
+fingerprinting. Everything is built-in Catalyst expressions — no
+Python UDFs — so the hot path stays inside whole-stage codegen and
+the same logic is expressible in the DuckDB oracle.
+
+Shared constants (stopword lists, thresholds) are module-level so the
+oracle SQL in plans/catalog.py is *generated from the same values* —
+the Spark implementation and the oracle cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Language-ID heuristic: tiny per-language stopword lists + CJK
+# character detection. Deterministic tie order: first list wins.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "eine", "zu"),
+    "fr": ("le", "les", "et", "est", "une", "je", "vous", "pour", "dans", "avec"),
+    "es": ("el", "los", "las", "y", "es", "una", "que", "por", "con", "para"),
+}
+LANG_ORDER: tuple[str, ...] = ("en", "de", "fr", "es")
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+PUNCT_CLASS = r"[^.,!?;:]"
+DIGIT_CLASS = r"[^0-9]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse whitespace — the canonical form used by
+    fingerprints, shingles and tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics: lengths, token counts,
+    punctuation/digit ratios, stopword ratio, mean token length.
+    One projection — no shuffle, no UDF."""
+    t = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(t)
+    en_stops = LANG_STOPWORDS["en"]
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*en_stops)))
+    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    digits = F.length(F.regexp_replace(F.col(text_col), DIGIT_CLASS, ""))
+    norm_len = F.length(normalize_text(text_col))
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round((norm_len - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    sane token length, penalizes digit/punct density. A simple,
+    deterministic stand-in for a trained quality classifier."""
+    s = text_stats(df, text_col, id_col)
+    score = (
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.when(F.col("mean_token_len").between(3, 10), 1.0).otherwise(0.3)
+        + F.lit(0.15) * (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
+        + F.lit(0.15) * (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+    )
+    return s.select(id_col, F.round(score, 4).alias("quality"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language heuristic: CJK characters -> zh, else
+    the language with the most stopword hits (ties: LANG_ORDER), else
+    'unknown' when nothing matches."""
+    t = tokens(text_col)
+    cjk = F.length(F.regexp_replace(F.col(text_col), CJK_PATTERN, "")) < F.length(
+        F.col(text_col)
+    )
+    def _hits(stops: tuple[str, ...]) -> Column:
+        # (closure factory: a default-arg lambda would change the
+        # lambda's arity and PySpark would pass the element index)
+        return F.size(F.filter(t, lambda x: x.isin(*stops)))
+
+    hit_cols = {lang: _hits(stops) for lang, stops in LANG_STOPWORDS.items()}
+    best = F.greatest(*[hit_cols[lang] for lang in LANG_ORDER])
+    pred = F.when(cjk, F.lit("zh"))
+    for lang in LANG_ORDER:
+        pred = pred.when((best > 0) & (hit_cols[lang] == best), F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return df.select(id_col, pred.alias("predicted_lang"))

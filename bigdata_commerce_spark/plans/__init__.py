@@ -2,6 +2,7 @@
 relational and training-data operator suites) as (Spark, oracle-SQL)
 pairs over the shared testdata."""
 
-from bigdata_commerce_spark.plans.catalog import ORACLES, QUERIES
+from bigdata_commerce_spark.plans import catalog, catalog_dataops  # noqa: F401
+from bigdata_commerce_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

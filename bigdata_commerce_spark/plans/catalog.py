@@ -16,8 +16,6 @@ Mapping of the reference's commerce schema onto the testdata:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,22 +29,8 @@ from bigdata_commerce_spark.operators.sessionize import (
     visit_step_histogram,
 )
 from bigdata_commerce_spark.operators.topk import global_top_k, top_k_per_group
+from bigdata_commerce_spark.plans.registry import query
 from bigdata_commerce_spark.sources.testdata import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,381 @@
+"""Catalog: training-data pipeline operators (dedup, similarity,
+text analysis, multimodal) over the documents/embeddings testdata.
+
+Oracle SQL here is *generated from the same module constants* the
+Spark operators use (stopword lists, hash counts, thresholds,
+nibble decode) so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators import dedup, multimodal, similarity
+from bigdata_commerce_spark.operators import text as text_ops
+from bigdata_commerce_spark.plans.registry import query
+from bigdata_commerce_spark.sources.testdata import load_table
+
+# DuckDB twins of operators.text normalization/tokenization — same
+# semantics as normalize_text()/tokens() (regexp_replace in DuckDB
+# needs the explicit 'g' flag; Spark's replaces all matches).
+_NORM_CTE = r"""
+norm_docs AS (
+    SELECT doc_id, text,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+), tok_docs AS (
+    SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM norm_docs
+)
+"""
+
+# Shingle CTE twin of dedup.shingle_array (n=3).
+_SHINGLE_CTE = (
+    _NORM_CTE
+    + """
+, shingled AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [norm] END AS shingles
+    FROM tok_docs
+), ex AS (
+    SELECT doc_id AS id, unnest(shingles) AS shingle FROM shingled
+), sizes AS (
+    SELECT id, COUNT(*) AS n_shingles FROM ex GROUP BY id
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"])
+
+_TEXT_STATS_SQL = f"""
+WITH {_NORM_CTE}
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND((length(norm) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_token_len,
+       ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio,
+       ROUND(len(list_filter(toks, x -> x IN ({_EN}))) * 1.0 / len(toks), 4) AS stopword_ratio
+FROM tok_docs
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics — pure projection, no shuffle,
+    stays in whole-stage codegen (operators/text.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.text_stats(docs)
+    return out.withColumn("n_chars", F.col("n_chars").cast("bigint"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH stats AS ({_TEXT_STATS_SQL})
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(stopword_ratio * 4, 1.0)
+               + 0.3 * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END)
+               + 0.15 * (1 - LEAST(digit_ratio * 5, 1.0))
+               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0)), 4) AS quality
+    FROM stats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0,1]."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.quality_score(docs)
+
+
+def _lang_sql() -> str:
+    hits = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in stops)}))) AS hits_{lang}"
+        for lang, stops in text_ops.LANG_STOPWORDS.items()
+    )
+    best = ", ".join(f"hits_{lang}" for lang in text_ops.LANG_ORDER)
+    whens = "\n           ".join(
+        f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}'"
+        for lang in text_ops.LANG_ORDER
+    )
+    return f"""
+    WITH {_NORM_CTE}
+    , scored AS (
+        SELECT doc_id,
+           regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk,
+           {hits}
+        FROM tok_docs
+    ), best_of AS (
+        SELECT *, GREATEST({best}) AS best FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN has_cjk THEN 'zh'
+           {whens}
+           ELSE 'unknown' END AS predicted_lang
+    FROM best_of
+    """
+
+
+@query("lang_id", oracle=_lang_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK language-ID heuristic (operators/text.py); the
+    stopword lists feed both this and the generated oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.lang_id(docs)
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    SELECT doc_id, md5(norm) AS fp FROM norm_docs
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) per document."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    SELECT md5(norm) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM norm_docs GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, min-id
+    survivor per group (map-side partial agg; one shuffle on fp)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_duplicates(docs)
+
+
+_JACCARD_VERIFY_SQL = """
+, common AS (
+    SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+    FROM {cand_a} a JOIN {cand_b} b
+      ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id1, id2,
+       ROUND(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id1
+JOIN sizes sb ON sb.id = id2
+WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {threshold}
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    {_JACCARD_VERIFY_SQL.format(cand_a="ex", cand_b="ex", threshold=0.8)}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.8 via inverted-index
+    self-join (docs only meet when they share a shingle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.jaccard_pairs(docs, threshold=0.8)
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"SELECT id, {cols} FROM ex GROUP BY id"
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    {_minhash_sig_sql(8)}
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-component MinHash signature per document (min of md5(i||':'||
+    shingle) — fixed-width hex makes string-min == numeric-min, so the
+    signature is engine-portable)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_signatures(docs, num_hashes=8)
+
+
+def _minhash_lsh_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.8) -> str:
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE}
+    , sig AS ({_minhash_sig_sql(num_hashes)})
+    , buckets AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ), common AS (
+        SELECT c.id1, c.id2, COUNT(*) AS common
+        FROM cand c
+        JOIN ex e1 ON e1.id = c.id1
+        JOIN ex e2 ON e2.id = c.id2 AND e2.shingle = e1.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id1
+    JOIN sizes sb ON sb.id = id2
+    WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded bucket join for candidates,
+    exact-Jaccard verify on candidates only — the scale path (cost
+    follows near-dup count, not documents^2)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+
+
+def _simhash_sql() -> str:
+    nibbles = ",\n           ".join(
+        f"strpos('{dedup.HEX_DIGITS}', h[{p + 1}]) - 1 AS v{p}"
+        for p in range(dedup.SIMHASH_NIBBLES)
+    )
+    sums = ",\n           ".join(
+        f"SUM(((v{p} >> {b}) & 1) * 2 - 1) AS s{p}_{b}"
+        for p in range(dedup.SIMHASH_NIBBLES)
+        for b in range(4)
+    )
+    value = "\n         + ".join(
+        f"(CASE WHEN s{p}_{b} > 0 THEN 1 ELSE 0 END) * CAST({1 << (4 * p + b)} AS BIGINT)"
+        for p in range(dedup.SIMHASH_NIBBLES)
+        for b in range(4)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE}
+    , hashed AS (SELECT id, md5(shingle) AS h FROM ex),
+    nibs AS (
+        SELECT id,
+           {nibbles}
+        FROM hashed
+    ), sums AS (
+        SELECT id,
+           {sums}
+        FROM nibs GROUP BY id
+    )
+    SELECT id, {value} AS simhash
+    FROM sums
+    """
+
+
+@query("simhash_values", oracle=_simhash_sql())
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (nibble-arithmetic portable)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash(docs)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sim AS ({_simhash_sql()})
+    , chunks AS (
+        SELECT id, simhash, c.c AS chunk_no, (simhash >> (15 * c.c)) & 32767 AS chunk
+        FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) c(c)
+    )
+    SELECT DISTINCT a.id AS id1, b.id AS id2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via 15-bit chunk banding
+    (pigeonhole-complete for the threshold) + bit_count verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+    SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5
+), scored AS (
+    SELECT p.probe_id, v.vec_id AS corpus_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(v.e, p.pe), q -> q[1] * q[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(v.e, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(p.pe, x -> x * x), (acc, x) -> acc + x))), 4) AS score
+    FROM v CROSS JOIN p
+    WHERE v.vec_id != p.probe_id
+)
+SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, corpus_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("embedding_cosine_topk", oracle=_COSINE_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for probe vectors (vec_id < 5):
+    probes broadcast, corpus scanned once; sequential-fold dot product
+    is bit-identical to the oracle's list_reduce."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, probes, k=5)
+
+
+@query("embedding_ann_lsh")  # approximate — no SQL oracle; recall tested in pytest
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN (seeded planes, bucket-join
+    candidates, exact re-rank) — the 100 TB-scale path. Approximate by
+    design: driver records rows-only; tests assert recall vs the
+    brute-force baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_ann_topk(emb, probes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_features")  # mapInPandas path — rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched feature extraction
+    (deterministic stub kernel; real codec raises NotImplementedError
+    where it would plug in)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)

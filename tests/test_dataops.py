@@ -1,0 +1,85 @@
+"""Behavioral tests for operators the SQL oracle can't check:
+approximate ANN recall, multimodal plumbing, dedup ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators import multimodal, similarity
+from bigdata_commerce_spark.plans import QUERIES
+from bigdata_commerce_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """LSH ANN must recover most of the exact top-5 (recall@5 >= 0.5
+    with 16 planes / 4 bands on the 64-dim synthetic embeddings)."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id)
+        for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.corpus_id)
+        for r in similarity.lsh_ann_topk(emb, probes, k=5).collect()
+    }
+    assert exact, "brute force returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+
+
+def test_ann_scores_match_exact_for_shared_pairs(spark):
+    """Where ANN and brute force agree on a pair, the exact re-rank
+    score must be identical (same fold, same rounding)."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in similarity.lsh_ann_topk(emb, probes, k=5).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared
+    for pair in shared:
+        assert exact[pair] == approx[pair]
+
+
+def test_multimodal_feature_shape(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r.n_bytes > 0
+    assert len(r.content_sha) == 16
+    assert len(r.features) == multimodal.FEATURE_DIM
+    assert all(0.0 <= f < 1.0 for f in r.features)
+
+
+def test_multimodal_real_decode_is_marked(spark):
+    docs = load_table(spark, "documents", SF_SMOKE).limit(2)
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, decode="real")
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        feats.collect()
+
+
+def test_dedup_finds_planted_near_dups(spark):
+    """The sf0.01 corpus has planted near-duplicate pairs (Jaccard
+    >= 0.9); minhash-LSH and exact jaccard must both surface them,
+    and LSH output must be a subset of the exact pairs."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.id1, r.id2) for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    lsh = {(r.id1, r.id2) for r in QUERIES["dedup_minhash_lsh"](spark, sf).collect()}
+    assert exact, "no near-dup pairs found at >= 0.8 jaccard"
+    assert lsh <= exact
+    # banding with r=2 at j>=0.8 catches essentially everything
+    assert len(lsh) >= 0.9 * len(exact)
