@@ -1,0 +1,188 @@
+"""Structured Streaming tests: the req 7-10 topology driven by a file
+source (one micro-batch per file), checked against batch twins over
+the same rows, plus sink idempotency under epoch replay."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.topk import top_k_per_group
+from bigdata_commerce_spark.sources.testdata import load_table
+from bigdata_commerce_spark.streaming import ad_stream, pipelines, sinks
+from tests.conftest import SF_SMOKE
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "streaming"
+
+
+def _ad_events(spark):
+    """events testdata mapped to the ad-event schema, time-ordered."""
+    ev = load_table(spark, "events", SF_SMOKE)
+    return (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("ts").alias("event_time"),
+            F.to_date("ts").alias("event_date"),
+            F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")).alias("province"),
+            F.concat(F.lit("c"), (F.col("user_id") % 100).cast("string")).alias("city"),
+            F.col("user_id"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("ad_id"),
+        )
+        .orderBy("event_time")
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark):
+    """Run the full pipeline over 3 micro-batches; yield state dirs."""
+    if SCRATCH.exists():
+        shutil.rmtree(SCRATCH)
+    src = SCRATCH / "source"
+    organic = _ad_events(spark)
+    # Planted burst: user 9999 clicks ad 1 twice per chunk -> crosses
+    # the >2 threshold only once the second chunk's counts accumulate,
+    # proving cross-batch additive state (not per-batch counts).
+    first_time = organic.first()
+    burst_row = (
+        first_time.event_time,
+        first_time.event_date,
+        "p9",
+        "c99",
+        9999,
+        1,
+    )
+    rows = organic.collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for chunk in chunks[:2]:
+        chunk.extend([burst_row, burst_row])
+    events = spark.createDataFrame(
+        [tuple(r) for r in rows] + [burst_row] * 4, ad_stream.AD_EVENT_SCHEMA
+    ).cache()
+    events.count()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ad_stream.AD_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"chunk_{i}"))
+    # move chunk files into one flat dir so maxFilesPerTrigger=1 gives
+    # one batch per chunk
+    flat = SCRATCH / "flat"
+    flat.mkdir(parents=True)
+    for i in range(3):
+        part = next((src / f"chunk_{i}").glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{i:02d}.parquet")
+
+    stream = pipelines.file_event_source(spark, str(flat))
+    handles = pipelines.run_ad_pipeline(
+        stream, str(SCRATCH / "state"), blacklist_threshold=3, watermark="365 days"
+    )
+    handles.process_all()
+    handles.stop()
+    yield {"events": events, "handles": handles}
+    events.unpersist()
+
+
+def test_cumulative_state_matches_batch(spark, stream_result):
+    events = stream_result["events"]
+    handles = stream_result["handles"]
+    got = sinks.read_state(spark, handles.cumulative_dir)
+    expected = events.groupBy("event_date", "province", "city", "ad_id").agg(
+        F.count(F.lit(1)).alias("click_count")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_user_counts_accumulate_across_batches(spark, stream_result):
+    events = stream_result["events"]
+    handles = stream_result["handles"]
+    got = sinks.read_state(spark, handles.user_counts_dir)
+    expected = events.groupBy("event_date", "user_id", "ad_id").agg(
+        F.count(F.lit(1)).alias("click_count")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_blacklist_matches_batch_threshold(spark, stream_result):
+    events = stream_result["events"]
+    handles = stream_result["handles"]
+    got = {r.user_id for r in sinks.read_state(spark, handles.blacklist_dir).collect()}
+    expected = {
+        r.user_id
+        for r in events.groupBy("event_date", "user_id", "ad_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 3)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+    assert 9999 in got, "planted burst user must cross the threshold"
+
+
+def test_province_top3_matches_batch(spark, stream_result):
+    events = stream_result["events"]
+    handles = stream_result["handles"]
+    got = sinks.read_state(spark, handles.top3_dir)
+    counts = events.groupBy("event_date", "province", "ad_id").agg(
+        F.count(F.lit(1)).alias("click_count")
+    )
+    expected = top_k_per_group(
+        counts, ["event_date", "province"], [F.desc("click_count"), F.asc("ad_id")], k=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_trend_windows_match_batch(spark, stream_result):
+    events = stream_result["events"]
+    handles = stream_result["handles"]
+    got = sinks.read_state(spark, handles.trend_dir)
+    expected = (
+        events.groupBy(F.window("event_time", "60 minutes", "1 minute"), "ad_id")
+        .agg(F.count(F.lit(1)).alias("click_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "ad_id",
+            "click_count",
+        )
+    )
+    assert got.count() == expected.count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_parse_ad_log(spark):
+    lines = spark.createDataFrame(
+        [("1704067200000 p1 c11 42 7",), ("1704067205000 p2 c22 43 9",)], "value string"
+    )
+    rows = ad_stream.parse_ad_log(lines).collect()
+    assert rows[0].province == "p1"
+    assert rows[0].user_id == 42 and rows[0].ad_id == 7
+    assert rows[0].event_time.isoformat().startswith("2024-01-01")
+    assert rows[0].event_date.isoformat() == "2024-01-01"
+
+
+def test_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same epoch (micro-batch retry) must not change
+    state — the guarantee the reference's JDBC DAOs lack."""
+    state = str(tmp_path / "state")
+    sink = sinks.accumulate_sink(state, ["k"], "v")
+    batch = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    sink(batch, 0)
+    first = sorted(map(tuple, sinks.read_state(spark, state).collect()))
+    sink(batch, 0)  # replay epoch 0
+    second = sorted(map(tuple, sinks.read_state(spark, state).collect()))
+    assert first == second == [("a", 3), ("b", 5)]
+    sink(batch, 1)  # genuine next epoch accumulates
+    third = sorted(map(tuple, sinks.read_state(spark, state).collect()))
+    assert third == [("a", 6), ("b", 10)]
+
+
+def test_blacklisted_users_filtered_from_stream(spark):
+    events = _ad_events(spark).limit(100)
+    bl = spark.createDataFrame([(int(events.first().user_id),)], "user_id long")
+    remaining = ad_stream.without_blacklisted(events, bl)
+    assert remaining.where(remaining.user_id == bl.first().user_id).count() == 0
+    assert remaining.count() < 100
