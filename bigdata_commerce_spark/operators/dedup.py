@@ -27,15 +27,25 @@ HEX_DIGITS = "0123456789abcdef"
 def shingle_array(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text; documents
     shorter than n tokens use the whole normalized text as the single
-    shingle."""
+    shingle.
+
+    Built from n shifted ``slice``s zipped together rather than
+    ``element_at(tokens, i+j)`` inside a transform lambda: lambda-body
+    subexpressions re-evaluate per *element*, so the element_at form
+    re-tokenizes (regex split over the full text) three times per
+    shingle — O(tokens^2) work per document. The slice/zip form
+    references the token array O(n) times per *row*.
+    """
     t = tokens(col)
-    build = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    length = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.when(F.size(t) >= n, F.array_distinct(acc)).otherwise(
+        F.array(normalize_text(col))
     )
-    return F.when(F.size(t) >= n, build).otherwise(F.array(normalize_text(col)))
 
 
 def exact_duplicates(
@@ -56,6 +66,21 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _join_shingle_hashes(ex: DataFrame, hash_cols: dict[str, Column]) -> DataFrame:
+    """Compute hash expressions once per *distinct* shingle and join
+    back to the (id, shingle) pairs.
+
+    Real corpora repeat shingles heavily (natural-language n-grams are
+    Zipfian), so hashing distinct shingles cuts the md5 work by the
+    duplication factor; the dimension side stays small enough that
+    Catalyst/AQE picks a broadcast join — no shuffle of ``ex``.
+    """
+    hashed = ex.select("shingle").distinct().select(
+        "shingle", *[c.alias(name) for name, c in hash_cols.items()]
+    )
+    return ex.join(hashed, "shingle")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -63,19 +88,60 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+    """Near-duplicate pairs by **exact** n-gram Jaccard similarity,
+    with PPJoin-style prefix filtering for candidate generation.
 
-    Inverted-index self-join on the shingle (only docs sharing at
-    least one shingle ever meet — no cross join), then
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    Joining on *every* shared shingle degenerates toward all-pairs on
+    Zipfian text (hot shingles appear in most documents). Prefix
+    filter theorem: order every document's shingles by one global
+    total order (ascending document frequency, rarest first); any pair
+    with J >= t must share a shingle among each side's first
+    ``|d| - ceil(t*|d|) + 1`` shingles. Candidates therefore join only
+    on rare prefix shingles; the exact Jaccard verify on candidates
+    keeps the result identical to the naive join (asserted in tests).
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        ex.join(doc_freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select("id", "shingle", "n_shingles")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J >= t requires t*|d1| <= |d2| (and symmetric)
+            & (F.col("b.n_shingles") >= F.lit(threshold) * F.col("a.n_shingles"))
+            & (F.col("a.n_shingles") >= F.lit(threshold) * F.col("b.n_shingles")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, ex, sizes, threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame, ex: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact |A∩B|/|A∪B| over candidate pairs only."""
+    e1 = ex.select(F.col("id").alias("id1"), "shingle")
+    e2 = ex.select(F.col("id").alias("id2"), "shingle")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        candidates.join(e1, "id1")
+        .join(e2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
@@ -92,6 +158,22 @@ def jaccard_pairs(
     )
 
 
+def minhash_hash_exprs(num_hashes: int = 8) -> dict[str, Column]:
+    """Hash family for MinHash: 8-hex-char (32-bit) slices of
+    md5(seed || shingle) — ceil(num_hashes/4) md5 evaluations yield
+    num_hashes independent components instead of one md5 per
+    component. Min over fixed-width lowercase hex == min over the
+    32-bit values, so string min is a faithful minhash and is
+    bit-identical in the oracle."""
+    exprs: dict[str, Column] = {}
+    for i in range(num_hashes):
+        seed, slot = divmod(i, 4)
+        exprs[f"mh_{i}"] = F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), slot * 8 + 1, 8
+        )
+    return exprs
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -100,18 +182,16 @@ def minhash_signatures(
     num_hashes: int = 8,
 ) -> DataFrame:
     """MinHash signature per document: component i is
-    min(md5(i || ':' || shingle)) over the shingle set.
+    min(hash_i(shingle)) over the shingle set.
 
-    Min over fixed-width lowercase hex strings == min over the 128-bit
-    hash values, so string aggregation is a faithful minhash and is
-    bit-identical in the oracle. One hash-aggregate, map-side partial.
+    Hashes are computed once per *distinct* shingle (broadcast-joined
+    back — Zipfian repetition makes this the cheap side), then one
+    hash-aggregate with map-side partial min.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy("id").agg(*aggs)
+    hashed = _join_shingle_hashes(ex, minhash_hash_exprs(num_hashes))
+    aggs = [F.min(F.col(f"mh_{i}")).alias(f"mh_{i}") for i in range(num_hashes)]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -157,26 +237,7 @@ def minhash_lsh_pairs(
     # Verify candidates with exact Jaccard over the shingle sets.
     ex = _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    e1 = ex.select(F.col("id").alias("id1"), F.col("shingle"))
-    e2 = ex.select(F.col("id").alias("id2"), F.col("shingle"))
-    common = (
-        candidates.join(e1, "id1")
-        .join(e2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
-    sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
-    return (
-        common.join(sa, "id1")
-        .join(sb, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return _verify_jaccard(candidates, ex, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -198,11 +259,11 @@ def simhash(
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
     h = F.md5(F.col("shingle"))
-    nib = [
-        F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int").alias(f"v{p}")
+    nib = {
+        f"v{p}": F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
         for p in range(SIMHASH_NIBBLES)
-    ]
-    nibbled = ex.select("id", *nib)
+    }
+    nibbled = _join_shingle_hashes(ex, nib).drop("shingle")
     aggs = []
     for p in range(SIMHASH_NIBBLES):
         for b in range(4):

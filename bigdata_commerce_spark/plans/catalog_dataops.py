@@ -195,8 +195,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    # Twin of dedup.minhash_hash_exprs: component i = 8-hex-char slice
+    # slot i%4 of md5((i//4) || ':' || shingle).
     cols = ",\n           ".join(
-        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+        f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
+        for i in range(num_hashes)
     )
     return f"SELECT id, {cols} FROM ex GROUP BY id"
 

@@ -83,3 +83,33 @@ def test_dedup_finds_planted_near_dups(spark):
     assert lsh <= exact
     # banding with r=2 at j>=0.8 catches essentially everything
     assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_prefix_filter_loses_no_pairs(spark):
+    """PPJoin prefix filtering must return exactly the naive
+    inverted-index join's pairs (it's a pruning, not an approximation)."""
+    from pyspark.sql import functions as F2
+
+    from bigdata_commerce_spark.operators.dedup import (
+        _exploded_shingles,
+        _verify_jaccard,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    fast = {(r.id1, r.id2, r.jaccard) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+
+    ex = _exploded_shingles(docs, "text", "doc_id", 3)
+    sizes = ex.groupBy("id").agg(F2.count(F2.lit(1)).alias("n_shingles"))
+    a, b = ex.alias("a"), ex.alias("b")
+    naive_cand = (
+        a.join(b, (F2.col("a.shingle") == F2.col("b.shingle")) & (F2.col("a.id") < F2.col("b.id")))
+        .select(F2.col("a.id").alias("id1"), F2.col("b.id").alias("id2"))
+        .distinct()
+    )
+    naive = {
+        (r.id1, r.id2, r.jaccard)
+        for r in _verify_jaccard(naive_cand, ex, sizes, 0.8).collect()
+    }
+    assert fast == naive
+    assert fast, "no pairs at sf0.01 — vacuous"
