@@ -382,3 +382,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.documents_as_media(docs)
     return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Commerce-schema pipeline (reqs 1-6 on the reference's own data model;
+# fixtures generated seeded in-process — no DuckDB twin tables, so the
+# driver records rows-only; the pandas-oracle tests in
+# tests/test_commerce.py carry the correctness check)
+# ---------------------------------------------------------------------------
+
+
+def _commerce_tables(spark: SparkSession):
+    from bigdata_commerce_spark.sources.commerce import (
+        generate_commerce_tables,
+        normalize_actions,
+    )
+
+    t = generate_commerce_tables(spark, num_users=50, sessions_per_user=5, seed=7)
+    return t, normalize_actions(t["user_visit_action"])
+
+
+@query("commerce_session_stats")
+def commerce_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference req 1 end-to-end on the commerce schema: seeded
+    fixtures -> typed ingest -> session aggregate -> user join ->
+    param filter -> one-row histogram."""
+    from bigdata_commerce_spark.plans import commerce as C
+
+    t, actions = _commerce_tables(spark)
+    params = C.TaskParams(start_age=10, end_age=50)
+    sessions = C.filter_sessions(C.session_full_info(actions, t["user_info"]), params)
+    return C.session_aggr_stats(sessions, params).drop("task_id")
+
+
+@query("commerce_area_top3")
+def commerce_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference req 6 end-to-end on the commerce schema (JSON status
+    decode, sorted distinct city list, area banding, top-3 window)."""
+    from bigdata_commerce_spark.plans import commerce as C
+
+    t, actions = _commerce_tables(spark)
+    params = C.TaskParams()
+    return C.area_top3_products(
+        actions, t["product_info"], t["city_info"], params
+    ).drop("task_id")
