@@ -1,0 +1,142 @@
+"""Catalog: relational surface beyond the reference (SURVEY.md §2.4
+"not present in the reference" + §2.7): rollup, pivot, set
+operations, approximate aggregates, and the custom as-of join.
+Catalyst provides these natively; the catalog entries prove the
+engine exposes them with oracle-checked semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.functions import money_sum
+from bigdata_commerce_spark.operators.asof import asof_join
+from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
+from bigdata_commerce_spark.plans.registry import query
+from bigdata_commerce_spark.sources.testdata import load_table
+
+
+@query(
+    "asof_click_attribution",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE},
+    clicks AS (
+        SELECT user_id, ts, MAX(ad_id) AS ad_id
+        FROM events_n WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), purch AS (
+        SELECT event_id, user_id, ts FROM events_n WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ad_id AS attributed_ad, c.ts AS click_ts
+    FROM purch p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->click attribution: for every purchase, the user's
+    most recent click at-or-before it (backward as-of join — an
+    operator Spark lacks, composed from union+sort+last_value in
+    operators/asof.py; the oracle is DuckDB's native ASOF JOIN)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "ad_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="ts", payload_cols=["ad_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ad_id").alias("attributed_ad"),
+        F.col("asof_ts").alias("click_ts"),
+    )
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (flag -> flag+status -> grand total) —
+    grouping sets the reference cannot express (SURVEY.md §2.4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_pivot",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    SELECT event_date,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events_n GROUP BY event_date
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily event-type matrix via pivot."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    ev = _events(spark, sf_dir)
+    wide = ev.groupBy("event_date").pivot("event_type", kinds).count()
+    return wide.select(
+        "event_date", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "users_click_no_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT) — absent from the reference (§2.7)."""
+    ev = load_table(spark, "events", sf_dir)
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)
+
+
+@query(
+    "users_click_and_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT)."""
+    ev = load_table(spark, "events", sf_dir)
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+@query("approx_distinct_users")  # HLL sketches differ per engine — no SQL oracle;
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the approximate-aggregate surface (§2.4 'absent in reference').
+    Error bound asserted in tests instead of an oracle (DuckDB's HLL
+    sketch produces different estimates by construction)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,67 @@
+"""Batch sinks (SURVEY.md §2.1): JDBC append, warehouse table
+overwrite, partitioned parquet.
+
+The reference writes every result to MySQL via the DataFrame JDBC
+writer with inline credentials at six call sites
+(``SessionStat.scala:152-159`` etc.) and overwrites Hive tables with
+DROP+saveAsTable (``MockDataGenerate.scala:147-150``). Here: one
+configured writer each, plus the layout the 100 TB design actually
+wants — date-partitioned parquet so the date-range scans of every
+pipeline prune partitions instead of filtering rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class JdbcConfig:
+    """Connection settings (the reference reads these from
+    commerce.properties — ``ConfigurationManager.scala:15-30``)."""
+
+    url: str
+    user: str
+    password: str
+    driver: str = "com.mysql.cj.jdbc.Driver"
+
+
+def write_jdbc(
+    df: DataFrame,
+    table: str,
+    config: JdbcConfig,
+    mode: str = "append",
+    batch_size: int = 10_000,
+) -> None:
+    """DataFrame JDBC writer — partition-parallel, batched inserts.
+    (No JDBC driver jar nor database exists in the test container, so
+    this is exercised only for plan construction; the write itself is
+    covered by the parquet/warehouse paths.)"""
+    (
+        df.write.format("jdbc")
+        .option("url", config.url)
+        .option("dbtable", table)
+        .option("user", config.user)
+        .option("password", config.password)
+        .option("driver", config.driver)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+        .save()
+    )
+
+
+def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Warehouse table sink (replaces DROP TABLE + saveAsTable)."""
+    df.write.mode(mode).saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Date/key-partitioned parquet — the scan-side contract for every
+    date-ranged pipeline: Catalyst prunes partitions for
+    ``col.between(start, end)`` predicates instead of reading 100 TB
+    and filtering."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

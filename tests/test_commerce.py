@@ -180,3 +180,24 @@ def test_req6_area_top3_matches_pandas(tables, spark):
     # city list is colon-joined id:name pairs, comma-separated, sorted
     sample = got.city_infos.iloc[0].split(",")
     assert all(":" in c for c in sample) and sample == sorted(sample)
+
+
+def test_partitioned_sink_prunes(tables, spark, tmp_path):
+    """Date-partitioned layout must let Catalyst prune partitions for
+    date-range predicates (the 100 TB scan contract)."""
+    from pyspark.sql import functions as F2
+
+    from bigdata_commerce_spark.sources.sinks import write_partitioned, write_table
+
+    actions = tables["actions"]
+    out = str(tmp_path / "actions_by_date")
+    write_partitioned(actions, out, ["action_date"])
+    back = spark.read.parquet(out)
+    pruned = back.where(F2.col("action_date") == "2024-03-08")
+    plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "action_date" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == actions.count()  # single-day fixture
+
+    write_table(actions.limit(10), "t_sink_check")
+    assert spark.table("t_sink_check").count() == 10
+    spark.sql("DROP TABLE t_sink_check")

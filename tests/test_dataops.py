@@ -113,3 +113,12 @@ def test_prefix_filter_loses_no_pairs(spark):
     }
     assert fast == naive
     assert fast, "no pairs at sf0.01 — vacuous"
+
+
+def test_approx_distinct_within_bounds(spark):
+    from bigdata_commerce_spark.plans import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
