@@ -17,6 +17,21 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Widen a narrow input to the cluster's parallelism — only ever
+    *increases* partitions (a no-op on real many-partition inputs).
+
+    For CPU-heavy per-row operators (tokenization, hashing, vector
+    folds) a small single-file scan is otherwise pinned to one or a
+    few row-group partitions and serializes the work; the repartition
+    of a small input costs microseconds against a multi-second win.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def nullif_sentinel(col: Column | str, sentinel: int = -1) -> Column:
     """``-1``-as-null compat: reference uses Long -1 / String null
     sentinels (``MockDataGenerate.scala:58-64``); the engine uses real

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_commerce_spark.functions import fan_out
 from bigdata_commerce_spark.operators.text import fingerprint, normalize_text, tokens
 
 HEX_DIGITS = "0123456789abcdef"
@@ -61,24 +62,41 @@ def exact_duplicates(
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, n)).alias("shingle")
-    )
+    """Distinct (id, shingle) pairs, built relationally: tokenize once
+    per document, posexplode, and join adjacent tokens with ``lead``
+    windows.
 
-
-def _join_shingle_hashes(ex: DataFrame, hash_cols: dict[str, Column]) -> DataFrame:
-    """Compute hash expressions once per *distinct* shingle and join
-    back to the (id, shingle) pairs.
-
-    Real corpora repeat shingles heavily (natural-language n-grams are
-    Zipfian), so hashing distinct shingles cuts the md5 work by the
-    duplication factor; the dimension side stays small enough that
-    Catalyst/AQE picks a broadcast join — no shuffle of ``ex``.
+    Equivalent to ``explode(shingle_array(...))`` but evaluates the
+    tokenizer exactly once per document — Catalyst's CollapseProject
+    inlines a shared token-array alias into every consumer, so the
+    array-expression form re-runs the regex tokenization ~2n times per
+    row. The window shuffle (by doc id) is cheaper than that at every
+    scale, and the same shuffle already exists in every downstream
+    per-doc aggregation.
     """
-    hashed = ex.select("shingle").distinct().select(
-        "shingle", *[c.alias(name) for name, c in hash_cols.items()]
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
     )
-    return ex.join(hashed, "shingle")
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        toks.select("id", F.concat_ws(" ", *parts).alias("shingle"), *[
+            F.lead("tok", n - 1).over(w).alias("__full")
+        ])
+        .where(F.col("__full").isNotNull())
+        .select("id", "shingle")
+        .distinct()
+    )
+    # documents shorter than n tokens: whole normalized text instead
+    short = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("shingle")
+    ).where(F.size(tokens(text_col)) < n)
+    return grams.unionByName(short)
 
 
 def jaccard_pairs(
@@ -100,7 +118,10 @@ def jaccard_pairs(
     on rare prefix shingles; the exact Jaccard verify on candidates
     keeps the result identical to the naive join (asserted in tests).
     """
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    # ex feeds sizes, doc-frequency, the prefix rank AND the verify —
+    # persist it or the whole shingle pipeline re-runs per consumer
+    # (LRU eviction reclaims it; at scale use MEMORY_AND_DISK spill).
+    ex = _exploded_shingles(df, text_col, id_col, n).persist()
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
@@ -184,14 +205,13 @@ def minhash_signatures(
     """MinHash signature per document: component i is
     min(hash_i(shingle)) over the shingle set.
 
-    Hashes are computed once per *distinct* shingle (broadcast-joined
-    back — Zipfian repetition makes this the cheap side), then one
-    hash-aggregate with map-side partial min.
+    One hash-aggregate with map-side partial min; the sliced hash
+    family keeps it at ceil(k/4) md5 calls per (id, shingle) row.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
-    hashed = _join_shingle_hashes(ex, minhash_hash_exprs(num_hashes))
-    aggs = [F.min(F.col(f"mh_{i}")).alias(f"mh_{i}") for i in range(num_hashes)]
-    return hashed.groupBy("id").agg(*aggs)
+    exprs = minhash_hash_exprs(num_hashes)
+    aggs = [F.min(c).alias(name) for name, c in exprs.items()]
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -212,7 +232,9 @@ def minhash_lsh_pairs(
     the number of near-dups, not documents^2.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    ex = _exploded_shingles(df, text_col, id_col, n).persist()
+    exprs = minhash_hash_exprs(num_hashes)
+    sig = ex.groupBy("id").agg(*[F.min(c).alias(name) for name, c in exprs.items()])
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
@@ -234,8 +256,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over the shingle sets.
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    # Verify candidates with exact Jaccard over the same persisted ex.
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return _verify_jaccard(candidates, ex, sizes, threshold)
 
@@ -259,11 +280,13 @@ def simhash(
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
     h = F.md5(F.col("shingle"))
-    nib = {
-        f"v{p}": F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
-        for p in range(SIMHASH_NIBBLES)
-    }
-    nibbled = _join_shingle_hashes(ex, nib).drop("shingle")
+    nibbled = ex.select(
+        "id",
+        *[
+            F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int").alias(f"v{p}")
+            for p in range(SIMHASH_NIBBLES)
+        ],
+    )
     aggs = []
     for p in range(SIMHASH_NIBBLES):
         for b in range(4):

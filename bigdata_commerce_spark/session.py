@@ -53,6 +53,12 @@ def get_spark(
         # Columnar parquet IO: bigger scan partitions than the 128MB
         # default hurt nothing locally and keep task counts sane at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Small single-file tables otherwise scan as ONE partition and
+        # serialize CPU-heavy per-row work (regex tokenize, md5) onto a
+        # single core. A low open-cost lets the scan split small files
+        # across cores; at real scale files exceed this anyway.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         # Parquet TIMESTAMP(NANOS) columns (pandas-written testdata)
         # otherwise fail the scan; read as long and convert at ingest
         # (sources.testdata normalizes to microsecond timestamps, the
