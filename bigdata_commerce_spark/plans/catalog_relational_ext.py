@@ -140,3 +140,63 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "supplier_window_suite",
+    oracle="""
+    WITH per_supplier AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    ), nations AS (
+        SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT l_suppkey, n_name, revenue,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           LAG(revenue) OVER w AS prev_revenue,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,8))) OVER (
+               PARTITION BY n_name ORDER BY revenue DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
+    FROM per_supplier JOIN nations ON l_suppkey = s_suppkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, l_suppkey)
+    """,
+)
+def supplier_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage the reference never uses (§2.5: only
+    row_number exists there): rank / dense_rank / ntile / lag and a
+    running-sum frame, all over one per-nation window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    per_supplier = li.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    nations = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    joined = per_supplier.join(
+        F.broadcast(nations), per_supplier.l_suppkey == nations.s_suppkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "l_suppkey",
+        "n_name",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(F.sum(F.col("revenue").cast("decimal(30,8)")).over(frame), 2)
+        .cast("double")
+        .alias("running_revenue"),
+    )

@@ -136,3 +136,26 @@ def province_top3_from_counts(counts: DataFrame) -> DataFrame:
         [F.desc("click_count"), F.asc("ad_id")],
         k=3,
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Optional extension (SURVEY.md §2.9 'session windows: absent'):
+    event-time session windows with a gap timeout — the streaming twin
+    of the batch gap-sessionization in operators/sessionize.py. The
+    reference can't express this at all (its sessions are pre-assigned
+    ids in mock data)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

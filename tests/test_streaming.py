@@ -186,3 +186,37 @@ def test_blacklisted_users_filtered_from_stream(spark):
     remaining = ad_stream.without_blacklisted(events, bl)
     assert remaining.where(remaining.user_id == bl.first().user_id).count() == 0
     assert remaining.count() < 100
+
+
+def test_session_window_stream_matches_batch_gaps(spark, stream_result):
+    """Streaming session_window(gap) totals == batch gap sessionization
+    over the same rows (complete output after all data seen)."""
+    import shutil as _shutil
+
+    from bigdata_commerce_spark.operators.sessionize import session_aggregates, sessionize
+
+    events = stream_result["events"]
+    src = str(SCRATCH / "flat")
+    out_ckpt = str(SCRATCH / "state" / "ckpt" / "session_window")
+    stream = pipelines.file_event_source(spark, src)
+    agg = ad_stream.session_window_counts(stream, gap="30 minutes", watermark="365 days")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win")
+        .option("checkpointLocation", out_ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT user_id, n_events FROM sess_win ORDER BY user_id, session_start"
+    ).collect()
+    batch = session_aggregates(
+        sessionize(
+            events.select("user_id", F.col("event_time").alias("ts")), gap_minutes=30
+        ),
+        ts_col="ts",
+    ).orderBy("user_id", "start_time")
+    expected = [(r.user_id, r.step_length) for r in batch.collect()]
+    assert [(r.user_id, r.n_events) for r in got] == expected
