@@ -200,3 +200,79 @@ def supplier_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_revenue"),
     )
+
+
+@query("region_top3_parts_sql")
+def region_top3_parts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity (SURVEY.md §3.2): the area/top-3 pipeline as
+    the reference writes it — a chain of temp views consumed by
+    spark.sql — proving the engine's full SQL surface produces the
+    same plan/result as the DataFrame form (views are logical plans;
+    the chain fuses into one physical plan)."""
+    from bigdata_commerce_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        SELECT r_name AS area, n_name AS nation, l_partkey
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        """
+    ).createOrReplaceTempView("tmp_area_basic_info")
+    spark.sql(
+        """
+        SELECT area, l_partkey,
+               COUNT(*) AS order_count,
+               array_join(array_sort(collect_set(nation)), ',') AS nation_list
+        FROM tmp_area_basic_info GROUP BY area, l_partkey
+        """
+    ).createOrReplaceTempView("tmp_area_click_count")
+    return spark.sql(
+        """
+        SELECT t.area,
+               CASE WHEN t.area IN ('ASIA', 'EUROPE') THEN 'A'
+                    WHEN t.area = 'AMERICA' THEN 'B'
+                    ELSE 'C' END AS area_level,
+               t.l_partkey, p.p_name, t.order_count, t.nation_list, t.rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY area
+                        ORDER BY order_count DESC, l_partkey ASC) AS rank
+            FROM tmp_area_click_count
+        ) t JOIN part p ON t.l_partkey = p.p_partkey
+        WHERE t.rank <= 3
+        """
+    )
+
+
+@query(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice (CUBE)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("price_quantiles")  # approx sketch, engine-specific — rows-only + test bound
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx over order totals per priority (approximate
+    quantile sketch; bounds asserted in tests, no cross-engine
+    oracle)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("quantiles"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -43,10 +43,13 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive runtime confs for externally-built sessions (the
+    # verify driver constructs its own SparkSession): nanos parquet
+    # timestamps otherwise fail the scan, and a non-UTC session
+    # timezone would shift every timestamp value relative to the
+    # UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLS:
-        # Runtime-settable; required even for externally-built sessions
-        # (e.g. the verify driver's), or the scan fails with
-        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):

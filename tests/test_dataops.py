@@ -122,3 +122,13 @@ def test_approx_distinct_within_bounds(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
+
+
+def test_price_quantiles_bounds(spark):
+    from bigdata_commerce_spark.plans import QUERIES
+
+    rows = QUERIES["price_quantiles"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        q50, q90, q99 = r.quantiles
+        assert r.min_price <= q50 <= q90 <= q99 <= r.max_price
