@@ -7,14 +7,17 @@ Two paths, as a 100 TB pipeline needs:
   sequential left folds over doubles (``F.aggregate``), bit-identical
   to the oracle's ``list_reduce`` fold.
 - ``lsh_ann_topk``: sign-random-projection LSH — the scale path.
-  Seeded hyperplanes (numpy, broadcast as literals via a pandas UDF),
-  candidates from Hamming-banded bucket joins, exact re-rank of
-  candidates only. Approximate -> no SQL oracle; recall is asserted
-  against the brute-force baseline in tests.
+  Seeded hyperplanes applied by a vectorized pandas UDF (one numpy
+  matmul per Arrow batch), candidates from banded bucket joins on id
+  pairs, exact re-rank of candidates only. Approximate -> no SQL
+  oracle; recall is asserted against the brute-force baseline in
+  tests.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,64 +93,74 @@ def lsh_ann_topk(
     exact cosine re-rank of candidates only. Recall < 1 by design;
     tests assert recall against cosine_topk.
     """
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
 
-    # Plane projection as pure column expressions: for each plane,
-    # sign(dot(v, w)) with the plane weights as an array literal and a
-    # fold for the dot product. (Higher-order functions loop at
-    # runtime — an unrolled 16x64 sum chain would blow Janino's 64KB
-    # codegen limit and drop the whole stage to interpreted mode.)
-    def sign_bits(vec: Column) -> list[Column]:
-        bits = []
-        for pl in range(num_planes):
-            w = F.array(*[F.lit(float(x)) for x in planes[pl]])
-            dot = _dot(_as_double(vec), w)
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return bits
+    # Plane projection as a vectorized pandas UDF: one numpy matmul
+    # per Arrow batch. Column-expression forms were tried and both
+    # lose: an unrolled 16x64 sum chain blows Janino's 64KB codegen
+    # limit, and array-literal folds put ~2000 literal nodes in the
+    # plan — Catalyst analysis/optimization of that tree cost ~4s per
+    # query on the DRIVER, dwarfing the actual math. The UDF plan is
+    # one node; the planes ship once in the closure.
+    @F.pandas_udf("string")
+    def bit_string(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = m.astype(np.float64) @ planes.T >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
 
     rows_per_band = num_planes // bands
 
     def with_buckets(df: DataFrame, role: str) -> DataFrame:
-        bits = sign_bits(F.col(vec_col))
         bands_cols = [
             F.struct(
                 F.lit(bnd).alias("band"),
-                F.concat(*bits[bnd * rows_per_band : (bnd + 1) * rows_per_band]).alias(
+                F.substring(F.col("__bits"), bnd * rows_per_band + 1, rows_per_band).alias(
                     "bucket"
                 ),
             )
             for bnd in range(bands)
         ]
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            _as_double(vec_col).alias(f"{role}_vec"),
-            F.explode(F.array(*bands_cols)).alias("bb"),
-        ).select(
-            f"{role}_id",
-            f"{role}_vec",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+        return (
+            df.select(F.col(id_col).alias(f"{role}_id"), bit_string(F.col(vec_col)).alias("__bits"))
+            .select(f"{role}_id", F.explode(F.array(*bands_cols)).alias("bb"))
+            .select(
+                f"{role}_id",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
         )
 
+    # Candidates as bare id pairs — dedup on (probe, corpus) ids only,
+    # then join the vectors back for the re-rank. Distinct over rows
+    # that carry two 64-float arrays would hash/compare the arrays per
+    # band collision, which dominates the whole query.
     cb = with_buckets(corpus, "corpus")
     pb = with_buckets(probes, "probe")
     candidates = (
         cb.join(pb, ["band", "bucket"])
         .where(F.col("corpus_id") != F.col("probe_id"))
-        .select("probe_id", "probe_vec", "corpus_id", "corpus_vec")
+        .select("probe_id", "corpus_id")
         .distinct()
     )
-    scored = candidates.select(
-        "probe_id",
-        "corpus_id",
-        F.round(
-            _dot(F.col("corpus_vec"), F.col("probe_vec"))
-            / (_norm(F.col("corpus_vec")) * _norm(F.col("probe_vec"))),
-            4,
-        ).alias("score"),
+    c_vec = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("corpus_vec")
+    )
+    p_vec = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("probe_vec")
+    )
+    scored = (
+        candidates.join(c_vec, "corpus_id")
+        .join(F.broadcast(p_vec), "probe_id")
+        .select(
+            "probe_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("corpus_vec"), F.col("probe_vec"))
+                / (_norm(F.col("corpus_vec")) * _norm(F.col("probe_vec"))),
+                4,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("corpus_id"))
     return (
