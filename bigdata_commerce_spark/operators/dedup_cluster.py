@@ -1,0 +1,90 @@
+"""Near-duplicate clustering: connected components over dup pairs.
+
+A dedup pipeline needs clusters, not pairs: if A~B and B~C, one
+survivor should represent {A, B, C}. Components are computed by
+iterative min-label propagation — the standard large-graph approach
+(O(diameter) rounds of a keyed aggregation; near-dup clusters are
+tiny, so it converges in a handful of rounds). Each round is one
+shuffle on the node id; lineage is truncated with localCheckpoint so
+the plan doesn't grow per iteration.
+
+This is genuinely iterative (not single-pass SQL) — the oracle uses
+DuckDB's recursive CTE for the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable through
+    ``edges`` (undirected). Nodes without edges keep their own id —
+    singleton clusters.
+
+    Returns (node_col, 'cluster_id').
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("a"), F.col(node_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "a", "left")
+            .select("a", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    clusters: DataFrame,
+    quality: DataFrame | None = None,
+    node_col: str = "id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Pick one survivor per cluster: highest quality (ties -> lowest
+    id), or lowest id when no quality signal is given. Returns
+    (cluster_id, survivor_id, cluster_size)."""
+    if quality is not None:
+        scored = clusters.join(
+            quality.select(F.col(node_col), F.col(quality_col)), node_col, "left"
+        ).withColumn(quality_col, F.coalesce(F.col(quality_col), F.lit(0.0)))
+        best = F.max(
+            F.struct(F.col(quality_col), (-F.col(node_col)).alias("neg_id"))
+        ).alias("best")
+        agg = scored.groupBy("cluster_id").agg(
+            best, F.count(F.lit(1)).alias("cluster_size")
+        )
+        return agg.select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("survivor_id"),
+            "cluster_size",
+        )
+    return clusters.groupBy("cluster_id").agg(
+        F.min(node_col).alias("survivor_id"), F.count(F.lit(1)).alias("cluster_size")
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators import dedup, multimodal, similarity
+from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
 from bigdata_commerce_spark.operators import text as text_ops
 from bigdata_commerce_spark.plans.registry import query
 from bigdata_commerce_spark.sources.testdata import load_table
@@ -426,3 +427,114 @@ def commerce_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.area_top3_products(
         actions, t["product_info"], t["city_info"], params
     ).drop("task_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering, splits, tokenization, skew
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE}
+    , common AS (
+        SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes sa ON sa.id = id1
+        JOIN sizes sb ON sb.id = id2
+        WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.8
+    ), sym AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over Jaccard>=0.8 pairs
+    via iterative min-label propagation (operators/dedup_cluster.py) —
+    a genuinely iterative algorithm; the oracle reaches the same
+    fixpoint with a recursive CTE."""
+    from bigdata_commerce_spark.operators.dedup_cluster import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = connected_components(nodes, pairs, node_col="id")
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)
+                     IN ('0', '1', '2', '3')
+                THEN 'test' ELSE 'train' END AS split
+    FROM norm_docs
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% holdout: first hex nibble of
+    md5(id || ':split') < '4' — exact 4/16 fraction, stable across
+    runs/engines/partitionings (no rand())."""
+    docs = load_table(spark, "documents", sf_dir)
+    nib = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(nib.isin("0", "1", "2", "3"), "test").otherwise("train").alias("split"),
+    )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the pipeline's cost estimator):
+    whitespace tokens and a BPE-ish pre-tokenizer regex (letter runs /
+    single digits / punctuation), both in-plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+    )
+
+
+@query(
+    "salted_user_event_counts",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    SELECT user_id, COUNT(*) AS n FROM events_n GROUP BY user_id
+    """,
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe counting: two-phase aggregate through a salted key
+    (operators/salted.py). The oracle is the plain GROUP BY — salting
+    must never change results, only the shuffle distribution."""
+    from bigdata_commerce_spark.operators.salted import salted_count
+
+    ev = _events(spark, sf_dir)
+    return salted_count(ev, ["user_id"], F.col("event_id"), salt_buckets=16)

@@ -132,3 +132,31 @@ def test_price_quantiles_bounds(spark):
     for r in rows:
         q50, q90, q99 = r.quantiles
         assert r.min_price <= q50 <= q90 <= q99 <= r.max_price
+
+
+def test_dedup_survivors(spark):
+    from bigdata_commerce_spark.operators.dedup_cluster import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id1 long, id2 long"
+    )
+    clusters = connected_components(nodes, edges)
+    got = {r.id: r.cluster_id for r in clusters.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+    quality = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.9), (4, 0.5)], "id long, quality double"
+    )
+    surv = {
+        r.cluster_id: (r.survivor_id, r.cluster_size)
+        for r in dedup_survivors(clusters, quality).collect()
+    }
+    # highest quality wins; quality tie (1 vs 2) -> lowest id; missing
+    # quality -> 0.0
+    assert surv[0] == (1, 3)
+    assert surv[4] == (4, 2)
+    assert surv[3] == (3, 1)
