@@ -36,8 +36,19 @@ def connected_components(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        # Materialize once via persist (NOT localCheckpoint: that goes
+        # through the RDD path and bypasses AQE's optimized shuffles,
+        # measured 4x slower on a Jaccard-derived edge list). The edge
+        # list is consumed every iteration; leaving it lazy re-runs
+        # the upstream near-dup pipeline per round.
+        .persist()
     )
-    labels = nodes.select(F.col(node_col).alias("a"), F.col(node_col).alias("label"))
+    sym.count()
+    # Only nodes with edges participate in propagation; isolated nodes
+    # are singleton clusters by definition and skip the loop entirely
+    # (on a dedup graph that's the overwhelming majority).
+    edge_nodes = sym.select("a").distinct()
+    labels = edge_nodes.select("a", F.col("a").alias("label"))
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("a", "b"), "b")
@@ -58,7 +69,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("a").alias(node_col), F.col("label").alias("cluster_id"))
+    singletons = (
+        nodes.select(F.col(node_col).alias("a"))
+        .join(edge_nodes, "a", "left_anti")
+        .select("a", F.col("a").alias("label"))
+    )
+    return labels.unionByName(singletons).select(
+        F.col("a").alias(node_col), F.col("label").alias("cluster_id")
+    )
 
 
 def dedup_survivors(

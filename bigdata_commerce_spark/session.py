@@ -42,6 +42,12 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM is the whole cluster — the 1g
+        # default GC-thrashes under cached/persisted intermediates,
+        # while an over-sized heap (48g measured) is 2x slower on this
+        # suite's small working sets. 8g is the measured sweet spot.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
