@@ -52,6 +52,14 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50)
     )
     jaccard_pairs(docs_sample, threshold=0.8).count()
+    # Python-worker startup (pandas UDF / Arrow) warmup.
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("double")
+    def _warm(s: "pd.Series") -> "pd.Series":
+        return s * 1.0
+
+    spark.range(100).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

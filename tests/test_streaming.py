@@ -220,3 +220,54 @@ def test_session_window_stream_matches_batch_gaps(spark, stream_result):
     ).orderBy("user_id", "start_time")
     expected = [(r.user_id, r.step_length) for r in batch.collect()]
     assert [(r.user_id, r.n_events) for r in got] == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving far behind the watermark must be excluded
+    from the windowed aggregation (the late-data policy the reference
+    lacks entirely — SURVEY.md §2.9)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, ad_stream.AD_EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    def ev(ts, user=1, ad=1):
+        return (ts, ts.date(), "p1", "c1", user, ad)
+
+    # batch 1 advances event time to 12:30 (watermark -> 12:20)
+    write_chunk("b1", [ev(base), ev(base + dt.timedelta(minutes=30))])
+
+    stream = (
+        spark.readStream.schema(ad_stream.AD_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    agg = ad_stream.minute_window_trend(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()  # watermark now trails the 12:30 max by 10min
+
+    # batch 2, delivered strictly after batch 1 committed: one fresh
+    # event + one 2 hours late (far behind the watermark)
+    late = base - dt.timedelta(hours=2)
+    write_chunk("b2", [ev(base + dt.timedelta(minutes=31)), ev(late, user=99, ad=99)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    # the 2h-late event (ad 99) must not appear in any emitted window
+    assert not [r for r in rows if r.ad_id == 99], rows
