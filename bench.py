@@ -52,13 +52,10 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50)
     )
     jaccard_pairs(docs_sample, threshold=0.8).count()
-    # Python-worker startup (pandas UDF / Arrow) warmup.
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf("double")
-    def _warm(s: "pd.Series") -> "pd.Series":
-        return s * 1.0
-
+    # Python-worker startup (pandas UDF / Arrow) warmup. (Hint-free
+    # form: string annotations don't resolve under
+    # `from __future__ import annotations`.)
+    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
     spark.range(100).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
