@@ -311,9 +311,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 60-bit hash into 4 x 15-bit
     chunks (pigeonhole: any pair with Hamming distance <= 3 shares at
-    least one chunk), bucket-join candidates, verify with
+    least one chunk; the hash table is persisted — the chunk self-join
+    references it twice and would otherwise compute the whole shingle
+    + 60-aggregate pipeline twice), bucket-join candidates, verify with
     bit_count(xor) — never an all-pairs comparison."""
-    sh = simhash(df, text_col, id_col, n)
+    sh = simhash(df, text_col, id_col, n).persist()
     chunks = sh.select(
         "id",
         "simhash",
