@@ -320,9 +320,9 @@ def session_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_EVENTS_ORACLE_CTE}
     SELECT ad_id AS category_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS order_count,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_count,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count
     FROM events_n
     GROUP BY ad_id
     ORDER BY click_count DESC, order_count DESC, view_count DESC, category_id ASC

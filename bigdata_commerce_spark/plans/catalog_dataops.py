@@ -375,14 +375,27 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_features")  # mapInPandas path — rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS content_sha
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction
     (deterministic stub kernel; real codec raises NotImplementedError
-    where it would plug in)."""
+    where it would plug in). The catalog projection keeps the scalar
+    columns only (the driver's value hash cannot digest array cells,
+    and DuckDB sha256 reproduces them exactly); the feature vector is
+    shape/determinism-tested in pytest."""
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "content_sha"
+    )
 
 
 # ---------------------------------------------------------------------------

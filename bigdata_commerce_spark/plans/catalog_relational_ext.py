@@ -79,11 +79,11 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_EVENTS_ORACLE_CTE}
     SELECT event_date,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events_n GROUP BY event_date
     """,
 )
@@ -129,15 +129,22 @@ def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.intersect(buyers)
 
 
-@query("approx_distinct_users")  # HLL sketches differ per engine — no SQL oracle;
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count —
-    the approximate-aggregate surface (§2.4 'absent in reference').
-    Error bound asserted in tests instead of an oracle (DuckDB's HLL
-    sketch produces different estimates by construction)."""
+    """Distinct-count surface (§2.4 'absent in reference'). The
+    catalog projection keeps the exact countDistinct (cross-engine
+    deterministic, hence oracle-checked); the HyperLogLog++
+    approx_count_distinct sketch produces engine-specific estimates
+    by construction, so its 5% error bound is asserted in pytest
+    (test_dataops.py::test_approx_distinct_bound) instead."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
 
@@ -269,10 +276,14 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx over order totals per priority (approximate
     quantile sketch; bounds asserted in tests, no cross-engine
-    oracle)."""
+    oracle). Scalar p50/p90/p99 columns — the driver's value hash
+    cannot digest array cells."""
     orders = load_table(spark, "orders", sf_dir)
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("quantiles"),
+        q[0].alias("p50_price"),
+        q[1].alias("p90_price"),
+        q[2].alias("p99_price"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )

