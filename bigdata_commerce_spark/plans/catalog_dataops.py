@@ -15,6 +15,7 @@ from bigdata_commerce_spark.operators import dedup, multimodal, similarity
 from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
 from bigdata_commerce_spark.operators import text as text_ops
 from bigdata_commerce_spark.plans.registry import query
+from bigdata_commerce_spark.sources import commerce as _commerce
 from bigdata_commerce_spark.sources.testdata import load_table
 
 # DuckDB twins of operators.text normalization/tokenization — same
@@ -399,28 +400,94 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Commerce-schema pipeline (reqs 1-6 on the reference's own data model;
-# fixtures generated seeded in-process — no DuckDB twin tables, so the
-# driver records rows-only; the pandas-oracle tests in
-# tests/test_commerce.py carry the correctness check)
+# Commerce-schema pipeline (reqs 1-6 on the reference's own data model).
+# The seeded fixtures are persisted as parquet at import time
+# (sources/commerce.ensure_commerce_fixtures) so the Spark query and
+# the DuckDB oracle read the same bytes — full hash-checked oracles,
+# not rows-only.
 # ---------------------------------------------------------------------------
+
+_COMMERCE_DIR = _commerce.ensure_commerce_fixtures()
+_UVA = f"read_parquet('{_COMMERCE_DIR}/user_visit_action.parquet')"
+_UINFO = f"read_parquet('{_COMMERCE_DIR}/user_info.parquet')"
+_PINFO = f"read_parquet('{_COMMERCE_DIR}/product_info.parquet')"
+_CITY = f"read_parquet('{_COMMERCE_DIR}/city_info.parquet')"
 
 
 def _commerce_tables(spark: SparkSession):
-    from bigdata_commerce_spark.sources.commerce import (
-        generate_commerce_tables,
-        normalize_actions,
+    d = _COMMERCE_DIR
+    t = {
+        "user_visit_action": spark.read.schema(
+            _commerce.USER_VISIT_ACTION_SCHEMA
+        ).parquet(f"{d}/user_visit_action.parquet"),
+        "user_info": spark.read.schema(_commerce.USER_INFO_SCHEMA).parquet(
+            f"{d}/user_info.parquet"
+        ),
+        "product_info": spark.read.schema(_commerce.PRODUCT_INFO_SCHEMA).parquet(
+            f"{d}/product_info.parquet"
+        ),
+        "city_info": spark.read.schema(
+            "city_id long, city_name string, area string"
+        ).parquet(f"{d}/city_info.parquet"),
+    }
+    return t, _commerce.normalize_actions(t["user_visit_action"])
+
+
+def _ratio_sql(flag: str, label: str, prefix: str) -> str:
+    return (
+        f"CASE WHEN COUNT(*) = 0 THEN 0.0 "
+        f"ELSE ROUND(CAST(SUM({flag}) AS BIGINT) / COUNT(*), 2) END "
+        f"AS {prefix}_{label}"
     )
 
-    t = generate_commerce_tables(spark, num_users=50, sessions_per_user=5, seed=7)
-    return t, normalize_actions(t["user_visit_action"])
+
+def _session_stats_oracle() -> str:
+    from bigdata_commerce_spark.functions import (
+        STEP_LENGTH_BUCKETS,
+        VISIT_LENGTH_BUCKETS,
+    )
+
+    def band(col: str, lo, hi) -> str:
+        if hi is None:
+            return f"CASE WHEN {col} >= {lo} THEN 1 ELSE 0 END"
+        if lo is None:
+            return f"CASE WHEN {col} <= {hi} THEN 1 ELSE 0 END"
+        return f"CASE WHEN {col} BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END"
+
+    ratios = [
+        _ratio_sql(band("visit_length", lo, hi), label, "visit_ratio")
+        for label, lo, hi in VISIT_LENGTH_BUCKETS
+    ] + [
+        _ratio_sql(band("step_length", lo, hi), label, "step_ratio")
+        for label, lo, hi in STEP_LENGTH_BUCKETS
+    ]
+    return f"""
+    WITH actions AS (
+        SELECT session_id, user_id,
+               CAST(action_time AS TIMESTAMP) AS action_time
+        FROM {_UVA}
+    ), sess AS (
+        SELECT session_id,
+               MIN(user_id) AS user_id,
+               COUNT(*) AS step_length,
+               CAST(epoch(MAX(action_time)) - epoch(MIN(action_time)) AS BIGINT)
+                   AS visit_length
+        FROM actions GROUP BY session_id
+    ), filtered AS (
+        SELECT s.* FROM sess s
+        JOIN {_UINFO} u ON s.user_id = u.user_id
+        WHERE u.age >= 10 AND u.age <= 50
+    )
+    SELECT COUNT(*) AS session_count, {', '.join(ratios)}
+    FROM filtered
+    """
 
 
-@query("commerce_session_stats")
+@query("commerce_session_stats", oracle=_session_stats_oracle())
 def commerce_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference req 1 end-to-end on the commerce schema: seeded
     fixtures -> typed ingest -> session aggregate -> user join ->
-    param filter -> one-row histogram."""
+    param filter -> one-row histogram (``SessionStat.scala:23-92``)."""
     from bigdata_commerce_spark.plans import commerce as C
 
     t, actions = _commerce_tables(spark)
@@ -429,10 +496,45 @@ def commerce_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.session_aggr_stats(sessions, params).drop("task_id")
 
 
-@query("commerce_area_top3")
+_AREA_TOP3_ORACLE = f"""
+WITH clicks AS (
+    SELECT city_id, click_product_id AS product_id
+    FROM {_UVA}
+    WHERE click_product_id <> -1
+), counts AS (
+    SELECT c.area, b.product_id, COUNT(*) AS click_count,
+           array_to_string(
+               list_sort(list_distinct(list(c.city_id || ':' || c.city_name))), ','
+           ) AS city_infos
+    FROM clicks b JOIN {_CITY} c ON b.city_id = c.city_id
+    GROUP BY c.area, b.product_id
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY area ORDER BY click_count DESC, product_id ASC
+    ) AS INT) AS rank
+    FROM counts
+)
+SELECT r.area,
+       CASE WHEN r.area IN ('North', 'East') THEN 'A'
+            WHEN r.area IN ('South', 'Center') THEN 'B'
+            ELSE 'C' END AS area_level,
+       r.product_id,
+       p.product_name,
+       CASE WHEN json_extract_string(p.extend_info, '$.product_status') = '0'
+            THEN 'Self' ELSE 'Third Party' END AS product_status,
+       r.click_count,
+       r.city_infos,
+       r.rank
+FROM ranked r JOIN {_PINFO} p ON r.product_id = p.product_id
+WHERE r.rank <= 3
+"""
+
+
+@query("commerce_area_top3", oracle=_AREA_TOP3_ORACLE)
 def commerce_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference req 6 end-to-end on the commerce schema (JSON status
-    decode, sorted distinct city list, area banding, top-3 window)."""
+    decode, sorted distinct city list, area banding, top-3 window;
+    ``AreaTop3Stat.scala:15-123``)."""
     from bigdata_commerce_spark.plans import commerce as C
 
     t, actions = _commerce_tables(spark)

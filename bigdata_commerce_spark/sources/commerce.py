@@ -18,6 +18,7 @@ normalizes them — that round trip is part of what we test.
 
 from __future__ import annotations
 
+import os
 import random
 import uuid
 
@@ -87,16 +88,17 @@ SEARCH_KEYWORDS = [
 ACTIONS = ("search", "click", "order", "pay")
 
 
-def generate_commerce_tables(
-    spark: SparkSession,
+def generate_commerce_rows(
     num_users: int = 100,
     sessions_per_user: int = 11,
     max_actions_per_session: int = 30,
     date: str = "2024-03-08",
     seed: int = 42,
-) -> dict[str, DataFrame]:
-    """Seeded twin of MockDataGenerate: user_visit_action, user_info,
-    product_info DataFrames with the reference's value domains."""
+) -> dict[str, list[tuple]]:
+    """Seeded twin of MockDataGenerate as plain Python rows (no Spark
+    dependency, so fixtures can be persisted at import time for the
+    DuckDB oracle): user_visit_action, user_info, product_info,
+    city_info with the reference's value domains."""
     rng = random.Random(seed)
     u = uuid.UUID(int=rng.getrandbits(128))  # namespace for session ids
 
@@ -143,13 +145,107 @@ def generate_commerce_tables(
     ]
 
     return {
-        "user_visit_action": spark.createDataFrame(actions, USER_VISIT_ACTION_SCHEMA),
-        "user_info": spark.createDataFrame(users, USER_INFO_SCHEMA),
-        "product_info": spark.createDataFrame(products, PRODUCT_INFO_SCHEMA),
+        "user_visit_action": actions,
+        "user_info": users,
+        "product_info": products,
+        "city_info": list(CITY_INFO),
+    }
+
+
+def generate_commerce_tables(
+    spark: SparkSession,
+    num_users: int = 100,
+    sessions_per_user: int = 11,
+    max_actions_per_session: int = 30,
+    date: str = "2024-03-08",
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """The row generator as Spark DataFrames (test/ad-hoc entry)."""
+    rows = generate_commerce_rows(
+        num_users, sessions_per_user, max_actions_per_session, date, seed
+    )
+    return {
+        "user_visit_action": spark.createDataFrame(
+            rows["user_visit_action"], USER_VISIT_ACTION_SCHEMA
+        ),
+        "user_info": spark.createDataFrame(rows["user_info"], USER_INFO_SCHEMA),
+        "product_info": spark.createDataFrame(rows["product_info"], PRODUCT_INFO_SCHEMA),
         "city_info": spark.createDataFrame(
-            CITY_INFO, "city_id long, city_name string, area string"
+            rows["city_info"], "city_id long, city_name string, area string"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Fixture persistence: the catalog's commerce queries and their DuckDB
+# oracles must read the *same* bytes, and the driver may run the oracle
+# SQL before (or without) the Spark query — so fixtures are written as
+# plain parquet with pyarrow (no SparkSession needed) the first time
+# anything imports the catalog, under the gitignored spark-warehouse/.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ARROW_SCHEMAS = {
+    "user_visit_action": [
+        ("date", "string"), ("user_id", "int64"), ("session_id", "string"),
+        ("page_id", "int64"), ("action_time", "string"), ("search_keyword", "string"),
+        ("click_category_id", "int64"), ("click_product_id", "int64"),
+        ("order_category_ids", "string"), ("order_product_ids", "string"),
+        ("pay_category_ids", "string"), ("pay_product_ids", "string"),
+        ("city_id", "int64"),
+    ],
+    "user_info": [
+        ("user_id", "int64"), ("username", "string"), ("name", "string"),
+        ("age", "int32"), ("professional", "string"), ("city", "string"),
+        ("sex", "string"),
+    ],
+    "product_info": [
+        ("product_id", "int64"), ("product_name", "string"), ("extend_info", "string"),
+    ],
+    "city_info": [
+        ("city_id", "int64"), ("city_name", "string"), ("area", "string"),
+    ],
+}
+
+
+def ensure_commerce_fixtures(
+    num_users: int = 50,
+    sessions_per_user: int = 5,
+    max_actions_per_session: int = 30,
+    date: str = "2024-03-08",
+    seed: int = 7,
+) -> str:
+    """Write the seeded fixture tables as single parquet files (one per
+    table) and return the directory. Idempotent: generation is fully
+    deterministic, so an existing complete directory is reused;
+    writes go through a temp file + atomic rename so a concurrent
+    reader never sees a partial file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        _REPO_ROOT,
+        "spark-warehouse",
+        "commerce_fixtures",
+        f"u{num_users}_s{sessions_per_user}_a{max_actions_per_session}_{date}_seed{seed}",
+    )
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in _ARROW_SCHEMAS}
+    if all(os.path.exists(p) for p in paths.values()):
+        return out_dir
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = generate_commerce_rows(
+        num_users, sessions_per_user, max_actions_per_session, date, seed
+    )
+    for table, fields in _ARROW_SCHEMAS.items():
+        schema = pa.schema([(n, getattr(pa, t)()) for n, t in fields])
+        cols = list(zip(*rows[table])) or [[] for _ in fields]
+        arrays = [pa.array(list(c), type=schema.field(i).type) for i, c in enumerate(cols)]
+        tmp = paths[table] + f".tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
+        os.replace(tmp, paths[table])
+    return out_dir
 
 
 def normalize_actions(raw: DataFrame) -> DataFrame:
