@@ -360,12 +360,68 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probes, k=5)
 
 
-@query("embedding_ann_lsh")  # approximate — no SQL oracle; recall tested in pytest
+def _ann_oracle() -> str:
+    """DuckDB twin of lsh_ann_topk(num_planes=16, bands=4, dim=64,
+    seed=42): the seeded plane matrix is embedded as full-precision
+    double literals (repr round-trips exactly), sign bits come from
+    the same fold the cosine oracle uses (summation-order differences
+    vs numpy's matmul are ~1e-14 — measured min |projection| on the
+    testdata is 1.7e-5, so signs cannot flip), then banded bucket
+    join + exact re-rank exactly as the Spark operator."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(plane_id, pv) AS (
+        SELECT * FROM (VALUES {rows})
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), bits AS (
+        SELECT vec_id,
+               string_agg(
+                   CASE WHEN list_reduce(
+                            list_transform(list_zip(e, pv), q -> q[1] * q[2]),
+                            (acc, x) -> acc + x) >= 0
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY plane_id) AS b
+        FROM v CROSS JOIN planes GROUP BY vec_id
+    ), buckets AS (
+        SELECT vec_id, band, substr(b, band * 4 + 1, 4) AS bucket
+        FROM bits CROSS JOIN (SELECT unnest(range(4)) AS band)
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
+        FROM buckets c
+        JOIN buckets p ON c.band = p.band AND c.bucket = p.bucket
+        WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+    ), scored AS (
+        SELECT cand.probe_id, cand.corpus_id,
+               ROUND(
+                 list_reduce(list_transform(list_zip(cv.e, pv2.e), q -> q[1] * q[2]), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(cv.e, x -> x * x), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(pv2.e, x -> x * x), (acc, x) -> acc + x))), 4) AS score
+        FROM cand
+        JOIN v cv ON cv.vec_id = cand.corpus_id
+        JOIN v pv2 ON pv2.vec_id = cand.probe_id
+    )
+    SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("embedding_ann_lsh", oracle=_ann_oracle())
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN (seeded planes, bucket-join
-    candidates, exact re-rank) — the 100 TB-scale path. Approximate by
-    design: driver records rows-only; tests assert recall vs the
-    brute-force baseline."""
+    candidates, exact re-rank) — the 100 TB-scale path. The bucketing
+    is fully deterministic (seeded planes, integer banding), so the
+    whole approximate pipeline is replicated in the DuckDB oracle;
+    recall vs the brute-force baseline is additionally tested in
+    pytest."""
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_ann_topk(emb, probes, k=5)
