@@ -42,8 +42,12 @@ def asof_join(
     result is deterministic.
     """
     payload_struct = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in payload_cols])
+    # NULL-timestamp right rows carry no "as of when" — drop them, as
+    # SQL ASOF JOIN does (ascending-nulls-first would otherwise smear
+    # their payload over the whole key).
     r = (
-        right.groupBy(on, right_ts)
+        right.where(F.col(right_ts).isNotNull())
+        .groupBy(on, right_ts)
         .agg(F.max(payload_struct).alias("__payload"))
         .select(
             F.col(on).alias("__key"),

@@ -99,6 +99,25 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     return grams.unionByName(short)
 
 
+def _threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact rational (p, q) for a similarity threshold. Uses the
+    decimal string the caller wrote (0.8 -> 4/5), not the binary
+    float's exact value, so filter algebra matches the stated
+    threshold."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    return frac.numerator, frac.denominator
+
+
+def _ceil_div(numer: Column, q: int) -> Column:
+    """ceil(numer/q) for non-negative integer columns, exactly in
+    int64: (numer + q - 1 - pmod(numer + q - 1, q)) / q — the division
+    is by-construction exact, so the double round-trip cannot drift."""
+    a = numer + F.lit(q - 1)
+    return ((a - F.pmod(a, F.lit(q))) / F.lit(q)).cast("long")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -132,9 +151,15 @@ def jaccard_pairs(
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "id")
     )
+    # Exact integer arithmetic for the filters: t as a rational p/q
+    # (float t*n breaks exactness at boundaries — 0.8*5 in double is
+    # 4.0000000000000002, so F.ceil overshoots and the prefix loses
+    # its last element, and the size filter rejects |y| == t*|x|).
+    # ceil(p*n/q) == (p*n + q - 1) div q, all in int64.
+    p, q = _threshold_fraction(threshold)
+    ceil_tn = _ceil_div(F.lit(p) * F.col("n_shingles"), q)
     prefix = ranked.where(
-        F.col("pos")
-        <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+        F.col("pos") <= F.col("n_shingles") - ceil_tn + 1
     ).select("id", "shingle", "n_shingles")
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -143,9 +168,10 @@ def jaccard_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            # size filter: J >= t requires t*|d1| <= |d2| (and symmetric)
-            & (F.col("b.n_shingles") >= F.lit(threshold) * F.col("a.n_shingles"))
-            & (F.col("a.n_shingles") >= F.lit(threshold) * F.col("b.n_shingles")),
+            # size filter: J >= t requires t*|d1| <= |d2| (and
+            # symmetric) — cross-multiplied so it stays in int64
+            & (F.lit(q) * F.col("b.n_shingles") >= F.lit(p) * F.col("a.n_shingles"))
+            & (F.lit(q) * F.col("a.n_shingles") >= F.lit(p) * F.col("b.n_shingles")),
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
@@ -167,14 +193,17 @@ def _verify_jaccard(
     )
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    # Threshold on the exact ratio (cross-multiplied in int64), round
+    # only for output — thresholding the rounded value would admit
+    # pairs in [t - 5e-5, t) that every WHERE-before-ROUND oracle
+    # rejects.
+    p, q = _threshold_fraction(threshold)
+    union_size = F.col("n1") + F.col("n2") - F.col("common")
     return (
         common.join(sa, "id1")
         .join(sb, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.lit(q) * F.col("common") >= F.lit(p) * union_size)
+        .withColumn("jaccard", F.round(F.col("common") / union_size, 4))
         .select("id1", "id2", "jaccard")
     )
 

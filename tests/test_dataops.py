@@ -115,6 +115,24 @@ def test_prefix_filter_loses_no_pairs(spark):
     assert fast, "no pairs at sf0.01 — vacuous"
 
 
+def test_jaccard_exact_boundary_pair(spark):
+    """A pair with J exactly == t must survive (regression: float
+    0.8*5 = 4.0000000000000002 made the size filter reject subset
+    pairs with |y| = t*|x| and the prefix one element too short)."""
+    from bigdata_commerce_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 5 shingles: abc bcd cde def efg
+            (2, "a b c d e f"),  # 4 shingles, subset -> J = 4/5 exactly
+            (3, "x y z w q r s t"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id1, r.id2): r.jaccard for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    assert pairs == {(1, 2): 0.8}
+
+
 def test_approx_distinct_within_bounds(spark):
     # The catalog query projects only the oracle-checkable exact count;
     # the HLL++ sketch's 5% bound is asserted here against it.
@@ -139,6 +157,56 @@ def test_price_quantiles_bounds(spark):
     assert rows
     for r in rows:
         assert r.min_price <= r.p50_price <= r.p90_price <= r.p99_price <= r.max_price
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """Right rows with NULL timestamp must be ignored (DuckDB ASOF
+    semantics), not sorted nulls-first and smeared over the key."""
+    from bigdata_commerce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 20)], "key string, lts int"
+    )
+    right = spark.createDataFrame(
+        [("k", None, "poison"), ("k", 15, "good")],
+        "key string, rts int, payload string",
+    )
+    out = {
+        r.lts: (r.asof_payload, r.asof_ts)
+        for r in asof_join(
+            left, right, on="key", left_ts="lts", right_ts="rts",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    assert out == {10: (None, None), 20: ("good", 15)}
+
+
+def test_connected_components_long_chain(spark):
+    """Path halving converges in O(log diameter): a 200-node chain
+    must finish well inside 12 rounds (one-hop propagation would need
+    ~200) and label every node with the chain minimum."""
+    from bigdata_commerce_spark.operators.dedup_cluster import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    out = connected_components(nodes, edges, max_iterations=12)
+    labels = {r.id: r.cluster_id for r in out.collect()}
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from bigdata_commerce_spark.operators.dedup_cluster import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=2)
 
 
 def test_dedup_survivors(spark):

@@ -180,6 +180,23 @@ def test_sink_epoch_replay_is_idempotent(spark, tmp_path):
     assert third == [("a", 6), ("b", 10)]
 
 
+def test_sink_epoch_retention(spark, tmp_path):
+    """Old epochs are pruned after each commit (keeping KEEP_EPOCHS for
+    replay) so state dirs don't grow as epochs x full-state size."""
+    import os
+
+    state = str(tmp_path / "state")
+    sink = sinks.accumulate_sink(state, ["k"], "v")
+    batch = spark.createDataFrame([("a", 1)], "k string, v long")
+    for e in range(6):
+        sink(batch, e)
+    kept = sorted(d for d in os.listdir(state) if d.startswith("epoch="))
+    assert kept == [f"epoch={e}" for e in range(6 - sinks.KEEP_EPOCHS, 6)]
+    # replay of the newest epoch still possible: predecessor retained
+    sink(batch, 5)
+    assert sorted(map(tuple, sinks.read_state(spark, state).collect())) == [("a", 6)]
+
+
 def test_blacklisted_users_filtered_from_stream(spark):
     events = _ad_events(spark).limit(100)
     bl = spark.createDataFrame([(int(events.first().user_id),)], "user_id long")
