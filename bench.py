@@ -45,13 +45,19 @@ def main() -> None:
     )
     # JIT/codegen warmup for the dedup family's shingle pipeline (its
     # first query otherwise absorbs the whole family's cold start —
-    # measured 17.8s first call vs 3.6s steady on identical input).
+    # measured 14.4s first call vs 5.0s steady on identical input).
+    # Broadcast joins are disabled during the warmup so AQE compiles
+    # the same sort-merge plan shapes the full-size query uses; a
+    # 50-doc broadcast-join warmup leaves the SMJ codegen cold.
     from bigdata_commerce_spark.operators.dedup import jaccard_pairs
 
     docs_sample = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50)
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(60)
     )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     jaccard_pairs(docs_sample, threshold=0.8).count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     # Python-worker startup (pandas UDF / Arrow) warmup. (Hint-free
     # form: string annotations don't resolve under
     # `from __future__ import annotations`.)
@@ -67,17 +73,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Regression guard: compare against the carried-forward baseline
+    # (BENCH_BASELINE.json = round 1's sf0.1 numbers). The box swings
+    # +-20% run to run, so only >2x counts as a regression.
+    baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    if baseline_path.exists() and str(out["sf"]) == "0.1":
+        base = json.loads(baseline_path.read_text()).get("queries", {})
+        out["baseline_queries"] = base
+        out["regressions"] = {
+            q: {"now": t, "baseline": base[q]}
+            for q, t in timings.items()
+            if q in base and base[q] > 0 and t > 2 * base[q]
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

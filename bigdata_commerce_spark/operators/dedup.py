@@ -137,19 +137,20 @@ def jaccard_pairs(
     on rare prefix shingles; the exact Jaccard verify on candidates
     keeps the result identical to the naive join (asserted in tests).
     """
-    # ex feeds sizes, doc-frequency, the prefix rank AND the verify —
-    # persist it or the whole shingle pipeline re-runs per consumer
-    # (LRU eviction reclaims it; at scale use MEMORY_AND_DISK spill).
+    # ex feeds doc-frequency, the prefix rank AND the verify — persist
+    # it or the whole shingle pipeline re-runs per consumer (LRU
+    # eviction reclaims it; at scale use MEMORY_AND_DISK spill).
     ex = _exploded_shingles(df, text_col, id_col, n).persist()
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
+    # n_shingles from an unbounded window over the same id partition
+    # as the prefix rank — one shuffle for both, no sizes join.
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
     ranked = (
         ex.join(doc_freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "id")
+        .withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
     # Exact integer arithmetic for the filters: t as a rational p/q
     # (float t*n breaks exactness at boundaries — 0.8*5 in double is
@@ -158,9 +159,18 @@ def jaccard_pairs(
     # ceil(p*n/q) == (p*n + q - 1) div q, all in int64.
     p, q = _threshold_fraction(threshold)
     ceil_tn = _ceil_div(F.lit(p) * F.col("n_shingles"), q)
-    prefix = ranked.where(
-        F.col("pos") <= F.col("n_shingles") - ceil_tn + 1
-    ).select("id", "shingle", "n_shingles")
+    # prefix feeds BOTH sides of the self-join and (via its per-doc
+    # sizes) the verify — persist, or the ranked-window chain runs
+    # three times.
+    prefix = (
+        ranked.where(F.col("pos") <= F.col("n_shingles") - ceil_tn + 1)
+        .select("id", "shingle", "n_shingles")
+        .persist()
+    )
+    # Every doc keeps >= 1 prefix row (the bound is >= 1), so per-doc
+    # sizes are recoverable from the persisted prefix — no extra pass
+    # over ex for the verify join.
+    sizes = prefix.select("id", "n_shingles").distinct()
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (

@@ -25,16 +25,76 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iterations: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through
     ``edges`` (undirected). Nodes without edges keep their own id —
     singleton clusters.
 
+    Two-tier execution, decided by the (already materialized) edge
+    count — the same size-gating logic as a broadcast join:
+
+    - **small graph** (<= small_graph_threshold edges, ~16 MB at the
+      default): union-find on the driver, one collect + one
+      createDataFrame. A dedup edge list is near-dup *pairs* — tiny
+      relative to the corpus even at 100 TB (256 edges for 5k docs on
+      the testdata) — and burning O(rounds) distributed jobs on it is
+      pure overhead (measured 7 s of shuffle scheduling for those 256
+      edges vs milliseconds of union-find).
+    - **large graph**: iterative min-label propagation with pointer
+      jumping (path halving), O(log diameter) rounds, each one keyed
+      shuffle; lineage truncated per round with localCheckpoint.
+
     Returns (node_col, 'cluster_id').
     """
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
+    n_edges = raw.count()
+
+    if n_edges <= small_graph_threshold:
+        # Small graph: collect the raw (un-symmetrized, possibly
+        # duplicated) edges straight to the driver — union-find doesn't
+        # need the distinct/symmetrize shuffle the distributed loop
+        # does.
+        spark = nodes.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = raw.collect()
+        raw.unpersist()
+        for r in edge_rows:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                # union by min: the surviving root is the smaller id,
+                # so every final root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = {x for r in edge_rows for x in (r.a, r.b)}
+        labels_local = [(x, find(x)) for x in members]
+        id_type = nodes.schema[node_col].dataType.simpleString()
+        labels = spark.createDataFrame(
+            labels_local or [], f"a {id_type}, label {id_type}"
+        )
+        member_df = spark.createDataFrame(
+            [(x,) for x in members] or [], f"a {id_type}"
+        )
+        singletons = (
+            nodes.select(F.col(node_col).alias("a"))
+            .join(F.broadcast(member_df), "a", "left_anti")
+            .select("a", F.col("a").alias("label"))
+        )
+        return labels.unionByName(singletons).select(
+            F.col("a").alias(node_col), F.col("label").alias("cluster_id")
+        )
+
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         # Materialize once via persist (NOT localCheckpoint: that goes
         # through the RDD path and bypasses AQE's optimized shuffles,

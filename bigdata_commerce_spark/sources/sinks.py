@@ -36,9 +36,9 @@ def write_jdbc(
     batch_size: int = 10_000,
 ) -> None:
     """DataFrame JDBC writer — partition-parallel, batched inserts.
-    (No JDBC driver jar nor database exists in the test container, so
-    this is exercised only for plan construction; the write itself is
-    covered by the parquet/warehouse paths.)"""
+    Exercised end-to-end in pytest against embedded Derby (the JDBC
+    engine Spark ships for its metastore), no service required;
+    production points the same config at MySQL/Postgres."""
     (
         df.write.format("jdbc")
         .option("url", config.url)
@@ -49,6 +49,33 @@ def write_jdbc(
         .option("batchsize", str(batch_size))
         .mode(mode)
         .save()
+    )
+
+
+def read_jdbc(spark, table: str, config: JdbcConfig) -> DataFrame:
+    """JDBC read — the point-read/partitioned-read counterpart of
+    write_jdbc (reference reads MySQL state back in its DAOs,
+    ``JdbcHelper.scala:43-66``)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", config.url)
+        .option("dbtable", table)
+        .option("user", config.user)
+        .option("password", config.password)
+        .option("driver", config.driver)
+        .load()
+    )
+
+
+def derby_config(db_path: str) -> JdbcConfig:
+    """Embedded-Derby JdbcConfig (file-backed, in-process — Spark
+    ships the Derby jars for its Hive metastore, so this exercises the
+    real df.write.jdbc/read.jdbc path in any container)."""
+    return JdbcConfig(
+        url=f"jdbc:derby:{db_path};create=true",
+        user="app",
+        password="app",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
 
 

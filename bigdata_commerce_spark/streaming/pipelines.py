@@ -43,80 +43,105 @@ def run_ad_pipeline(
     blacklist_threshold: int = 100,
     watermark: str = "10 minutes",
 ) -> AdPipelineHandles:
-    """Start the four streaming queries of reqs 7-10.
+    """Start the reqs 7-10 topology as ONE streaming query whose batch
+    function fans out to the four state tables.
 
-    ``events`` must match AD_EVENT_SCHEMA (use parse_ad_log for raw
-    text lines). Each query checkpoints independently under work_dir.
+    Matches the reference's shape (``AdverStat.scala:54-69``): every
+    micro-batch is first anti-joined against the *current* blacklist
+    state, and all four branches consume the filtered batch — the
+    feedback loop the reference gets by re-reading MySQL per batch. A
+    user blacklisted in batch N is excluded from batch N+1 onward (the
+    blacklist is read strictly *before* the current epoch, so replays
+    re-derive identical content).
+
+    One query instead of three also means the source is scanned once
+    per batch and all sink epochs share the batch's epoch id — at
+    cluster scale that's one Kafka read instead of three and a single
+    checkpoint lineage. ``events`` must match AD_EVENT_SCHEMA (use
+    parse_ad_log for raw text lines). ``watermark`` bounds state for
+    the session/window helpers driven separately; the per-batch window
+    counts here are additive merges, so late rows fold in exactly.
     """
-    spark = events.sparkSession
     dirs = {
         name: os.path.join(work_dir, name)
         for name in ("user_counts", "blacklist", "cumulative", "top3", "trend", "ckpt")
     }
 
-    # Req 7: per-batch (date, user, ad) counts -> *additive* state
-    # merge (AdUserClickCount semantics: the reference reduceByKey's
-    # each batch then accumulates in MySQL) -> threshold -> distinct
-    # blacklist, derived inside the same batch fn so blacklist epochs
-    # align with count epochs. Note: an update-mode stateful agg would
-    # emit running totals — pairing *that* with an additive sink would
-    # double-count; additive merges take raw per-batch counts.
+    # Per-branch merge algebra (sink-side accumulation — the
+    # reference's MySQL DAO semantics). Additive sinks take raw
+    # per-batch counts; running totals would double-count.
     user_counts_sink = sinks.accumulate_sink(
         dirs["user_counts"], ["event_date", "user_id", "ad_id"], "click_count"
     )
     blacklist_sink = sinks.distinct_append_sink(dirs["blacklist"], ["user_id"])
-
-    def user_counts_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        per_batch = batch_df.groupBy("event_date", "user_id", "ad_id").agg(
-            F.count(F.lit(1)).alias("click_count")
-        )
-        user_counts_sink(per_batch, epoch_id)
-        state = sinks.read_state(batch_df.sparkSession, dirs["user_counts"])
-        over = ad_stream.blacklist_from_counts(state, blacklist_threshold)
-        blacklist_sink(over, epoch_id)
-
-    q_counts = (
-        events.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(dirs["ckpt"], "counts"))
-        .foreachBatch(user_counts_batch)
-        .start()
-    )
-
-    # Req 8: cumulative (date, province, city, ad) totals. Update-mode
-    # stateful agg emits changed keys; overwrite-by-key merge keeps the
-    # state table at the latest totals. Req 9 derives from that state.
-    cumulative_sink = sinks.overwrite_sink(
-        dirs["cumulative"], ["event_date", "province", "city", "ad_id"]
+    cumulative_sink = sinks.accumulate_sink(
+        dirs["cumulative"], ["event_date", "province", "city", "ad_id"], "click_count"
     )
     top3_sink = sinks.replace_partition_sink(dirs["top3"], ["event_date", "province"])
-
-    def cumulative_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        cumulative_sink(batch_df, epoch_id)
-        state = sinks.read_state(batch_df.sparkSession, dirs["cumulative"])
-        top3_sink(ad_stream.province_top3_from_counts(state), epoch_id)
-
-    q_cumulative = (
-        ad_stream.cumulative_counts(events, watermark)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(dirs["ckpt"], "cumulative"))
-        .foreachBatch(cumulative_batch)
-        .start()
+    trend_sink = sinks.accumulate_sink(
+        dirs["trend"], ["window_start", "window_end", "ad_id"], "click_count"
     )
 
-    # Req 10: sliding window trend (update mode, overwrite-by-window).
-    trend_sink = sinks.overwrite_sink(
-        dirs["trend"], ["window_start", "window_end", "ad_id"]
-    )
-    q_trend = (
-        ad_stream.minute_window_trend(events, watermark=watermark)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(dirs["ckpt"], "trend"))
-        .foreachBatch(trend_sink)
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Blacklist feedback filter, before every branch. Read the
+        # state strictly before this epoch: a replayed batch then sees
+        # the same blacklist it saw the first time (idempotent), and a
+        # user blacklisted by batch N starts being dropped at N+1 —
+        # exactly the reference's read-MySQL-then-process ordering.
+        bl = sinks.read_state(spark, dirs["blacklist"], before_epoch=epoch_id)
+        filtered = (
+            batch_df if bl is None else ad_stream.without_blacklisted(batch_df, bl)
+        ).persist()
+        try:
+            # Req 7: additive (date, user, ad) counts -> threshold ->
+            # distinct blacklist, derived from the state at this epoch
+            # so blacklist epochs align with count epochs.
+            per_batch = filtered.groupBy("event_date", "user_id", "ad_id").agg(
+                F.count(F.lit(1)).alias("click_count")
+            )
+            user_counts_sink(per_batch, epoch_id)
+            counts_state = sinks.read_state(spark, dirs["user_counts"])
+            blacklist_sink(
+                ad_stream.blacklist_from_counts(counts_state, blacklist_threshold),
+                epoch_id,
+            )
+
+            # Req 8 + 9: additive (date, province, city, ad) totals;
+            # province top3 recomputed from the merged state.
+            cum = filtered.groupBy("event_date", "province", "city", "ad_id").agg(
+                F.count(F.lit(1)).alias("click_count")
+            )
+            cumulative_sink(cum, epoch_id)
+            cum_state = sinks.read_state(spark, dirs["cumulative"])
+            top3_sink(ad_stream.province_top3_from_counts(cum_state), epoch_id)
+
+            # Req 10: sliding 60min/1min windows, additive per batch.
+            trend = (
+                filtered.groupBy(
+                    F.window("event_time", "60 minutes", "1 minute"), "ad_id"
+                )
+                .agg(F.count(F.lit(1)).alias("click_count"))
+                .select(
+                    F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "ad_id",
+                    "click_count",
+                )
+            )
+            trend_sink(trend, epoch_id)
+        finally:
+            filtered.unpersist()
+
+    q = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(dirs["ckpt"], "topology"))
+        .foreachBatch(process_batch)
         .start()
     )
 
     return AdPipelineHandles(
-        queries=[q_counts, q_cumulative, q_trend],
+        queries=[q],
         user_counts_dir=dirs["user_counts"],
         blacklist_dir=dirs["blacklist"],
         cumulative_dir=dirs["cumulative"],
@@ -135,3 +160,37 @@ def file_event_source(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+
+
+def kafka_event_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source wired to the ad-log parser — the production twin
+    of file_event_source (reference ``AdverStat.scala:34-52``):
+    ``kafka_event_source(spark, brokers, topic)`` is drop-in wherever
+    the file source feeds run_ad_pipeline.
+
+    Requires the spark-sql-kafka connector on the classpath (it is a
+    separate artifact, not bundled with Spark):
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "kafka" in str(e).lower():
+            raise RuntimeError(
+                "Kafka connector not on the classpath; launch with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"{spark.version}"
+            ) from e
+        raise
+    return ad_stream.parse_ad_log(raw, value_col="value")

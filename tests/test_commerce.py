@@ -201,3 +201,27 @@ def test_partitioned_sink_prunes(tables, spark, tmp_path):
     write_table(actions.limit(10), "t_sink_check")
     assert spark.table("t_sink_check").count() == 10
     spark.sql("DROP TABLE t_sink_check")
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """df.write.jdbc end-to-end against embedded Derby (the reference
+    lands every result in MySQL, ``SessionStat.scala:152-159``): write
+    in append mode twice, read back through the same JDBC path."""
+    from pyspark.sql import functions as F2
+
+    from bigdata_commerce_spark.sources.sinks import (
+        derby_config,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    cfg = derby_config(str(tmp_path / "derbydb"))
+    df = spark.range(10).select(
+        F2.col("id").alias("k"), (F2.col("id") * 2).cast("double").alias("v")
+    )
+    write_jdbc(df, "t_roundtrip", cfg)
+    write_jdbc(df.where(F2.col("k") < 3), "t_roundtrip", cfg, mode="append")
+    back = read_jdbc(spark, "t_roundtrip", cfg)
+    assert back.count() == 13
+    assert back.agg(F2.sum("v")).collect()[0][0] == sum(i * 2 for i in range(10)) + 6.0
+    assert {f.name.lower() for f in back.schema.fields} == {"k", "v"}

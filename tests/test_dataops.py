@@ -192,7 +192,9 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
     )
-    out = connected_components(nodes, edges, max_iterations=12)
+    out = connected_components(
+        nodes, edges, max_iterations=12, small_graph_threshold=0
+    )
     labels = {r.id: r.cluster_id for r in out.collect()}
     assert labels == {i: 0 for i in range(n)}
 
@@ -206,7 +208,24 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iterations=2)
+        connected_components(
+            nodes, edges, max_iterations=2, small_graph_threshold=0
+        )
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The driver union-find tier and the distributed propagation tier
+    must produce identical labelings."""
+    from bigdata_commerce_spark.operators.dedup_cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 4), (4, 2), (7, 8), (9, 7), (10, 11), (3, 1)],
+        "id1 long, id2 long",
+    )
+    fast = connected_components(nodes, edges)  # 6 edges -> union-find
+    slow = connected_components(nodes, edges, small_graph_threshold=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
 def test_dedup_survivors(spark):

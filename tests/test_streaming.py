@@ -57,12 +57,25 @@ def stream_result(spark):
     rows = organic.collect()
     third = len(rows) // 3
     chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
-    for chunk in chunks[:2]:
+    # Two burst clicks per chunk, all three chunks. Counts cross the
+    # >3 threshold when batch 2's counts accumulate (2 -> 4), so the
+    # user is blacklisted from batch 3 on — chunk 3's two burst rows
+    # are written to the source but must be EXCLUDED from every state
+    # table by the in-topology blacklist filter. `events` below is the
+    # *effective* row set (organic + chunks 1-2's bursts): the batch
+    # twins assert state equals aggregation over exactly these rows.
+    for chunk in chunks:
         chunk.extend([burst_row, burst_row])
     events = spark.createDataFrame(
         [tuple(r) for r in rows] + [burst_row] * 4, ad_stream.AD_EVENT_SCHEMA
     ).cache()
     events.count()
+    # Full written source (organic + all 6 bursts) — for twins of
+    # standalone streams that run WITHOUT the blacklist filter.
+    source_events = spark.createDataFrame(
+        [tuple(r) for r in rows] + [burst_row] * 6, ad_stream.AD_EVENT_SCHEMA
+    ).cache()
+    source_events.count()
     for i, chunk in enumerate(chunks):
         spark.createDataFrame(chunk, ad_stream.AD_EVENT_SCHEMA).coalesce(1).write.mode(
             "overwrite"
@@ -81,8 +94,9 @@ def stream_result(spark):
     )
     handles.process_all()
     handles.stop()
-    yield {"events": events, "handles": handles}
+    yield {"events": events, "source_events": source_events, "handles": handles}
     events.unpersist()
+    source_events.unpersist()
 
 
 def test_cumulative_state_matches_batch(spark, stream_result):
@@ -153,6 +167,48 @@ def test_trend_windows_match_batch(spark, stream_result):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_blacklisted_user_later_clicks_excluded(spark, stream_result):
+    """The in-topology feedback loop (``AdverStat.scala:54-69``): user
+    9999 is blacklisted after batch 2, so the two batch-3 burst clicks
+    in the source must not reach user_counts/cumulative state."""
+    handles = stream_result["handles"]
+    uc = sinks.read_state(spark, handles.user_counts_dir)
+    assert uc.where(F.col("user_id") == 9999).agg(
+        F.sum("click_count")
+    ).collect()[0][0] == 4  # 6 written to the source, 2 post-blacklist
+    cum = sinks.read_state(spark, handles.cumulative_dir)
+    assert cum.where(
+        (F.col("province") == "p9") & (F.col("city") == "c99")
+    ).agg(F.sum("click_count")).collect()[0][0] == 4
+
+
+def test_update_mode_stateful_agg_matches_batch(spark, stream_result):
+    """ad_stream.cumulative_counts as a real update-mode stateful
+    aggregation wired to an overwrite-by-key sink equals the batch
+    twin (the updateStateByKey surface, independent of the pipeline's
+    sink-side accumulation)."""
+    state_dir = str(SCRATCH / "state" / "cumulative_updmode")
+    stream = pipelines.file_event_source(spark, str(SCRATCH / "flat"))
+    sink = sinks.overwrite_sink(
+        state_dir, ["event_date", "province", "city", "ad_id"]
+    )
+    q = (
+        ad_stream.cumulative_counts(stream, "365 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(SCRATCH / "state" / "ckpt" / "updmode"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sinks.read_state(spark, state_dir)
+    # no blacklist filter on this standalone query -> all 6 burst rows
+    expected = stream_result["source_events"].groupBy(
+        "event_date", "province", "city", "ad_id"
+    ).agg(F.count(F.lit(1)).alias("click_count"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 def test_parse_ad_log(spark):
     lines = spark.createDataFrame(
         [("1704067200000 p1 c11 42 7",), ("1704067205000 p2 c22 43 9",)], "value string"
@@ -197,6 +253,14 @@ def test_sink_epoch_retention(spark, tmp_path):
     assert sorted(map(tuple, sinks.read_state(spark, state).collect())) == [("a", 6)]
 
 
+def test_kafka_source_builder_wiring(spark):
+    """kafka_event_source is the one-call production entry; without
+    the connector jar it must fail with the exact guidance (the parse
+    wiring itself is parse_ad_log, covered by test_parse_ad_log)."""
+    with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
+        pipelines.kafka_event_source(spark, "broker:9092", "ad_events")
+
+
 def test_blacklisted_users_filtered_from_stream(spark):
     events = _ad_events(spark).limit(100)
     bl = spark.createDataFrame([(int(events.first().user_id),)], "user_id long")
@@ -212,7 +276,7 @@ def test_session_window_stream_matches_batch_gaps(spark, stream_result):
 
     from bigdata_commerce_spark.operators.sessionize import session_aggregates, sessionize
 
-    events = stream_result["events"]
+    events = stream_result["source_events"]  # no blacklist filter here
     src = str(SCRATCH / "flat")
     out_ckpt = str(SCRATCH / "state" / "ckpt" / "session_window")
     stream = pipelines.file_event_source(spark, src)
