@@ -83,16 +83,30 @@ def main() -> None:
 
     # Regression guard: compare against the carried-forward baseline
     # (BENCH_BASELINE.json = round 1's sf0.1 numbers). The box swings
-    # +-20% run to run, so only >2x counts as a regression.
+    # +-20% run to run — and single outlier timings (GC pause, cache
+    # eviction) routinely cross 2x — so a first-pass flag is only a
+    # *suspect*: re-time it twice and keep the flag only if the best
+    # of three is still >2x baseline. Re-runs are warm-cache, which
+    # biases toward NOT flagging — a flag that survives is real.
     baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
     if baseline_path.exists() and str(out["sf"]) == "0.1":
         base = json.loads(baseline_path.read_text()).get("queries", {})
         out["baseline_queries"] = base
-        out["regressions"] = {
-            q: {"now": t, "baseline": base[q]}
+        suspects = {
+            q: t
             for q, t in timings.items()
             if q in base and base[q] > 0 and t > 2 * base[q]
         }
+        regressions = {}
+        for q, t in suspects.items():
+            best = t
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[q](spark, sf_dir).collect()
+                best = min(best, round(time.perf_counter() - t0, 3))
+            if best > 2 * base[q]:
+                regressions[q] = {"now": t, "best_of_3": best, "baseline": base[q]}
+        out["regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
 

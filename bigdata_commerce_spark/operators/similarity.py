@@ -74,10 +74,55 @@ def cosine_topk(
     )
 
 
-def lsh_ann_topk(
+def _sign_buckets(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    bands: int,
+) -> DataFrame:
+    """(id, band, bucket) rows from sign-random-projection bits.
+
+    Plane projection as a vectorized pandas UDF: one numpy matmul
+    per Arrow batch. Column-expression forms were tried and both
+    lose: an unrolled 16x64 sum chain blows Janino's 64KB codegen
+    limit, and array-literal folds put ~2000 literal nodes in the
+    plan — Catalyst analysis/optimization of that tree cost ~4s per
+    query on the DRIVER, dwarfing the actual math. The UDF plan is
+    one node; the planes ship once in the closure."""
+    num_planes = planes.shape[0]
+    rows_per_band = num_planes // bands
+
+    @F.pandas_udf("string")
+    def bit_string(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = m.astype(np.float64) @ planes.T >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
+
+    bands_cols = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.substring(
+                F.col("__bits"), bnd * rows_per_band + 1, rows_per_band
+            ).alias("bucket"),
+        )
+        for bnd in range(bands)
+    ]
+    return (
+        df.select(F.col(id_col).alias(out_id), bit_string(F.col(vec_col)).alias("__bits"))
+        .select(out_id, F.explode(F.array(*bands_cols)).alias("bb"))
+        .select(
+            out_id,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def neardup_pairs(
     corpus: DataFrame,
-    probes: DataFrame,
-    k: int = 5,
+    threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 16,
@@ -85,64 +130,62 @@ def lsh_ann_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k via sign-random-projection LSH.
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup
+    member of the dedup family (exact / n-gram / MinHash / SimHash /
+    embedding). Candidates come from the same sign-LSH banding as
+    ``lsh_ann_topk`` but as a corpus *self-join* (id1 < id2); the
+    exact cosine verify keeps only pairs >= ``threshold``.
 
-    Seeded gaussian hyperplanes -> ``num_planes`` sign bits per
-    vector -> band into ``bands`` bucket keys -> candidates = pairs
-    sharing any band bucket (bucket equi-join, linear shuffle) ->
-    exact cosine re-rank of candidates only. Recall < 1 by design;
-    tests assert recall against cosine_topk.
+    Scale shape is identical to MinHash-LSH dedup: banded bucket
+    equi-join (cost follows bucket collisions, never documents^2),
+    verify on candidates only. Recall < 1 by design — governed by the
+    band/plane geometry, not data size; the pipeline is deterministic
+    (seeded planes), so the DuckDB oracle reproduces it exactly.
+
+    Returns (id1, id2, score) with id1 < id2.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-
-    # Plane projection as a vectorized pandas UDF: one numpy matmul
-    # per Arrow batch. Column-expression forms were tried and both
-    # lose: an unrolled 16x64 sum chain blows Janino's 64KB codegen
-    # limit, and array-literal folds put ~2000 literal nodes in the
-    # plan — Catalyst analysis/optimization of that tree cost ~4s per
-    # query on the DRIVER, dwarfing the actual math. The UDF plan is
-    # one node; the planes ship once in the closure.
-    @F.pandas_udf("string")
-    def bit_string(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        signs = m.astype(np.float64) @ planes.T >= 0
-        return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
-
-    rows_per_band = num_planes // bands
-
-    def with_buckets(df: DataFrame, role: str) -> DataFrame:
-        bands_cols = [
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.substring(F.col("__bits"), bnd * rows_per_band + 1, rows_per_band).alias(
-                    "bucket"
-                ),
-            )
-            for bnd in range(bands)
-        ]
-        return (
-            df.select(F.col(id_col).alias(f"{role}_id"), bit_string(F.col(vec_col)).alias("__bits"))
-            .select(f"{role}_id", F.explode(F.array(*bands_cols)).alias("bb"))
-            .select(
-                f"{role}_id",
-                F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"),
-            )
-        )
-
-    # Candidates as bare id pairs — dedup on (probe, corpus) ids only,
-    # then join the vectors back for the re-rank. Distinct over rows
-    # that carry two 64-float arrays would hash/compare the arrays per
-    # band collision, which dominates the whole query.
-    cb = with_buckets(corpus, "corpus")
-    pb = with_buckets(probes, "probe")
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    b1 = _sign_buckets(corpus, "id1", id_col, vec_col, planes, bands)
+    b2 = _sign_buckets(corpus, "id2", id_col, vec_col, planes, bands)
     candidates = (
-        cb.join(pb, ["band", "bucket"])
-        .where(F.col("corpus_id") != F.col("probe_id"))
-        .select("probe_id", "corpus_id")
+        b1.join(b2, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
         .distinct()
     )
+    v1 = corpus.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
+    v2 = corpus.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
+    # Threshold the UNROUNDED cosine, round only for output — the
+    # oracle's WHERE-before-ROUND shape (a rounded-then-filtered score
+    # admits pairs in [t - 5e-5, t) the oracle rejects).
+    return (
+        candidates.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                _dot(F.col("v1"), F.col("v2"))
+                / (_norm(F.col("v1")) * _norm(F.col("v2")))
+            ).alias("__raw"),
+        )
+        .where(F.col("__raw") >= threshold)
+        .select("id1", "id2", F.round("__raw", 4).alias("score"))
+    )
+
+
+def _exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of every ANN path: join vectors back onto bare
+    (probe_id, corpus_id) candidate pairs, score exact cosine, keep
+    the top k per probe. Probe side broadcast; scores rounded to 4dp
+    before ranking so rank order is engine-stable."""
     c_vec = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("corpus_vec")
     )
@@ -168,3 +211,111 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "corpus_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index —
+    the partition-the-corpus counterpart of sign-LSH.
+
+    Coarse quantizer: ``n_centroids`` corpus vectors picked by md5
+    order (deterministic pseudo-random init; production would refine
+    with k-means — MLlib KMeans drops in — but the deterministic init
+    keeps the whole pipeline oracle-checkable). Every corpus vector is
+    assigned to its nearest centroid by cosine (broadcast centroids,
+    no corpus shuffle); each probe searches its ``nprobe`` nearest
+    cells and only those cells' members are exactly re-ranked.
+
+    At 100 TB the assignment is one broadcast-join pass over the
+    corpus (write it partitioned BY cell and probe-time scans touch
+    only nprobe/n_centroids of the data — classic IVF partition
+    pruning); candidate volume per probe is ~nprobe/n_centroids of
+    the corpus instead of all of it.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
+    )
+    centroids = (
+        c.withColumn(
+            "__r", F.md5(F.concat(F.col("corpus_id").cast("string"), F.lit(":ivf")))
+        )
+        .orderBy("__r")
+        .limit(n_centroids)
+        .select(
+            F.col("corpus_id").alias("centroid_id"),
+            F.col("cvec").alias("centroid_vec"),
+        )
+    )
+
+    def cell_rank(side: DataFrame, side_id: str, vec: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            side_id,
+            "centroid_id",
+            F.round(
+                _dot(F.col(vec), F.col("centroid_vec"))
+                / (_norm(F.col(vec)) * _norm(F.col("centroid_vec"))),
+                4,
+            ).alias("__cscore"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.desc("__cscore"), F.asc("centroid_id")
+        )
+        return scored.withColumn("__crank", F.row_number().over(w))
+
+    assigned = cell_rank(c, "corpus_id", "cvec").where(F.col("__crank") == 1)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
+    )
+    probe_cells = cell_rank(p, "probe_id", "pvec").where(F.col("__crank") <= nprobe)
+
+    # A corpus vector lives in exactly one cell, so (probe, corpus)
+    # pairs are already unique — no distinct pass needed.
+    candidates = (
+        probe_cells.select("probe_id", "centroid_id")
+        .join(assigned.select("corpus_id", "centroid_id"), "centroid_id")
+        .where(F.col("corpus_id") != F.col("probe_id"))
+        .select("probe_id", "corpus_id")
+    )
+    return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection LSH.
+
+    Seeded gaussian hyperplanes -> ``num_planes`` sign bits per
+    vector -> band into ``bands`` bucket keys -> candidates = pairs
+    sharing any band bucket (bucket equi-join, linear shuffle) ->
+    exact cosine re-rank of candidates only. Recall < 1 by design;
+    tests assert recall against cosine_topk.
+    """
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    # Candidates as bare id pairs — dedup on (probe, corpus) ids only,
+    # then join the vectors back for the re-rank. Distinct over rows
+    # that carry two 64-float arrays would hash/compare the arrays per
+    # band collision, which dominates the whole query.
+    cb = _sign_buckets(corpus, "corpus_id", id_col, vec_col, planes, bands)
+    pb = _sign_buckets(probes, "probe_id", id_col, vec_col, planes, bands)
+    candidates = (
+        cb.join(pb, ["band", "bucket"])
+        .where(F.col("corpus_id") != F.col("probe_id"))
+        .select("probe_id", "corpus_id")
+        .distinct()
+    )
+    return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)

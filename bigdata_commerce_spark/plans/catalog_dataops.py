@@ -374,14 +374,14 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probes, k=5)
 
 
-def _ann_oracle() -> str:
-    """DuckDB twin of lsh_ann_topk(num_planes=16, bands=4, dim=64,
-    seed=42): the seeded plane matrix is embedded as full-precision
-    double literals (repr round-trips exactly), sign bits come from
-    the same fold the cosine oracle uses (summation-order differences
-    vs numpy's matmul are ~1e-14 — measured min |projection| on the
-    testdata is 1.7e-5, so signs cannot flip), then banded bucket
-    join + exact re-rank exactly as the Spark operator."""
+def _lsh_buckets_cte() -> str:
+    """planes/v/bits/buckets CTEs shared by every sign-LSH oracle
+    (ANN top-k and embedding near-dup): the seeded plane matrix is
+    embedded as full-precision double literals (repr round-trips
+    exactly), sign bits come from the same fold the cosine oracle
+    uses (summation-order differences vs numpy's matmul are ~1e-14 —
+    measured min |projection| on the testdata is 1.7e-5, so signs
+    cannot flip), then 4-bit banding exactly as _sign_buckets."""
     import numpy as np
 
     planes = np.random.default_rng(42).standard_normal((16, 64))
@@ -390,7 +390,7 @@ def _ann_oracle() -> str:
         for i, row in enumerate(planes)
     )
     return f"""
-    WITH planes(plane_id, pv) AS (
+    planes(plane_id, pv) AS (
         SELECT * FROM (VALUES {rows})
     ), v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -406,7 +406,15 @@ def _ann_oracle() -> str:
     ), buckets AS (
         SELECT vec_id, band, substr(b, band * 4 + 1, 4) AS bucket
         FROM bits CROSS JOIN (SELECT unnest(range(4)) AS band)
-    ), cand AS (
+    )"""
+
+
+def _ann_oracle() -> str:
+    """DuckDB twin of lsh_ann_topk(num_planes=16, bands=4, dim=64,
+    seed=42): shared LSH bucket CTEs, then banded bucket join + exact
+    re-rank exactly as the Spark operator."""
+    return f"""
+    WITH {_lsh_buckets_cte()}, cand AS (
         SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
         FROM buckets c
         JOIN buckets p ON c.band = p.band AND c.bucket = p.bucket
@@ -439,6 +447,98 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_ann_topk(emb, probes, k=5)
+
+
+def _neardup_oracle(threshold: float = 0.45) -> str:
+    """DuckDB twin of similarity.neardup_pairs: same LSH bucket CTEs,
+    corpus self-join (id1 < id2) for candidates, exact-cosine verify
+    thresholded on the UNROUNDED score (WHERE before ROUND)."""
+    return f"""
+    WITH {_lsh_buckets_cte()}, cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cand.id1, cand.id2,
+               list_reduce(list_transform(list_zip(v1.e, v2.e), q -> q[1] * q[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(v1.e, x -> x * x), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(v2.e, x -> x * x), (acc, x) -> acc + x))) AS raw
+        FROM cand
+        JOIN v v1 ON v1.vec_id = cand.id1
+        JOIN v v2 ON v2.vec_id = cand.id2
+    )
+    SELECT id1, id2, ROUND(raw, 4) AS score FROM scored WHERE raw >= {threshold}
+    """
+
+
+@query("embedding_neardup", oracle=_neardup_oracle())
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate pairs — the fifth
+    member of the dedup family. Sign-LSH banded self-join for
+    candidates (cost follows bucket collisions, never corpus^2), exact
+    cosine verify at threshold 0.45 on candidates only. Deterministic
+    end-to-end (seeded planes), so the full approximate pipeline is
+    oracle-checked."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.neardup_pairs(emb, threshold=0.45)
+
+
+_IVF_ORACLE = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS centroid_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf') LIMIT 16
+), cscore AS (
+    SELECT v.vec_id, c.centroid_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(v.e, c.ce), q -> q[1] * q[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(v.e, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(c.ce, x -> x * x), (acc, x) -> acc + x))), 4) AS s
+    FROM v CROSS JOIN cent c
+), cranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC
+    ) AS rk
+    FROM cscore
+), assigned AS (
+    SELECT vec_id AS corpus_id, centroid_id FROM cranked WHERE rk = 1
+), probe_cells AS (
+    SELECT vec_id AS probe_id, centroid_id FROM cranked
+    WHERE vec_id < 5 AND rk <= 4
+), cand AS (
+    SELECT probe_id, corpus_id
+    FROM probe_cells JOIN assigned USING (centroid_id)
+    WHERE corpus_id != probe_id
+), scored AS (
+    SELECT cand.probe_id, cand.corpus_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(cv.e, pv.e), q -> q[1] * q[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(cv.e, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(pv.e, x -> x * x), (acc, x) -> acc + x))), 4) AS score
+    FROM cand
+    JOIN v cv ON cv.vec_id = cand.corpus_id
+    JOIN v pv ON pv.vec_id = cand.probe_id
+)
+SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, corpus_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("embedding_ann_ivf", oracle=_IVF_ORACLE)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file index) — the partition-the-corpus scale
+    path next to sign-LSH: deterministic md5-picked centroids, nearest
+    -cell assignment (broadcast centroids, no corpus shuffle), probes
+    search their 4 nearest of 16 cells, exact re-rank of cell members
+    only. At scale the assignment doubles as a partitioning key —
+    probe-time scans touch nprobe/n_centroids of the corpus."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

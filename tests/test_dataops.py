@@ -49,6 +49,76 @@ def test_ann_scores_match_exact_for_shared_pairs(spark):
         assert exact[pair] == approx[pair]
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN (16 cells, nprobe=4) must recover a useful share of the
+    exact top-5; on uniform synthetic embeddings the geometric floor
+    is ~nprobe/n_centroids, so require well above that."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id)
+        for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.corpus_id)
+        for r in similarity.ivf_topk(emb, probes, k=5).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall@5 = {recall}"
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    """Every corpus vector lands in exactly one cell and every result
+    the IVF path returns scores identically to brute force (same fold,
+    same rounding) — the approximation only drops candidates."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in similarity.cosine_topk(emb, probes, k=500).collect()
+    }
+    ivf = similarity.ivf_topk(emb, probes, k=5).collect()
+    assert len(ivf) == 25  # 5 probes x full k (cells hold >> 5 each)
+    for r in ivf:
+        assert exact[(r.probe_id, r.corpus_id)] == r.score
+
+
+def test_neardup_pairs_subset_of_bruteforce(spark):
+    """Embedding near-dup: every returned pair must be a genuine
+    >=threshold pair (precision 1 by construction — the verify is
+    exact), ordered ids, and recall vs the brute-force pair set must
+    clear the banding geometry's expectation."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    t = 0.4
+    got = similarity.neardup_pairs(emb, threshold=t).collect()
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    from bigdata_commerce_spark.operators.similarity import _as_double, _dot, _norm
+
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            (
+                _dot(_as_double(F.col("a.e")), _as_double(F.col("b.e")))
+                / (_norm(_as_double(F.col("a.e"))) * _norm(_as_double(F.col("b.e"))))
+            ).alias("raw"),
+        )
+        .where(F.col("raw") >= t)
+        .collect()
+    )
+    brute_pairs = {(r.id1, r.id2) for r in brute}
+    got_pairs = {(r.id1, r.id2) for r in got}
+    assert got_pairs <= brute_pairs
+    for r in got:
+        assert r.id1 < r.id2
+    assert brute_pairs, "no ground-truth pairs at this threshold"
+    recall = len(got_pairs) / len(brute_pairs)
+    assert recall >= 0.3, f"recall = {recall}"
+
+
 def test_multimodal_feature_shape(spark):
     docs = load_table(spark, "documents", SF_SMOKE)
     media = multimodal.documents_as_media(docs)
