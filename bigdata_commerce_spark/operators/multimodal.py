@@ -98,3 +98,93 @@ def extract_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, resized_sha string"
+
+FRAMES_SCHEMA = "media_id long, frame_no int, offset_ms long, frame_sha string"
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, decode: str = "deterministic"
+) -> DataFrame:
+    """Arrow-batched media resize. The real kernel (PIL/libvips
+    decode -> resample -> re-encode) plugs in at ``decode="real"``;
+    the deterministic stub emits sha256(content || ':resize:WxH') so
+    the plumbing — schema, batch shape, partition-parallel execution —
+    is exercised and oracle-checkable without codecs.
+
+    One narrow pass, no shuffle; at 100 TB this is the map stage of a
+    media-preprocessing pipeline and parallelism = input splits.
+    """
+    tag = f":resize:{width}x{height}".encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "media codecs (PIL/libvips) not available in this environment; "
+                    "plug decode->resample->encode here"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized_sha": pdf["content"].map(
+                        lambda b: hashlib.sha256(
+                            (bytes(b) if b is not None else b"") + tag
+                        ).hexdigest()[:16]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, decode: str = "deterministic"
+) -> DataFrame:
+    """Arrow-batched frame sampling: each media row fans out to
+    ``n_frames`` evenly spaced frame rows. The real kernel (ffmpeg
+    seek + decode at each offset) plugs in at ``decode="real"``; the
+    stub derives offsets from ``meta.duration_ms`` (content length as
+    a stand-in when duration is null, as for the text adapter) and a
+    deterministic frame fingerprint sha256(content || ':frame:' || i).
+
+    The fan-out happens INSIDE the kernel (one input batch -> one
+    n_frames-times-longer output batch), so there's no explode shuffle
+    and output partitioning follows input splits — the right shape for
+    a 100 TB video corpus where frames dwarf the source rows.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "media codecs (ffmpeg) not available in this environment; "
+                    "plug seek+decode here"
+                )
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_no": [],
+                "offset_ms": [],
+                "frame_sha": [],
+            }
+            durations = [
+                m["duration_ms"] if m is not None and m.get("duration_ms") is not None
+                else (len(c) if c is not None else 0)
+                for m, c in zip(pdf["meta"], pdf["content"])
+            ]
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"], durations):
+                raw = bytes(content) if content is not None else b""
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["offset_ms"].append(int(dur) * i // n_frames)
+                    out["frame_sha"].append(
+                        hashlib.sha256(raw + f":frame:{i}".encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=FRAMES_SCHEMA)

@@ -569,6 +569,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           substr(sha256(text || ':resize:64x64'), 1, 16) AS resized_sha
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing: Arrow-batched mapInPandas kernel (the
+    PIL/libvips decode->resample->encode seam), deterministic stub
+    fingerprint reproduced by the DuckDB oracle via sha256."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    return multimodal.resize_media(media, width=64, height=64)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(octet_length(encode(text)) * i // 4 AS BIGINT) AS offset_ms,
+           substr(sha256(text || ':frame:' || CAST(i AS VARCHAR)), 1, 16) AS frame_sha
+    FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: each media row fans out to 4 evenly
+    spaced frame rows INSIDE the mapInPandas kernel (no explode
+    shuffle; output partitioning follows input splits). Offsets derive
+    from duration (content length for the text adapter); frame
+    fingerprints are deterministic and oracle-checked."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_sample(media, n_frames=4)
+
+
 # ---------------------------------------------------------------------------
 # Commerce-schema pipeline (reqs 1-6 on the reference's own data model).
 # The seeded fixtures are persisted as parquet at import time

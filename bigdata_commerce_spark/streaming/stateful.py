@@ -1,0 +1,112 @@
+"""Custom stateful streaming operator: per-user gap sessionization
+with event-time timeout, via ``applyInPandasWithState``.
+
+The reference's only stateful primitive is ``updateStateByKey``
+(``AdverStat.scala:211-224``) — a running total, which Structured
+Streaming expresses as an update-mode aggregation (see
+``ad_stream.cumulative_counts``). This module covers the semantics the
+built-in operators genuinely can't: state that must EMIT a derived row
+when a per-key condition (session gap elapsed under the event-time
+watermark) fires, then reset. That's the ``applyInPandasWithState``
+surface — Arrow-batched per key-group, state is a typed tuple, timeout
+driven by the watermark.
+
+Scale shape: state is one small tuple per ACTIVE user (bounded by the
+timeout, not history); each micro-batch shuffles only that batch's
+rows by user_id. The same operator at 100 TB/day is bounded by
+concurrent-active keys — the classic streaming-sessionization design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+
+
+def user_sessions_stateful(
+    events: DataFrame,
+    gap_seconds: int = 60,
+    watermark: str = "1 second",
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions per user, emitted when the event-time
+    watermark passes ``last_event + gap`` (the session is then provably
+    complete — no later event can extend it).
+
+    Semantics match ``F.session_window(time_col, gap)``: events closer
+    than ``gap_seconds`` merge; a batch containing an internal gap
+    emits the completed session(s) immediately, and the trailing open
+    session waits in state for its timeout. Output rows:
+    (user_id, session_start, session_end=last event, n_events).
+    """
+    gap_ms = gap_seconds * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s, unit="ms") for s, _, _ in sessions
+                    ],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            # Watermark passed last+gap: the open session is complete.
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield emit([(start_ms, last_ms, n)])
+            return
+
+        ts = pd.concat([pdf[time_col] for pdf in pdfs]).sort_values()
+        start_ms = last_ms = None
+        n = 0
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        completed: list[tuple[int, int, int]] = []
+        for t in ts:
+            t_ms = t.value // 1_000_000
+            if start_ms is None:
+                start_ms, last_ms, n = t_ms, t_ms, 1
+            elif t_ms - last_ms > gap_ms:
+                completed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = t_ms, t_ms, 1
+            else:
+                last_ms, n = max(last_ms, t_ms), n + 1
+        state.update((start_ms, last_ms, n))
+        # Event-time timeouts must be set strictly beyond the current
+        # watermark (late data can leave last+gap behind it).
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if completed:
+            yield emit(completed)
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

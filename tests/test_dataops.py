@@ -135,9 +135,30 @@ def test_multimodal_feature_shape(spark):
 def test_multimodal_real_decode_is_marked(spark):
     docs = load_table(spark, "documents", SF_SMOKE).limit(2)
     media = multimodal.documents_as_media(docs)
-    feats = multimodal.extract_features(media, decode="real")
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        feats.collect()
+    for op in (
+        lambda m: multimodal.extract_features(m, decode="real"),
+        lambda m: multimodal.resize_media(m, decode="real"),
+        lambda m: multimodal.frame_sample(m, decode="real"),
+    ):
+        with pytest.raises(Exception, match="NotImplementedError|not available"):
+            op(media).collect()
+
+
+def test_multimodal_frame_sample_shape(spark):
+    """Every media row fans out to exactly n_frames rows with
+    monotonically nondecreasing offsets bounded by the duration proxy,
+    and distinct per-frame fingerprints."""
+    docs = load_table(spark, "documents", SF_SMOKE)
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.frame_sample(media, n_frames=4)
+    assert frames.count() == docs.count() * 4
+    one = sorted(
+        frames.where(F.col("media_id") == docs.first().doc_id).collect(),
+        key=lambda r: r.frame_no,
+    )
+    offs = [r.offset_ms for r in one]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert len({r.frame_sha for r in one}) == 4
 
 
 def test_dedup_finds_planted_near_dups(spark):

@@ -352,3 +352,79 @@ def test_watermark_drops_late_data(spark, tmp_path):
     rows = spark.sql("SELECT * FROM late_test").collect()
     # the 2h-late event (ad 99) must not appear in any emitted window
     assert not [r for r in rows if r.ad_id == 99], rows
+
+
+def test_stateful_sessions_match_batch_session_window(spark, tmp_path):
+    """applyInPandasWithState gap sessionization (streaming/stateful.py)
+    must emit exactly the sessions F.session_window computes in batch:
+    same gap-merge semantics, emission driven by the event-time
+    watermark timeout. A far-future sentinel user advances the
+    watermark so every real session provably completes."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.streaming.stateful import user_sessions_stateful
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_time timestamp, user_id long"
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    def s(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    chunk1 = [(s(0), 1), (s(10), 1), (s(20), 1), (s(5), 2)]
+    # u1's hour-later events split a session INSIDE a batch; u2's 00:30
+    # merges with its open session (25s gap < 60s); u3 opens fresh.
+    chunk2 = [(s(3600), 1), (s(3610), 1), (s(30), 2), (s(3600), 3)]
+    sentinel1 = [(s(36000), 99)]
+    sentinel2 = [(s(36002), 99)]  # fires the timeouts (watermark ~ 09:59:59)
+
+    write_chunk("c1", chunk1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        user_sessions_stateful(stream, gap_seconds=60, watermark="1 second")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for name, rows in (("c2", chunk2), ("f1", sentinel1), ("f2", sentinel2)):
+        write_chunk(name, rows)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM stateful_sessions").collect()
+        if r.user_id != 99
+    }
+    batch_events = spark.createDataFrame(chunk1 + chunk2, schema)
+    twin = (
+        batch_events.groupBy(
+            "user_id", F.session_window("event_time", "60 seconds")
+        )
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in twin
+    }
+    assert got == expected
+    assert len(expected) == 4  # u1 x2, u2 x1, u3 x1
