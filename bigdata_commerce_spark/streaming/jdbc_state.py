@@ -1,0 +1,227 @@
+"""MERGE-shaped JDBC state backend for the streaming sinks.
+
+The parquet epoch sinks (``streaming/sinks.py``) carry the reference's
+four upsert-DAO merge algebras (``adversStat/src/main/scala/
+JdbcHelper.scala:21-389``) but rewrite the FULL state every
+micro-batch — O(total state) I/O per batch, the acknowledged
+local-test compromise. This module is the production retarget behind
+the same ``BatchFn`` interface, with per-batch I/O proportional to the
+batch:
+
+1. the batch's pre-aggregated rows land in a staging table via
+   executor-parallel ``df.write.jdbc`` (the scale path: N partitions
+   write N connections, exactly how a 1000-executor job feeds a
+   warehouse), then
+2. one driver-side transaction applies a set-based ``MERGE INTO``
+   from staging into the state table and records the epoch in a
+   ledger table. A replayed micro-batch finds its epoch already
+   recorded and skips the merge — exactly-once state application
+   under Structured Streaming's at-least-once ``foreachBatch``.
+
+Tested against embedded Derby (shipped with Spark, supports MERGE
+since 10.11); production points the same JdbcConfig at
+MySQL/Postgres. Embedded Derby is single-process — in cluster mode
+use a networked database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.sources.sinks import JdbcConfig
+from bigdata_commerce_spark.streaming.sinks import BatchFn
+
+
+def _q(name: str) -> str:
+    # Spark's JDBC writer creates case-exact quoted identifiers; raw
+    # SQL must quote the same way or Derby upper-cases and misses.
+    return '"' + name + '"'
+
+
+class JdbcStateBackend:
+    """Factory for the four merge-mode sinks over one JDBC database."""
+
+    def __init__(self, spark, config: JdbcConfig) -> None:
+        self._spark = spark
+        self._cfg = config
+
+    # -- raw driver-side connection (py4j) --------------------------------
+    def _connect(self):
+        jvm = self._spark._jvm
+        return jvm.java.sql.DriverManager.getConnection(
+            self._cfg.url, self._cfg.user, self._cfg.password
+        )
+
+    def _stage(self, batch_df: DataFrame, table: str) -> str:
+        stage = f"{table}_stage"
+        w = (
+            batch_df.write.format("jdbc")
+            .option("url", self._cfg.url)
+            .option("dbtable", stage)
+            .option("user", self._cfg.user)
+            .option("password", self._cfg.password)
+            .option("driver", self._cfg.driver)
+        )
+        # Spark's Derby dialect maps string -> CLOB, which cannot be a
+        # MERGE/join key; declare VARCHAR for every string column.
+        varchars = ", ".join(
+            f"{c} VARCHAR(1024)" for c, t in batch_df.dtypes if t == "string"
+        )
+        if varchars:
+            w = w.option("createTableColumnTypes", varchars)
+        w.mode("overwrite").save()
+        return stage
+
+    def _exec_ignore(self, st, sql: str, ok_states: tuple[str, ...]) -> None:
+        try:
+            st.executeUpdate(sql)
+        except Exception as e:  # py4j wraps SQLException
+            if not any(s in str(e) for s in ok_states):
+                raise
+
+    def _apply(self, table: str, stage: str, statements: list[str], epoch_id: int) -> bool:
+        """Run ``statements`` + epoch-ledger insert in one transaction.
+        Returns False (no-op) when the epoch was already applied."""
+        conn = self._connect()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            # Lazy DDL: state table cloned from staging's shape, ledger
+            # keyed by epoch. Derby has no IF NOT EXISTS -> X0Y32.
+            self._exec_ignore(
+                st,
+                f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
+                ("X0Y32", "already exists"),
+            )
+            self._exec_ignore(
+                st,
+                f"CREATE TABLE {table}_epochs "
+                "(epoch BIGINT NOT NULL PRIMARY KEY)",
+                ("X0Y32", "already exists"),
+            )
+            conn.commit()
+            try:
+                # Atomic epoch claim: a duplicate key means this batch
+                # already committed (micro-batch replay) -> skip.
+                st.executeUpdate(
+                    f"INSERT INTO {table}_epochs VALUES ({int(epoch_id)})"
+                )
+            except Exception as e:
+                if "23505" in str(e) or "duplicate key" in str(e):
+                    conn.rollback()
+                    return False
+                raise
+            for sql in statements:
+                st.executeUpdate(sql)
+            conn.commit()
+            return True
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    def read_state(self, table: str) -> DataFrame:
+        from bigdata_commerce_spark.sources.sinks import read_jdbc
+
+        return read_jdbc(self._spark, table, self._cfg)
+
+    # -- the four merge algebras ------------------------------------------
+
+    def accumulate_sink(
+        self, table: str, key_cols: list[str], value_col: str
+    ) -> BatchFn:
+        """state[key] += batch[key] (AdUserClickCount,
+        ``JdbcHelper.scala:124``) as one additive set-based MERGE."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            new = batch_df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col))
+            stage = self._stage(new, table)
+            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+            cols = ", ".join(_q(c) for c in [*key_cols, value_col])
+            vals = ", ".join(f"s.{_q(c)}" for c in [*key_cols, value_col])
+            self._apply(
+                table,
+                stage,
+                [
+                    f"MERGE INTO {table} t USING {stage} s ON {on} "
+                    f"WHEN MATCHED THEN UPDATE SET {_q(value_col)} = "
+                    f"t.{_q(value_col)} + s.{_q(value_col)} "
+                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+                ],
+                epoch_id,
+            )
+
+        return fn
+
+    def overwrite_sink(self, table: str, key_cols: list[str]) -> BatchFn:
+        """Batch rows replace same-key state rows (AdStat/AdClickTrend,
+        ``JdbcHelper.scala:230,360``) — UPDATE on match, INSERT on miss."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            stage = self._stage(batch_df, table)
+            all_cols = batch_df.columns
+            data_cols = [c for c in all_cols if c not in key_cols]
+            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+            sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in data_cols)
+            cols = ", ".join(_q(c) for c in all_cols)
+            vals = ", ".join(f"s.{_q(c)}" for c in all_cols)
+            self._apply(
+                table,
+                stage,
+                [
+                    f"MERGE INTO {table} t USING {stage} s ON {on} "
+                    f"WHEN MATCHED THEN UPDATE SET {sets} "
+                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+                ],
+                epoch_id,
+            )
+
+        return fn
+
+    def replace_partition_sink(
+        self, table: str, partition_cols: list[str]
+    ) -> BatchFn:
+        """Delete-then-insert whole partitions present in the batch
+        (AdProvinceTop3, ``JdbcHelper.scala:283-309``)."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            stage = self._stage(batch_df, table)
+            corr = " AND ".join(
+                f"s.{_q(p)} = t.{_q(p)}" for p in partition_cols
+            )
+            self._apply(
+                table,
+                stage,
+                [
+                    f"DELETE FROM {table} t WHERE EXISTS "
+                    f"(SELECT 1 FROM {stage} s WHERE {corr})",
+                    f"INSERT INTO {table} SELECT * FROM {stage}",
+                ],
+                epoch_id,
+            )
+
+        return fn
+
+    def distinct_append_sink(self, table: str, key_cols: list[str]) -> BatchFn:
+        """Set-union of keys, never duplicated (AdBlacklist,
+        ``JdbcHelper.scala:21-41``) — insert-on-miss only."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            new = batch_df.select(*key_cols).distinct()
+            stage = self._stage(new, table)
+            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+            cols = ", ".join(_q(c) for c in key_cols)
+            vals = ", ".join(f"s.{_q(c)}" for c in key_cols)
+            self._apply(
+                table,
+                stage,
+                [
+                    f"MERGE INTO {table} t USING {stage} s ON {on} "
+                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+                ],
+                epoch_id,
+            )
+
+        return fn
