@@ -137,10 +137,19 @@ def neardup_pairs(
     exact cosine verify keeps only pairs >= ``threshold``.
 
     Scale shape is identical to MinHash-LSH dedup: banded bucket
-    equi-join (cost follows bucket collisions, never documents^2),
-    verify on candidates only. Recall < 1 by design — governed by the
-    band/plane geometry, not data size; the pipeline is deterministic
-    (seeded planes), so the DuckDB oracle reproduces it exactly.
+    equi-join, verify on candidates only. Recall < 1 by design —
+    governed by the band/plane geometry, not data size; the pipeline
+    is deterministic (seeded planes), so the DuckDB oracle reproduces
+    it exactly.
+
+    The bits-per-band width (num_planes/bands) is the recall/cost
+    dial: b bits -> 2^b buckets per band, candidate volume ~ N^2/2^b
+    per band at uniform load. The defaults (4 bits = 16 buckets) suit
+    this corpus's moderate-similarity pairs (max cosine ~0.5 in the
+    synthetic embeddings); a production near-dup pass at threshold
+    >= 0.9 should use 8-bit bands (256 buckets, ~16x fewer candidates)
+    — per-bit agreement p = 1 - angle/pi ~ 0.86 there, so 6x8-bit
+    bands still recall ~87% of true pairs.
 
     Returns (id1, id2, score) with id1 < id2.
     """
