@@ -251,6 +251,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
+    id_type = corpus.schema[id_col].dataType.simpleString()
     centroids = (
         c.withColumn(
             "__r", F.md5(F.concat(F.col("corpus_id").cast("string"), F.lit(":ivf")))
@@ -262,33 +263,82 @@ def ivf_topk(
             F.col("cvec").alias("centroid_vec"),
         )
     )
-
-    def cell_rank(side: DataFrame, side_id: str, vec: str) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).select(
-            side_id,
-            "centroid_id",
-            F.round(
-                _dot(F.col(vec), F.col("centroid_vec"))
-                / (_norm(F.col(vec)) * _norm(F.col("centroid_vec"))),
-                4,
-            ).alias("__cscore"),
+    # All centroids as ONE broadcast row (sorted for a deterministic
+    # fold order, though argmax-with-tiebreak is order-independent).
+    cent_row = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col("centroid_vec").alias("cv"),
+                    )
+                )
+            ).alias("cents")
         )
-        w = Window.partitionBy(side_id).orderBy(
-            F.desc("__cscore"), F.asc("centroid_id")
-        )
-        return scored.withColumn("__crank", F.row_number().over(w))
+    )
 
-    assigned = cell_rank(c, "corpus_id", "cvec").where(F.col("__crank") == 1)
+    def cell_scores(vec: str):
+        # transform (scores once per centroid) then fold on cheap
+        # scalars — a lambda body referencing the dot product twice
+        # would re-evaluate it per element.
+        return F.transform(
+            F.col("cents"),
+            lambda cent: F.struct(
+                F.round(
+                    _dot(F.col(vec), cent["cv"])
+                    / (_norm(F.col(vec)) * _norm(cent["cv"])),
+                    4,
+                ).alias("s"),
+                cent["cid"].alias("cid"),
+            ),
+        )
+
+    # Corpus-side assignment is a pure per-row fold over the broadcast
+    # centroid array: NO shuffle, NO n_centroids-times row
+    # amplification (the window-rank formulation shuffled 16N scored
+    # rows through an Exchange just to keep rank 1 of each group —
+    # visible in .explain and pure waste at corpus scale).
+    best = F.aggregate(
+        cell_scores("cvec"),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("s"),
+            F.lit(None).cast(id_type).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    assigned = c.crossJoin(cent_row).select(
+        "corpus_id", best["cid"].alias("centroid_id")
+    )
+
+    # Probe side needs the nprobe BEST cells, not just the argmax —
+    # posexplode the scored array and rank. Probes are few by contract
+    # (they broadcast in the re-rank), so this window is cheap.
     p = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
     )
-    probe_cells = cell_rank(p, "probe_id", "pvec").where(F.col("__crank") <= nprobe)
+    p_scored = (
+        p.crossJoin(cent_row)
+        .select("probe_id", F.explode(cell_scores("pvec")).alias("sc"))
+        .select("probe_id", F.col("sc.s").alias("__cscore"), F.col("sc.cid").alias("centroid_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("__cscore"), F.asc("centroid_id"))
+    probe_cells = (
+        p_scored.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= nprobe)
+        .select("probe_id", "centroid_id")
+    )
 
     # A corpus vector lives in exactly one cell, so (probe, corpus)
-    # pairs are already unique — no distinct pass needed.
+    # pairs are already unique — no distinct pass needed. Broadcasting
+    # the (probes x nprobe)-row cell list keeps the corpus side
+    # entirely shuffle-free end to end.
     candidates = (
-        probe_cells.select("probe_id", "centroid_id")
-        .join(assigned.select("corpus_id", "centroid_id"), "centroid_id")
+        F.broadcast(probe_cells)
+        .join(assigned, "centroid_id")
         .where(F.col("corpus_id") != F.col("probe_id"))
         .select("probe_id", "corpus_id")
     )
