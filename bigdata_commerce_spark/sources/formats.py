@@ -1,0 +1,69 @@
+"""Interchange formats: JSONL (the LLM training-data lingua franca)
+and CSV, with explicit-schema discipline.
+
+Parquet is the internal format (typed, columnar, predicate pushdown);
+these readers/writers exist for the pipeline boundary — corpora
+arrive as JSONL shards, exports leave as JSONL/CSV. Two rules applied
+everywhere:
+
+- **Never infer schemas at scale.** Inference is a full extra pass
+  over 100 TB before the real job starts; both readers here demand an
+  explicit schema (or take the table's known one).
+- **Writers shard, not coalesce.** Output parallelism = partitions;
+  a single-file export is a driver bottleneck by construction, so
+  there is deliberately no ``coalesce(1)`` convenience here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines reader with a REQUIRED schema. ``columnNameOfCorruptRecord``
+    is left at Spark's default PERMISSIVE handling so one bad shard
+    line nulls out instead of killing a 100 TB job; count the nulls
+    downstream if strictness matters."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", multiline)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """Sharded JSONL export (one file per partition; gzip by default —
+    at scale prefer zstd where the cluster's codecs allow)."""
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV reader with a REQUIRED schema (no inference pass)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    """Sharded CSV export. Arrays/structs are not CSV-representable;
+    callers flatten first (ANSI mode makes the error explicit)."""
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)

@@ -1,0 +1,42 @@
+"""JSONL/CSV boundary formats: lossless round-trips under explicit
+schemas (documents corpus in, exports out)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.sources import formats
+from bigdata_commerce_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    path = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(docs, path)
+    back = formats.read_jsonl(spark, path, formats.DOCUMENTS_SCHEMA)
+    assert back.schema == docs.schema
+    a = {(r.doc_id, r.text) for r in docs.collect()}
+    b = {(r.doc_id, r.text) for r in back.collect()}
+    assert a == b
+    # sharded write: parallelism preserved, no single-file bottleneck
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*")) == docs.rdd.getNumPartitions()
+
+
+def test_csv_roundtrip_scalars(spark, tmp_path):
+    li = (
+        load_table(spark, "lineitem", SF_SMOKE)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(500)
+    )
+    path = str(tmp_path / "li_csv")
+    formats.write_csv(li, path)
+    back = formats.read_csv(spark, path, li.schema)
+    assert back.schema == li.schema
+    assert back.count() == 500
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
