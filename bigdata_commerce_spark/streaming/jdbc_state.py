@@ -122,10 +122,30 @@ class JdbcStateBackend:
         finally:
             conn.close()
 
-    def read_state(self, table: str) -> DataFrame:
+    def state_location(self, name: str) -> str:
+        return name
+
+    def read_state(
+        self, table: str, before_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Latest state, or None before the table's first write.
+
+        ``before_epoch`` is accepted for protocol compatibility with
+        the parquet backend but is inherently satisfied here: inside
+        the topology, reads run before the epoch's merges, so "latest"
+        IS the pre-epoch state on first processing; on a replay the
+        merges are skipped via the epoch ledger, so any difference in
+        what a replayed read sees cannot reach the state tables."""
         from bigdata_commerce_spark.sources.sinks import read_jdbc
 
-        return read_jdbc(self._spark, table, self._cfg)
+        try:
+            df = read_jdbc(self._spark, table, self._cfg)
+            df.schema  # force table resolution
+            return df
+        except Exception as e:
+            if "does not exist" in str(e) or "42X05" in str(e):
+                return None
+            raise
 
     # -- the four merge algebras ------------------------------------------
 

@@ -19,9 +19,12 @@ from bigdata_commerce_spark.streaming import ad_stream, sinks
 
 @dataclass
 class AdPipelineHandles:
-    """Running queries + state locations (read with sinks.read_state)."""
+    """Running queries + the state backend (read via
+    ``backend.read_state(name)``; *_dir fields are the resolved state
+    locations — parquet paths or JDBC table names)."""
 
     queries: list
+    backend: object
     user_counts_dir: str
     blacklist_dir: str
     cumulative_dir: str
@@ -42,6 +45,7 @@ def run_ad_pipeline(
     work_dir: str,
     blacklist_threshold: int = 100,
     watermark: str = "10 minutes",
+    backend=None,
 ) -> AdPipelineHandles:
     """Start the reqs 7-10 topology as ONE streaming query whose batch
     function fans out to the four state tables.
@@ -61,35 +65,37 @@ def run_ad_pipeline(
     parse_ad_log for raw text lines). ``watermark`` bounds state for
     the session/window helpers driven separately; the per-batch window
     counts here are additive merges, so late rows fold in exactly.
+
+    ``backend`` selects the state store: default is the parquet epoch
+    store under ``work_dir``; pass a ``jdbc_state.JdbcStateBackend``
+    to land the same topology in a MERGE-capable database (the
+    reference's MySQL shape) — the merge algebra is identical.
     """
-    dirs = {
-        name: os.path.join(work_dir, name)
-        for name in ("user_counts", "blacklist", "cumulative", "top3", "trend", "ckpt")
-    }
+    if backend is None:
+        backend = sinks.ParquetStateBackend(events.sparkSession, work_dir)
 
     # Per-branch merge algebra (sink-side accumulation — the
     # reference's MySQL DAO semantics). Additive sinks take raw
     # per-batch counts; running totals would double-count.
-    user_counts_sink = sinks.accumulate_sink(
-        dirs["user_counts"], ["event_date", "user_id", "ad_id"], "click_count"
+    user_counts_sink = backend.accumulate_sink(
+        "user_counts", ["event_date", "user_id", "ad_id"], "click_count"
     )
-    blacklist_sink = sinks.distinct_append_sink(dirs["blacklist"], ["user_id"])
-    cumulative_sink = sinks.accumulate_sink(
-        dirs["cumulative"], ["event_date", "province", "city", "ad_id"], "click_count"
+    blacklist_sink = backend.distinct_append_sink("blacklist", ["user_id"])
+    cumulative_sink = backend.accumulate_sink(
+        "cumulative", ["event_date", "province", "city", "ad_id"], "click_count"
     )
-    top3_sink = sinks.replace_partition_sink(dirs["top3"], ["event_date", "province"])
-    trend_sink = sinks.accumulate_sink(
-        dirs["trend"], ["window_start", "window_end", "ad_id"], "click_count"
+    top3_sink = backend.replace_partition_sink("top3", ["event_date", "province"])
+    trend_sink = backend.accumulate_sink(
+        "trend", ["window_start", "window_end", "ad_id"], "click_count"
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         # Blacklist feedback filter, before every branch. Read the
         # state strictly before this epoch: a replayed batch then sees
         # the same blacklist it saw the first time (idempotent), and a
         # user blacklisted by batch N starts being dropped at N+1 —
         # exactly the reference's read-MySQL-then-process ordering.
-        bl = sinks.read_state(spark, dirs["blacklist"], before_epoch=epoch_id)
+        bl = backend.read_state("blacklist", before_epoch=epoch_id)
         filtered = (
             batch_df if bl is None else ad_stream.without_blacklisted(batch_df, bl)
         ).persist()
@@ -101,7 +107,7 @@ def run_ad_pipeline(
                 F.count(F.lit(1)).alias("click_count")
             )
             user_counts_sink(per_batch, epoch_id)
-            counts_state = sinks.read_state(spark, dirs["user_counts"])
+            counts_state = backend.read_state("user_counts")
             blacklist_sink(
                 ad_stream.blacklist_from_counts(counts_state, blacklist_threshold),
                 epoch_id,
@@ -113,7 +119,7 @@ def run_ad_pipeline(
                 F.count(F.lit(1)).alias("click_count")
             )
             cumulative_sink(cum, epoch_id)
-            cum_state = sinks.read_state(spark, dirs["cumulative"])
+            cum_state = backend.read_state("cumulative")
             top3_sink(ad_stream.province_top3_from_counts(cum_state), epoch_id)
 
             # Req 10: sliding 60min/1min windows, additive per batch.
@@ -135,18 +141,19 @@ def run_ad_pipeline(
 
     q = (
         events.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(dirs["ckpt"], "topology"))
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt", "topology"))
         .foreachBatch(process_batch)
         .start()
     )
 
     return AdPipelineHandles(
         queries=[q],
-        user_counts_dir=dirs["user_counts"],
-        blacklist_dir=dirs["blacklist"],
-        cumulative_dir=dirs["cumulative"],
-        top3_dir=dirs["top3"],
-        trend_dir=dirs["trend"],
+        backend=backend,
+        user_counts_dir=backend.state_location("user_counts"),
+        blacklist_dir=backend.state_location("blacklist"),
+        cumulative_dir=backend.state_location("cumulative"),
+        top3_dir=backend.state_location("top3"),
+        trend_dir=backend.state_location("trend"),
     )
 
 

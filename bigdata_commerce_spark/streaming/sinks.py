@@ -89,6 +89,34 @@ def _write_epoch(df: DataFrame, state_dir: str, epoch_id: int) -> None:
     _prune_epochs(state_dir, epoch_id)
 
 
+class ParquetStateBackend:
+    """The epoch-dir sinks behind the pluggable state-backend protocol
+    (same factory surface as ``jdbc_state.JdbcStateBackend``): state
+    names resolve to ``work_dir/<name>`` epoch directories."""
+
+    def __init__(self, spark: SparkSession, work_dir: str) -> None:
+        self._spark = spark
+        self._work_dir = work_dir
+
+    def state_location(self, name: str) -> str:
+        return os.path.join(self._work_dir, name)
+
+    def read_state(self, name: str, before_epoch: int | None = None) -> DataFrame | None:
+        return read_state(self._spark, self.state_location(name), before_epoch)
+
+    def accumulate_sink(self, name: str, key_cols: list[str], value_col: str) -> BatchFn:
+        return accumulate_sink(self.state_location(name), key_cols, value_col)
+
+    def overwrite_sink(self, name: str, key_cols: list[str]) -> BatchFn:
+        return overwrite_sink(self.state_location(name), key_cols)
+
+    def replace_partition_sink(self, name: str, partition_cols: list[str]) -> BatchFn:
+        return replace_partition_sink(self.state_location(name), partition_cols)
+
+    def distinct_append_sink(self, name: str, key_cols: list[str]) -> BatchFn:
+        return distinct_append_sink(self.state_location(name), key_cols)
+
+
 def accumulate_sink(state_dir: str, key_cols: list[str], value_col: str) -> BatchFn:
     """AdUserClickCount semantics (``JdbcHelper.scala:124``):
     state[key] += batch[key] — an additive MERGE."""

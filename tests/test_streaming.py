@@ -428,3 +428,40 @@ def test_stateful_sessions_match_batch_session_window(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 4  # u1 x2, u2 x1, u3 x1
+
+
+def test_ad_pipeline_on_jdbc_backend_matches_parquet(spark, stream_result, tmp_path):
+    """The full reqs 7-10 topology on the JDBC MERGE backend (embedded
+    Derby) must land the same state the parquet epoch backend did for
+    the identical chunked source — including the blacklist feedback
+    behavior (user 9999 capped at 4, not 6)."""
+    from bigdata_commerce_spark.streaming.jdbc_state import JdbcStateBackend
+    from bigdata_commerce_spark.sources.sinks import derby_config
+
+    backend = JdbcStateBackend(spark, derby_config(str(tmp_path / "addb")))
+    stream = pipelines.file_event_source(spark, str(SCRATCH / "flat"))
+    handles = pipelines.run_ad_pipeline(
+        stream,
+        str(tmp_path / "work"),
+        blacklist_threshold=3,
+        watermark="365 days",
+        backend=backend,
+    )
+    handles.process_all()
+    handles.stop()
+
+    pq = stream_result["handles"]
+    for name, keys in (
+        ("user_counts", ["event_date", "user_id", "ad_id", "click_count"]),
+        ("cumulative", ["event_date", "province", "city", "ad_id", "click_count"]),
+        ("blacklist", ["user_id"]),
+        ("top3", ["event_date", "province", "ad_id", "click_count", "rank"]),
+        ("trend", ["window_start", "window_end", "ad_id", "click_count"]),
+    ):
+        jd = backend.read_state(name).select(*keys)
+        pd_ = pq.backend.read_state(name).select(*keys)
+        got = sorted(map(tuple, jd.collect()))
+        want = sorted(map(tuple, pd_.collect()))
+        assert got == want, f"{name}: jdbc != parquet"
+    bl = {r.user_id for r in backend.read_state("blacklist").collect()}
+    assert 9999 in bl
