@@ -47,10 +47,9 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality statistics: lengths, token counts,
-    punctuation/digit ratios, stopword ratio, mean token length.
-    One projection — no shuffle, no UDF."""
+def _stat_exprs(text_col: str) -> list[Column]:
+    """The per-document statistic columns, reusable wherever stats are
+    needed next to other columns (text_stats, curate)."""
     t = tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(t)
@@ -59,22 +58,25 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
     digits = F.length(F.regexp_replace(F.col(text_col), DIGIT_CLASS, ""))
     norm_len = F.length(normalize_text(text_col))
-    return df.select(
-        id_col,
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round((norm_len - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
         F.round(punct / n_chars, 4).alias("punct_ratio"),
         F.round(digits / n_chars, 4).alias("digit_ratio"),
         F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: rewards stopword presence and
-    sane token length, penalizes digit/punct density. A simple,
-    deterministic stand-in for a trained quality classifier."""
-    s = text_stats(df, text_col, id_col)
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics: lengths, token counts,
+    punctuation/digit ratios, stopword ratio, mean token length.
+    One projection — no shuffle, no UDF."""
+    return df.select(id_col, *_stat_exprs(text_col))
+
+
+def _quality_expr() -> Column:
+    """Composite quality score in [0,1] over the _stat_exprs columns."""
     score = (
         F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
         + F.lit(0.3)
@@ -82,17 +84,24 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.lit(0.15) * (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
         + F.lit(0.15) * (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
     )
-    return s.select(id_col, F.round(score, 4).alias("quality"))
+    return F.round(score, 4)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """n-gram/stopword language heuristic: CJK characters -> zh, else
-    the language with the most stopword hits (ties: LANG_ORDER), else
-    'unknown' when nothing matches."""
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    sane token length, penalizes digit/punct density. A simple,
+    deterministic stand-in for a trained quality classifier."""
+    s = text_stats(df, text_col, id_col)
+    return s.select(id_col, _quality_expr().alias("quality"))
+
+
+def _lang_pred(text_col: str) -> Column:
+    """The language prediction as a single column expression."""
     t = tokens(text_col)
     cjk = F.length(F.regexp_replace(F.col(text_col), CJK_PATTERN, "")) < F.length(
         F.col(text_col)
     )
+
     def _hits(stops: tuple[str, ...]) -> Column:
         # (closure factory: a default-arg lambda would change the
         # lambda's arity and PySpark would pass the element index)
@@ -103,5 +112,48 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     pred = F.when(cjk, F.lit("zh"))
     for lang in LANG_ORDER:
         pred = pred.when((best > 0) & (hit_cols[lang] == best), F.lit(lang))
-    pred = pred.otherwise(F.lit("unknown"))
-    return df.select(id_col, pred.alias("predicted_lang"))
+    return pred.otherwise(F.lit("unknown"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language heuristic: CJK characters -> zh, else
+    the language with the most stopword hits (ties: LANG_ORDER), else
+    'unknown' when nothing matches."""
+    return df.select(id_col, _lang_pred(text_col).alias("predicted_lang"))
+
+
+def curate(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus curation — the composed shape of a 100 TB
+    cleaning job: quality gate + language gate + exact-dedup survivor
+    selection in ONE scan and ONE shuffle.
+
+    All gates are computed in a single projection (stats, quality,
+    language, fingerprint side by side), the filters run before the
+    only shuffle (the fingerprint groupBy), and survivor attributes
+    ride along via min_by — no self-joins back to the corpus.
+
+    Returns (doc_id, quality, n_tokens, fp, dup_count) — the kept
+    document per duplicate group (min id), with how many kept
+    duplicates it represents.
+    """
+    enriched = df.select(
+        id_col,
+        *_stat_exprs(text_col),
+        _lang_pred(text_col).alias("predicted_lang"),
+        fingerprint(text_col).alias("fp"),
+    ).withColumn("quality", _quality_expr())
+    kept = enriched.where(
+        (F.col("quality") >= min_quality) & (F.col("predicted_lang") == lang)
+    )
+    return kept.groupBy("fp").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by("quality", id_col).alias("quality"),
+        F.min_by("n_tokens", id_col).alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select(id_col, "quality", "n_tokens", "fp", "dup_count")

@@ -146,6 +146,46 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
 
 
+_CURATION_ORACLE = f"""
+WITH stats AS ({_TEXT_STATS_SQL}),
+langp AS ({_lang_sql()}),
+fps AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+), q AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(stopword_ratio * 4, 1.0)
+               + 0.3 * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END)
+               + 0.15 * (1 - LEAST(digit_ratio * 5, 1.0))
+               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0)), 4) AS quality,
+           n_tokens
+    FROM stats
+), kept AS (
+    SELECT q.doc_id, q.quality, q.n_tokens, fps.fp
+    FROM q JOIN langp USING (doc_id) JOIN fps USING (doc_id)
+    WHERE q.quality >= 0.5 AND langp.predicted_lang = 'en'
+)
+SELECT MIN(doc_id) AS doc_id,
+       arg_min(quality, doc_id) AS quality,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       fp,
+       COUNT(*) AS dup_count
+FROM kept GROUP BY fp
+"""
+
+
+@query("corpus_curation", oracle=_CURATION_ORACLE)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning job: quality gate +
+    language gate + exact-dedup survivor selection in one scan and one
+    shuffle (operators/text.curate). Gates evaluate in a single
+    projection ahead of the only shuffle; survivor attributes ride the
+    fingerprint groupBy via min_by — no self-joins back to the
+    corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.curate(docs, min_quality=0.5, lang="en")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

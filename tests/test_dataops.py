@@ -345,3 +345,31 @@ def test_dedup_survivors(spark):
     assert surv[0] == (1, 3)
     assert surv[4] == (4, 2)
     assert surv[3] == (3, 1)
+
+
+def test_corpus_curation_consistent_with_standalone_ops(spark):
+    """curate() must equal the composition of the standalone operators
+    it fuses: quality gate, language gate, exact-dedup min-id survivor
+    — and dup_count must total the kept-document count."""
+    from bigdata_commerce_spark.operators import text as text_ops
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    got = text_ops.curate(docs, min_quality=0.5, lang="en").collect()
+
+    q = {r.doc_id: r.quality for r in text_ops.quality_score(docs).collect()}
+    lang = {r.doc_id: r.predicted_lang for r in text_ops.lang_id(docs).collect()}
+    fp = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", text_ops.fingerprint("text").alias("fp")
+        ).collect()
+    }
+    kept = {d for d in q if q[d] >= 0.5 and lang[d] == "en"}
+    groups: dict[str, list[int]] = {}
+    for d in kept:
+        groups.setdefault(fp[d], []).append(d)
+    expected = {
+        (min(ds), q[min(ds)], f, len(ds)) for f, ds in groups.items()
+    }
+    assert {(r.doc_id, r.quality, r.fp, r.dup_count) for r in got} == expected
+    assert sum(r.dup_count for r in got) == len(kept)
