@@ -169,6 +169,24 @@ def file_event_source(
     )
 
 
+def jsonl_document_source(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming ingest of a JSONL document corpus (the arrival format
+    of training-data shards): each landed shard becomes a micro-batch,
+    feeding the same text/dedup operators the batch catalog runs —
+    e.g. fingerprint into a distinct-append sink for incremental exact
+    dedup. Explicit schema, same rule as the batch reader (inference
+    would re-scan the corpus)."""
+    from bigdata_commerce_spark.sources.formats import DOCUMENTS_SCHEMA
+
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
 def kafka_event_source(
     spark: SparkSession,
     bootstrap_servers: str,

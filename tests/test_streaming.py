@@ -465,3 +465,46 @@ def test_ad_pipeline_on_jdbc_backend_matches_parquet(spark, stream_result, tmp_p
         assert got == want, f"{name}: jdbc != parquet"
     bl = {r.user_id for r in backend.read_state("blacklist").collect()}
     assert 9999 in bl
+
+
+def test_jsonl_stream_fingerprints_match_batch(spark, tmp_path):
+    """Streaming ingest of JSONL shards -> fingerprint -> distinct
+    sink must converge to exactly the batch doc_fingerprints result
+    over the same corpus (incremental exact dedup over arriving
+    shards)."""
+    import json as _json
+
+    from bigdata_commerce_spark.operators import text as text_ops
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(60).collect()
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # two JSONL shards, written as the stream source's files directly
+    for i, half in enumerate((docs[:30], docs[30:])):
+        with open(shard_dir / f"shard_{i}.jsonl", "w") as f:
+            for r in half:
+                f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    stream = pipelines.jsonl_document_source(spark, str(shard_dir))
+    sink = sinks.distinct_append_sink(str(tmp_path / "state"), ["doc_id", "fp"])
+    q = (
+        stream.select("doc_id", text_ops.fingerprint("text").alias("fp"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.fp)
+        for r in sinks.read_state(spark, str(tmp_path / "state")).collect()
+    }
+    batch = spark.createDataFrame(docs, load_table(spark, "documents", SF_SMOKE).schema)
+    expected = {
+        (r.doc_id, r.fp)
+        for r in batch.select(
+            "doc_id", text_ops.fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert got == expected and len(got) == 60
