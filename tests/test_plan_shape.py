@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: the properties that make queries
+survive a 100x scale-up, asserted against the optimized/executed
+plans rather than assumed (partition pruning has its own test in
+test_commerce.py; bucketing in test_bucketing.py)."""
+
+from __future__ import annotations
+
+from bigdata_commerce_spark.plans import QUERIES
+from bigdata_commerce_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    """The lineitem scan must read only the referenced columns and
+    push the date predicate into the parquet reader."""
+    plan = _formatted(QUERIES["pricing_summary"](spark, SF_SMOKE))
+    scan = next(
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "lineitem" in block
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    read_schema = next(l for l in scan.splitlines() if "ReadSchema" in l)
+    # projection pruning: the full 16-column lineitem table must NOT
+    # be read — only the 7 columns the aggregation touches
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    for col in ("l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in read_schema, col
+
+
+def test_region_top3_broadcasts_dimensions(spark):
+    """The dimension sides (region, nation, part, supplier) must join
+    by broadcast — no shuffle of the fact for dimension joins."""
+    plan = _formatted(QUERIES["region_top3_parts"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the big fact (lineitem) must never be the broadcast side
+    for block in plan.split("\n\n"):
+        if "BroadcastExchange" in block:
+            assert "lineitem" not in block
+
+
+def test_cosine_topk_streams_corpus(spark):
+    """Brute-force cosine: the corpus side must stay unshuffled (only
+    the probe side broadcasts; ranking happens on scored rows)."""
+    plan = _formatted(QUERIES["embedding_cosine_topk"](spark, SF_SMOKE))
+    # exactly one non-broadcast Exchange: the final per-probe ranking
+    n_shuffles = plan.count("+- Exchange ")
+    assert n_shuffles <= 1, plan
