@@ -889,6 +889,35 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_users",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    , counts AS (
+        SELECT user_id, COUNT(*) AS event_count FROM events_n GROUP BY user_id
+    )
+    SELECT user_id, event_count, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY event_count DESC, user_id ASC
+        ) AS INT) AS rank
+        FROM counts
+    ) WHERE rank <= 10
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 users by event count via the Misra-Gries
+    sketch-then-verify path (operators/sketch.py): per-partition
+    k-counter summaries -> merged candidate superset -> broadcast
+    semi-join exact re-count. The candidate-set guarantee (every key
+    with frequency > n/(k+1) survives, any partitioning) makes the
+    final exact output deterministic, so the plain GROUP BY oracle
+    applies — the sketch only bounds how much gets counted."""
+    from bigdata_commerce_spark.operators.sketch import heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    return heavy_hitters(ev, "user_id", top_n=10, k=256)
+
+
+@query(
     "salted_user_event_counts",
     oracle=f"""
     WITH {_EVENTS_ORACLE_CTE}

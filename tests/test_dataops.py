@@ -373,3 +373,44 @@ def test_corpus_curation_consistent_with_standalone_ops(spark):
     }
     assert {(r.doc_id, r.quality, r.fp, r.dup_count) for r in got} == expected
     assert sum(r.dup_count for r in got) == len(kept)
+
+
+def test_misra_gries_guarantee_under_compression(spark):
+    """With k small enough to force per-partition compression, any key
+    with true frequency > n/(k+1) must survive into the candidate
+    set, and heavy_hitters' exact re-count must equal the plain
+    groupBy top-N."""
+    from bigdata_commerce_spark.operators.sketch import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # skewed synthetic stream: key 0 dominates, long uniform tail
+    rows = [(0,)] * 4000 + [(i % 97 + 1,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(16)
+    n = len(rows)
+    k = 8  # 98 distinct keys >> k -> compression happens in every partition
+    cands = {r.user_id for r in misra_gries_candidates(df, "user_id", k=k).collect()}
+    # guarantee: freq(0) = 4000 > n/(k+1) ~ 1111 -> must be present
+    assert 0 in cands
+
+    exact_top = (
+        df.groupBy("user_id").count().orderBy(F.desc("count"), F.asc("user_id"))
+    ).first()
+    got = heavy_hitters(df, "user_id", top_n=1, k=k).collect()
+    assert [(r.user_id, r.event_count) for r in got] == [
+        (exact_top.user_id, exact_top["count"])
+    ]
+
+
+def test_heavy_hitters_exact_when_k_covers_keys(spark):
+    """k >= distinct keys: sketch degenerates to exact counts; top-N
+    equals the plain aggregation including tie-break order."""
+    from bigdata_commerce_spark.operators.sketch import heavy_hitters
+
+    rows = [(i % 20,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    got = [(r.user_id, r.event_count, r.rank) for r in heavy_hitters(df, "user_id", top_n=5, k=64).collect()]
+    assert len(got) == 5
+    assert all(c == 100 for _, c, _ in got)
+    assert [u for u, _, _ in got] == [0, 1, 2, 3, 4]  # ties -> id asc
