@@ -889,6 +889,86 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ad_launch_window_counts",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    , windows AS (
+        SELECT ad_id, MIN(ts) AS window_start,
+               MIN(ts) + INTERVAL 2 HOUR AS window_end
+        FROM events_n GROUP BY ad_id
+    )
+    SELECT w.ad_id, w.window_start, w.window_end,
+           COUNT(*) AS events_in_window
+    FROM windows w JOIN events_n e
+      ON e.ad_id = w.ad_id
+     AND e.ts >= w.window_start AND e.ts <= w.window_end
+    GROUP BY 1, 2, 3
+    """,
+)
+def ad_launch_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): events matched into each
+    ad's first-2-hours launch window via bucketized interval join —
+    time quantized to buckets, intervals exploded to covered buckets,
+    one equi shuffle on (ad_id, bucket), exact BETWEEN on candidates —
+    instead of the planner's broadcast-nested-loop for the raw
+    non-equi predicate."""
+    from bigdata_commerce_spark.operators.range_join import range_join
+
+    ev = _events(spark, sf_dir).select("ad_id", "ts")
+    windows = ev.groupBy("ad_id").agg(F.min("ts").alias("window_start")).withColumn(
+        "window_end", F.col("window_start") + F.expr("INTERVAL 2 HOURS")
+    )
+    joined = range_join(
+        ev, windows, ts_col="ts",
+        start_col="window_start", end_col="window_end",
+        key_cols=["ad_id"], bucket_seconds=3600,
+    )
+    return joined.groupBy("ad_id", "window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("events_in_window")
+    )
+
+
+_ROLLUP_LEVEL_SQL = """
+SELECT '{lvl}' AS level, date_trunc('{lvl}', ts) AS bucket, province,
+       COUNT(*) AS event_count,
+       CAST(SUM(ad_id) AS BIGINT) AS value_sum
+FROM events_n GROUP BY 2, 3
+"""
+
+
+@query(
+    "event_rollup_ladder",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    {_ROLLUP_LEVEL_SQL.format(lvl="minute")}
+    UNION ALL {_ROLLUP_LEVEL_SQL.format(lvl="hour")}
+    UNION ALL {_ROLLUP_LEVEL_SQL.format(lvl="day")}
+    """,
+)
+def event_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate ladder
+    (operators/rollup_hierarchy.py): minute aggregates from raw,
+    hour from minute, day from hour — coarse levels cost
+    finer-table I/O, never a raw re-scan. The oracle computes every
+    level DIRECTLY from raw, so the hash match proves the
+    re-aggregation algebra is lossless at each step."""
+    from bigdata_commerce_spark.operators.rollup_hierarchy import rollup_ladder
+
+    ev = _events(spark, sf_dir)
+    ladder = rollup_ladder(
+        ev, ts_col="ts", key_cols=["province"], value_col="ad_id"
+    )
+    out = None
+    for lvl, df in ladder.items():
+        tagged = df.select(
+            F.lit(lvl).alias("level"), "bucket", "province", "event_count",
+            F.col("value_sum").cast("bigint").alias("value_sum"),
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+@query(
     "heavy_hitter_users",
     oracle=f"""
     WITH {_EVENTS_ORACLE_CTE}

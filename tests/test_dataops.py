@@ -414,3 +414,60 @@ def test_heavy_hitters_exact_when_k_covers_keys(spark):
     assert len(got) == 5
     assert all(c == 100 for _, c, _ in got)
     assert [u for u, _, _ in got] == [0, 1, 2, 3, 4]  # ties -> id asc
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    """Bucketized range join must return exactly the rows of the naive
+    non-equi join (it's a decomposition, not an approximation) — for
+    bucket widths shorter and longer than the intervals, and with
+    pairs that meet in multiple buckets counted once."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.range_join import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(100)],
+        "k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (i % 5, base + dt.timedelta(minutes=30 * i),
+             base + dt.timedelta(minutes=30 * i + 95))
+            for i in range(12)
+        ],
+        "k long, s timestamp, e timestamp",
+    )
+    naive = (
+        pts.crossJoin(iv.withColumnRenamed("k", "k2"))
+        .where((F.col("k") == F.col("k2")) & (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+        .select("k", "ts", "s", "e")
+    )
+    expected = sorted(map(tuple, naive.collect()))
+    for bucket in (600, 3600, 86400):  # 10min < interval; 1h ~; 1d >
+        got = sorted(
+            map(tuple, range_join(pts, iv, "ts", "s", "e", ["k"], bucket).select("k", "ts", "s", "e").collect())
+        )
+        assert got == expected, f"bucket={bucket}"
+    assert expected, "fixture produced no matches"
+
+
+def test_rollup_ladder_levels_consistent(spark):
+    """Each ladder level must equal direct aggregation from raw at
+    that granularity (lossless re-aggregation), and coarser levels
+    must be strictly smaller."""
+    from bigdata_commerce_spark.operators.rollup_hierarchy import rollup_ladder
+
+    ev = load_table(spark, "events", SF_SMOKE).select("ts", "user_id")
+    ladder = rollup_ladder(ev, ts_col="ts", key_cols=[], value_col="user_id")
+    sizes = {}
+    for lvl in ("minute", "hour", "day"):
+        direct = ev.groupBy(F.date_trunc(lvl, "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("user_id").alias("value_sum"),
+        )
+        got = sorted(map(tuple, ladder[lvl].collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want, lvl
+        sizes[lvl] = len(got)
+    assert sizes["day"] <= sizes["hour"] <= sizes["minute"]
