@@ -78,19 +78,21 @@ def connected_components(
         members = {x for r in edge_rows for x in (r.a, r.b)}
         labels_local = [(x, find(x)) for x in members]
         id_type = nodes.schema[node_col].dataType.simpleString()
+        # One single-partition local DF + one broadcast LEFT join:
+        # edge-nodes take their union-find label, everything else
+        # falls through coalesce to its own id (singletons). The
+        # earlier anti-join + union formulation cost two extra local
+        # DF jobs per call — pure scheduling overhead.
         labels = spark.createDataFrame(
             labels_local or [], f"a {id_type}, label {id_type}"
-        )
-        member_df = spark.createDataFrame(
-            [(x,) for x in members] or [], f"a {id_type}"
-        )
-        singletons = (
+        ).coalesce(1)
+        return (
             nodes.select(F.col(node_col).alias("a"))
-            .join(F.broadcast(member_df), "a", "left_anti")
-            .select("a", F.col("a").alias("label"))
-        )
-        return labels.unionByName(singletons).select(
-            F.col("a").alias(node_col), F.col("label").alias("cluster_id")
+            .join(F.broadcast(labels), "a", "left")
+            .select(
+                F.col("a").alias(node_col),
+                F.coalesce("label", F.col("a")).alias("cluster_id"),
+            )
         )
 
     sym = (

@@ -154,10 +154,13 @@ def neardup_pairs(
     Returns (id1, id2, score) with id1 < id2.
     """
     planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
-    b1 = _sign_buckets(corpus, "id1", id_col, vec_col, planes, bands)
-    b2 = _sign_buckets(corpus, "id2", id_col, vec_col, planes, bands)
+    # ONE bucket table self-joined — two _sign_buckets calls would run
+    # the plane-projection UDF over the corpus twice; persist so the
+    # self-join's two sides share a single materialization.
+    b = _sign_buckets(corpus, "vid", id_col, vec_col, planes, bands).persist()
     candidates = (
-        b1.join(b2, ["band", "bucket"])
+        b.select(F.col("vid").alias("id1"), "band", "bucket")
+        .join(b.select(F.col("vid").alias("id2"), "band", "bucket"), ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
