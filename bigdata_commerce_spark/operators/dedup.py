@@ -62,41 +62,52 @@ def exact_duplicates(
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs, built relationally: tokenize once
-    per document, posexplode, and join adjacent tokens with ``lead``
-    windows.
+    """Distinct (id, shingle) pairs, with the tokenizer evaluated
+    exactly once per document and **zero shuffles before the distinct**.
 
-    Equivalent to ``explode(shingle_array(...))`` but evaluates the
-    tokenizer exactly once per document — Catalyst's CollapseProject
-    inlines a shared token-array alias into every consumer, so the
-    array-expression form re-runs the regex tokenization ~2n times per
-    row. The window shuffle (by doc id) is cheaper than that at every
-    scale, and the same shuffle already exists in every downstream
-    per-doc aggregation.
+    The naive ``explode(shingle_array(...))`` re-runs the regex
+    tokenization per consumer expression: Catalyst's CollapseProject
+    inlines a shared token-array alias into every reference. The fix
+    is a one-element ``explode(array(struct(tokens, norm)))`` barrier:
+    a Generate node materializes its generator output as a bound
+    attribute, so every downstream slice/zip_with references the
+    already-computed array instead of re-deriving it. (An earlier
+    formulation tokenized once via posexplode + ``lead`` windows — but
+    that shuffles the entire (id, pos, token) stream by doc id, which
+    at corpus scale is the whole token stream through the wire; the
+    barrier form keeps shingle construction map-side.)
     """
-    from pyspark.sql import Window
-
-    toks = fan_out(df).select(
+    # fan_out first: a small single-file scan is 1-5 row-group
+    # partitions, which would pin the CPU-heavy tokenize+explode to
+    # that few tasks (no-op on real many-partition inputs).
+    barrier = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "tok"
-        ),
+        F.explode(
+            F.array(
+                F.struct(
+                    tokens(text_col).alias("t"),
+                    normalize_text(text_col).alias("norm"),
+                )
+            )
+        ).alias("x"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    grams = (
-        toks.select("id", F.concat_ws(" ", *parts).alias("shingle"), *[
-            F.lead("tok", n - 1).over(w).alias("__full")
-        ])
-        .where(F.col("__full").isNotNull())
-        .select("id", "shingle")
-        .distinct()
+    t = F.col("x.t")
+    length = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # documents shorter than n tokens use the whole normalized text as
+    # their single shingle — same contract as shingle_array().
+    arr = F.when(F.size(t) >= n, F.array_distinct(acc)).otherwise(
+        F.array(F.col("x.norm"))
     )
-    # documents shorter than n tokens: whole normalized text instead
-    short = df.select(
-        F.col(id_col).alias("id"), normalize_text(text_col).alias("shingle")
-    ).where(F.size(tokens(text_col)) < n)
-    return grams.unionByName(short)
+    # No trailing .distinct(): array_distinct already dedups within a
+    # document and ids are unique across rows, so (id, shingle) pairs
+    # are distinct by construction — a global distinct would shuffle
+    # the entire shingle stream for nothing.
+    return barrier.select("id", F.explode(arr).alias("shingle"))
 
 
 def _threshold_fraction(threshold: float) -> tuple[int, int]:

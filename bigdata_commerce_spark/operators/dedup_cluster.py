@@ -78,14 +78,18 @@ def connected_components(
         members = {x for r in edge_rows for x in (r.a, r.b)}
         labels_local = [(x, find(x)) for x in members]
         id_type = nodes.schema[node_col].dataType.simpleString()
-        # One single-partition local DF + one broadcast LEFT join:
-        # edge-nodes take their union-find label, everything else
-        # falls through coalesce to its own id (singletons). The
-        # earlier anti-join + union formulation cost two extra local
-        # DF jobs per call — pure scheduling overhead.
+        # One local DF + one broadcast LEFT join: edge-nodes take
+        # their union-find label, everything else falls through
+        # coalesce to its own id (singletons). Parallelize the local
+        # list as ONE slice: plain createDataFrame splits it into
+        # defaultParallelism Python-RDD slices, each costing a
+        # Python-worker round-trip to evaluate — and coalesce(1)
+        # makes that *worse* (one task evaluates all slices serially;
+        # measured ~7 s for 25 rows on local[32]).
         labels = spark.createDataFrame(
-            labels_local or [], f"a {id_type}, label {id_type}"
-        ).coalesce(1)
+            spark.sparkContext.parallelize(labels_local or [], 1),
+            f"a {id_type}, label {id_type}",
+        )
         return (
             nodes.select(F.col(node_col).alias("a"))
             .join(F.broadcast(labels), "a", "left")
