@@ -76,9 +76,15 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("event_count"))
     )
+    # TakeOrderedAndProject first: the candidate set is <= k rows per
+    # *sketch* partition, which at cluster scale is still millions —
+    # orderBy+limit keeps the top-N selection distributed (per-partition
+    # heaps merged on the driver) instead of sorting all candidates in
+    # the single partition a global window would force. The ranking
+    # window then runs over exactly top_n rows.
+    top = exact.orderBy(F.desc("event_count"), F.asc(key_col)).limit(top_n)
     w = Window.orderBy(F.desc("event_count"), F.asc(key_col))
     return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .select(key_col, "event_count", "rank")
     )
