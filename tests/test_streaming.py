@@ -508,3 +508,108 @@ def test_jsonl_stream_fingerprints_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) == 60
+
+
+def test_stream_dedup_within_watermark_drops_cross_batch_dupes(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key and
+    drops re-arrivals in LATER micro-batches (state spans batches);
+    result equals batch dropDuplicates over the same rows."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.streaming.dedup_stream import dedup_exact_stream
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, ad_stream.AD_EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    def ev(ts, user, ad):
+        return (ts, ts.date(), "p1", "c1", user, ad)
+
+    write_chunk("b1", [ev(base, 1, 1), ev(base + dt.timedelta(minutes=1), 2, 2)])
+    stream = pipelines.file_event_source(spark, str(flat))
+    deduped = dedup_exact_stream(stream, ["user_id", "ad_id"], within="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2, strictly after batch 1 committed: a replay of (1, 1)
+    # well inside the 1h horizon, plus a genuinely new key
+    write_chunk(
+        "b2",
+        [ev(base + dt.timedelta(minutes=2), 1, 1), ev(base + dt.timedelta(minutes=3), 3, 3)],
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.user_id, r.ad_id)
+        for r in spark.sql("SELECT user_id, ad_id FROM stream_dedup").collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_distinct_documents_stream_emits_each_content_once(spark, tmp_path):
+    """Global streaming content dedup over JSONL shard ingest: every
+    distinct text body emitted exactly once even when the duplicate
+    arrives in a later shard; fingerprint set matches the batch
+    exact-dedup operator over the same corpus."""
+    import json as _json
+
+    from bigdata_commerce_spark.operators.dedup import exact_duplicates
+    from bigdata_commerce_spark.sources.formats import DOCUMENTS_SCHEMA
+    from bigdata_commerce_spark.streaming.dedup_stream import distinct_documents_stream
+
+    corpus = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+        (3, "alpha beta gamma"),  # dup of 1, same shard
+        (4, "eta theta iota"),
+        (5, "delta epsilon zeta"),  # dup of 2, later shard
+        (6, "alpha beta gamma"),  # dup of 1, later shard
+        (7, "kappa lambda mu"),
+    ]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i, shard in enumerate((corpus[:4], corpus[4:])):
+        with open(shard_dir / f"shard_{i}.jsonl", "w") as f:
+            for doc_id, text in shard:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = pipelines.jsonl_document_source(spark, str(shard_dir))
+    q = (
+        distinct_documents_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT doc_id, fp FROM doc_dedup").collect()
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in corpus], DOCUMENTS_SCHEMA
+    )
+    expected_fps = {r.fp for r in exact_duplicates(batch).select("fp").collect()}
+    assert {r.fp for r in rows} == expected_fps
+    assert len(rows) == len(expected_fps)  # exactly once per content
+    # each survivor must actually carry its content's text
+    text_of = dict(corpus)
+    from bigdata_commerce_spark.operators.text import fingerprint as _fp
+
+    fp_by_text = {
+        r.text: r.fp
+        for r in batch.select("text", _fp("text").alias("fp")).distinct().collect()
+    }
+    for r in rows:
+        assert fp_by_text[text_of[r.doc_id]] == r.fp
