@@ -225,47 +225,28 @@ def _exact_rerank(
     )
 
 
-def ivf_topk(
+def _ivf_search(
     corpus: DataFrame,
     probes: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate cosine top-k via an IVF (inverted-file) index —
-    the partition-the-corpus counterpart of sign-LSH.
+    """IVF search against a prepared coarse quantizer: assign every
+    corpus vector to its nearest centroid by cosine (broadcast
+    centroids, no corpus shuffle); each probe searches its ``nprobe``
+    nearest cells and only those cells' members are exactly re-ranked.
 
-    Coarse quantizer: ``n_centroids`` corpus vectors picked by md5
-    order (deterministic pseudo-random init; production would refine
-    with k-means — MLlib KMeans drops in — but the deterministic init
-    keeps the whole pipeline oracle-checkable). Every corpus vector is
-    assigned to its nearest centroid by cosine (broadcast centroids,
-    no corpus shuffle); each probe searches its ``nprobe`` nearest
-    cells and only those cells' members are exactly re-ranked.
-
-    At 100 TB the assignment is one broadcast-join pass over the
-    corpus (write it partitioned BY cell and probe-time scans touch
-    only nprobe/n_centroids of the data — classic IVF partition
-    pruning); candidate volume per probe is ~nprobe/n_centroids of
-    the corpus instead of all of it.
+    ``centroids`` is any (centroid_id, centroid_vec array<double>)
+    table — a deterministic md5 pick (``ivf_topk``) or trained k-means
+    means (``ivf_kmeans_topk``) plug in identically.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    centroids = (
-        c.withColumn(
-            "__r", F.md5(F.concat(F.col("corpus_id").cast("string"), F.lit(":ivf")))
-        )
-        .orderBy("__r")
-        .limit(n_centroids)
-        .select(
-            F.col("corpus_id").alias("centroid_id"),
-            F.col("cvec").alias("centroid_vec"),
-        )
-    )
+    id_type = centroids.schema["centroid_id"].dataType.simpleString()
     # All centroids as ONE broadcast row (sorted for a deterministic
     # fold order, though argmax-with-tiebreak is order-independent).
     cent_row = F.broadcast(
@@ -346,6 +327,93 @@ def ivf_topk(
         .select("probe_id", "corpus_id")
     )
     return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index —
+    the partition-the-corpus counterpart of sign-LSH.
+
+    Coarse quantizer: ``n_centroids`` corpus vectors picked by md5
+    order — deterministic pseudo-random init, which keeps the whole
+    pipeline oracle-checkable (``ivf_kmeans_topk`` is the trained
+    refinement when recall matters more than oracle determinism).
+
+    At 100 TB the assignment is one broadcast-join pass over the
+    corpus (write it partitioned BY cell and probe-time scans touch
+    only nprobe/n_centroids of the data — classic IVF partition
+    pruning); candidate volume per probe is ~nprobe/n_centroids of
+    the corpus instead of all of it.
+    """
+    centroids = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), _as_double(vec_col).alias("centroid_vec")
+        )
+        .withColumn(
+            "__r", F.md5(F.concat(F.col("centroid_id").cast("string"), F.lit(":ivf")))
+        )
+        .orderBy("__r")
+        .limit(n_centroids)
+        .drop("__r")
+    )
+    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF with a k-means-trained coarse quantizer (MLlib) — the
+    production refinement of ``ivf_topk``'s deterministic pick.
+
+    Training runs on L2-normalized vectors: euclidean k-means on the
+    unit sphere minimizes ``||a-b||^2 = 2 - 2*cos(a,b)``, i.e. it IS
+    spherical (cosine) k-means up to the centroid-renormalization
+    step, so the learned cells are cosine-coherent and the same
+    cosine-based ``_ivf_search`` applies unchanged. Trained centroids
+    balance cell populations, which caps the worst-case candidate
+    volume per probe — the property the md5 pick can't guarantee.
+
+    k-means is iterative (driver-coordinated Lloyd rounds, one pass
+    over the corpus per round) and its result depends on partitioning,
+    so this variant is test-bounded (recall vs the exact baseline)
+    rather than SQL-oracled — the documented trade against
+    ``ivf_topk``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    # One-element explode barrier pins the cast array to a bound
+    # attribute; the norm inside the lambda still re-inlines per
+    # element (CollapseProject), but over the bound array that is
+    # O(dim^2) plain arithmetic per row — negligible for a one-time
+    # training input.
+    unit = corpus.select(
+        F.explode(F.array(_as_double(vec_col))).alias("__v")
+    ).select(F.transform("__v", lambda x: x / _norm(F.col("__v"))).alias("__nvec"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__feat"
+    ).fit(unit.select(array_to_vector("__nvec").alias("__feat")))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
 
 
 def lsh_ann_topk(

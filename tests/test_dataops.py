@@ -471,3 +471,46 @@ def test_rollup_ladder_levels_consistent(spark):
         assert got == want, lvl
         sizes[lvl] = len(got)
     assert sizes["day"] <= sizes["hour"] <= sizes["minute"]
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """k-means-refined IVF must recover at least what the md5-pick
+    quantizer does geometrically (nprobe/n_centroids of uniform space)
+    and produce well-formed per-probe top-k."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id)
+        for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    rows = similarity.ivf_kmeans_topk(emb, probes, k=5).collect()
+    approx = {(r.probe_id, r.corpus_id) for r in rows}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall@5 = {recall}"
+    # per-probe: at most k rows, ranks contiguous from 1
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    for pid, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
+        assert len(ranks) <= 5
+
+
+def test_ivf_kmeans_scores_match_exact_for_shared_pairs(spark):
+    """The trained quantizer changes WHICH cells are searched, never
+    the re-rank math: shared pairs score identically to brute force."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in similarity.ivf_kmeans_topk(emb, probes, k=5).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared
+    for pair in shared:
+        assert exact[pair] == approx[pair]
