@@ -1,0 +1,115 @@
+"""Persisted IVF index: the corpus written ``partitionBy`` cell, so
+probe-time reads scan only ``nprobe / n_centroids`` of the data.
+
+``ivf_topk`` (operators/similarity.py) recomputes cell assignment on
+every search — right for one-shot queries, wasteful for a served index.
+This module splits the lifecycle the way a 100 TB deployment must:
+
+- **build once** (``write_ivf_index``): one broadcast-fold pass over
+  the corpus assigns cells (no shuffle), then the vectors land in
+  parquet partitioned by ``centroid_id``. The centroid table (tiny —
+  n_centroids rows) sits beside the cells as the index metadata.
+- **search many** (``search_ivf_index``): score the probes against the
+  centroid table, collect the <= probes x nprobe cell ids (driver-side
+  by contract: probes are few — same bounded-collect discipline as
+  operators/funnel.py), and read the cell store with an ``isin``
+  filter on the partition column. Catalyst turns that into partition
+  pruning — the scan's PartitionFilters line shows it, and a test
+  asserts it — so the bytes read per query scale with nprobe, not with
+  the corpus. No full-corpus pass ever happens at search time.
+
+Search results are bit-identical to ``ivf_topk`` with the same
+centroids: same assignment fold, same nprobe selection, same exact
+re-rank (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.similarity import (
+    _as_double,
+    _assign_cells,
+    _centroid_fold_row,
+    _exact_rerank,
+    _probe_cells,
+    md5_centroids,
+)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build the index at ``path``: ``cells/`` holds (id, vector) rows
+    partitioned by ``centroid_id``; ``centroids/`` holds the quantizer.
+
+    ``centroids`` defaults to the deterministic md5 pick; pass a
+    trained table (e.g. from ``ivf_kmeans_topk``'s KMeans) to serve a
+    refined quantizer — the layout is identical.
+    """
+    if centroids is None:
+        centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_row, id_type = _centroid_fold_row(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
+    )
+    assigned = _assign_cells(c, "cvec", cent_row, id_type)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per probe against a written index, touching only the
+    probes' ``nprobe`` cells. Returns (probe_id, corpus_id, score,
+    rank) exactly as ``ivf_topk`` would."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cent_row, _ = _centroid_fold_row(centroids)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
+    )
+    probe_cells = _probe_cells(p, cent_row, nprobe).cache()
+    # Bounded collect (<= probes x nprobe ids): materializing the cell
+    # list as LITERALS is what lets the scan prune statically — a
+    # broadcast-join form would read every partition and discard rows
+    # after the fact unless runtime DPP happens to fire.
+    wanted = sorted({r.centroid_id for r in probe_cells.select("centroid_id").collect()})
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("centroid_id").isin(wanted)
+    )
+    candidates = (
+        F.broadcast(probe_cells)
+        .join(cells, "centroid_id")
+        .where(F.col("corpus_id") != F.col("probe_id"))
+        .select("probe_id", "corpus_id")
+    )
+    index_vectors = cells.select(
+        F.col("corpus_id").alias(id_col), F.col("cvec").alias(vec_col)
+    )
+    return _exact_rerank(candidates, index_vectors, probes, k, id_col, vec_col)
+
+
+def pruned_cell_scan(
+    spark: SparkSession, path: str, cell_ids: list
+) -> DataFrame:
+    """The raw partition-pruned scan of selected cells — exposed so
+    plan tests (and downstream bulk jobs like per-cell compaction) can
+    assert PartitionFilters directly."""
+    return spark.read.parquet(f"{path}/cells").where(
+        F.col("centroid_id").isin(cell_ids)
+    )

@@ -225,6 +225,92 @@ def _exact_rerank(
     )
 
 
+def _centroid_fold_row(centroids: DataFrame):
+    """(one-row broadcast DF holding all centroids as a sorted struct
+    array, centroid-id type string). Sorted for a deterministic fold
+    order, though argmax-with-tiebreak is order-independent."""
+    id_type = centroids.schema["centroid_id"].dataType.simpleString()
+    cent_row = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col("centroid_vec").alias("cv"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    return cent_row, id_type
+
+
+def _cell_scores(vec: str) -> Column:
+    """Per-row array of (cosine score, centroid id) structs against the
+    broadcast ``cents`` array. transform (scores once per centroid)
+    then fold on cheap scalars — a lambda body referencing the dot
+    product twice would re-evaluate it per element."""
+    return F.transform(
+        F.col("cents"),
+        lambda cent: F.struct(
+            F.round(
+                _dot(F.col(vec), cent["cv"])
+                / (_norm(F.col(vec)) * _norm(cent["cv"])),
+                4,
+            ).alias("s"),
+            cent["cid"].alias("cid"),
+        ),
+    )
+
+
+def _assign_cells(
+    df: DataFrame, vec: str, cent_row: DataFrame, id_type: str
+) -> DataFrame:
+    """``df`` plus its nearest-centroid ``centroid_id`` column.
+
+    A pure per-row fold over the broadcast centroid array: NO shuffle,
+    NO n_centroids-times row amplification (the window-rank formulation
+    shuffled 16N scored rows through an Exchange just to keep rank 1 of
+    each group — visible in .explain and pure waste at corpus scale).
+    """
+    best = F.aggregate(
+        _cell_scores(vec),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("s"),
+            F.lit(None).cast(id_type).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return df.crossJoin(cent_row).select(
+        *df.columns, best["cid"].alias("centroid_id")
+    )
+
+
+def _probe_cells(p: DataFrame, cent_row: DataFrame, nprobe: int) -> DataFrame:
+    """(probe_id, centroid_id) rows for each probe's ``nprobe`` BEST
+    cells — posexplode the scored array and rank. Probes are few by
+    contract (they broadcast in the re-rank), so this window is cheap.
+    """
+    p_scored = (
+        p.crossJoin(cent_row)
+        .select("probe_id", F.explode(_cell_scores("pvec")).alias("sc"))
+        .select(
+            "probe_id",
+            F.col("sc.s").alias("__cscore"),
+            F.col("sc.cid").alias("centroid_id"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("__cscore"), F.asc("centroid_id"))
+    return (
+        p_scored.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= nprobe)
+        .select("probe_id", "centroid_id")
+    )
+
+
 def _ivf_search(
     corpus: DataFrame,
     probes: DataFrame,
@@ -246,75 +332,14 @@ def _ivf_search(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
-    id_type = centroids.schema["centroid_id"].dataType.simpleString()
-    # All centroids as ONE broadcast row (sorted for a deterministic
-    # fold order, though argmax-with-tiebreak is order-independent).
-    cent_row = F.broadcast(
-        centroids.agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("centroid_id").alias("cid"),
-                        F.col("centroid_vec").alias("cv"),
-                    )
-                )
-            ).alias("cents")
-        )
+    cent_row, id_type = _centroid_fold_row(centroids)
+    assigned = _assign_cells(c, "cvec", cent_row, id_type).select(
+        "corpus_id", "centroid_id"
     )
-
-    def cell_scores(vec: str):
-        # transform (scores once per centroid) then fold on cheap
-        # scalars — a lambda body referencing the dot product twice
-        # would re-evaluate it per element.
-        return F.transform(
-            F.col("cents"),
-            lambda cent: F.struct(
-                F.round(
-                    _dot(F.col(vec), cent["cv"])
-                    / (_norm(F.col(vec)) * _norm(cent["cv"])),
-                    4,
-                ).alias("s"),
-                cent["cid"].alias("cid"),
-            ),
-        )
-
-    # Corpus-side assignment is a pure per-row fold over the broadcast
-    # centroid array: NO shuffle, NO n_centroids-times row
-    # amplification (the window-rank formulation shuffled 16N scored
-    # rows through an Exchange just to keep rank 1 of each group —
-    # visible in .explain and pure waste at corpus scale).
-    best = F.aggregate(
-        cell_scores("cvec"),
-        F.struct(
-            F.lit(-2.0).cast("double").alias("s"),
-            F.lit(None).cast(id_type).alias("cid"),
-        ),
-        lambda acc, x: F.when(
-            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-            x,
-        ).otherwise(acc),
-    )
-    assigned = c.crossJoin(cent_row).select(
-        "corpus_id", best["cid"].alias("centroid_id")
-    )
-
-    # Probe side needs the nprobe BEST cells, not just the argmax —
-    # posexplode the scored array and rank. Probes are few by contract
-    # (they broadcast in the re-rank), so this window is cheap.
     p = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
     )
-    p_scored = (
-        p.crossJoin(cent_row)
-        .select("probe_id", F.explode(cell_scores("pvec")).alias("sc"))
-        .select("probe_id", F.col("sc.s").alias("__cscore"), F.col("sc.cid").alias("centroid_id"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("__cscore"), F.asc("centroid_id"))
-    probe_cells = (
-        p_scored.withColumn("__crank", F.row_number().over(w))
-        .where(F.col("__crank") <= nprobe)
-        .select("probe_id", "centroid_id")
-    )
+    probe_cells = _probe_cells(p, cent_row, nprobe)
 
     # A corpus vector lives in exactly one cell, so (probe, corpus)
     # pairs are already unique — no distinct pass needed. Broadcasting
@@ -352,7 +377,20 @@ def ivf_topk(
     pruning); candidate volume per probe is ~nprobe/n_centroids of
     the corpus instead of all of it.
     """
-    centroids = (
+    centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
+    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
+
+
+def md5_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic pseudo-random coarse quantizer: ``n_centroids``
+    corpus vectors picked by md5 order — reproducible across engines
+    and partitionings (the property the oracle needs)."""
+    return (
         corpus.select(
             F.col(id_col).alias("centroid_id"), _as_double(vec_col).alias("centroid_vec")
         )
@@ -363,7 +401,6 @@ def ivf_topk(
         .limit(n_centroids)
         .drop("__r")
     )
-    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
 
 
 def ivf_kmeans_topk(

@@ -581,6 +581,31 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
 
 
+@query("embedding_ann_ivf_indexed", oracle=_IVF_ORACLE)
+def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once / search-many form of ``embedding_ann_ivf``: the
+    corpus is written to parquet ``partitionBy`` cell (one broadcast
+    -fold assignment pass, no shuffle), and the probe-time read prunes
+    to the probes' nprobe cells at the PARTITION level — bytes scanned
+    per query scale with nprobe, not corpus size. Same quantizer, same
+    re-rank => same oracle as the in-memory form; the pruning itself
+    is asserted in tests/test_dataops.py."""
+    import os
+
+    from bigdata_commerce_spark.operators import ivf_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ivf_index.write_ivf_index(emb, path, n_centroids=16)
+    return ivf_index.search_ivf_index(spark, path, probes, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

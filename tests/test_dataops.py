@@ -514,3 +514,45 @@ def test_ivf_kmeans_scores_match_exact_for_shared_pairs(spark):
     assert shared
     for pair in shared:
         assert exact[pair] == approx[pair]
+
+
+def test_ivf_index_search_matches_ivf_topk(spark, tmp_path):
+    """Persisted-index search must be bit-identical to the in-memory
+    ivf_topk with the same (default md5) quantizer: same assignment
+    fold, same nprobe cells, same exact re-rank."""
+    from bigdata_commerce_spark.operators import ivf_index
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    ivf_index.write_ivf_index(emb, path, n_centroids=16)
+    got = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, path, probes, k=5).collect())
+    )
+    want = sorted(map(tuple, similarity.ivf_topk(emb, probes, k=5).collect()))
+    assert got == want and got
+
+
+def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
+    """The probe-time cell scan must prune at the partition level:
+    PartitionFilters carries the cell-id predicate, and partitions
+    outside the wanted cells are not read."""
+    from bigdata_commerce_spark.operators import ivf_index
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    path = str(tmp_path / "ivf")
+    ivf_index.write_ivf_index(emb, path, n_centroids=16)
+    all_cells = [
+        r.centroid_id
+        for r in spark.read.parquet(f"{path}/cells").select("centroid_id").distinct().collect()
+    ]
+    wanted = sorted(all_cells)[:3]
+    scan = ivf_index.pruned_cell_scan(spark, path, wanted)
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "centroid_id" in pf_line, plan
+    # executed effect: the scan reads exactly the wanted cells
+    got_cells = {r.centroid_id for r in scan.select("centroid_id").distinct().collect()}
+    assert got_cells == set(wanted)
