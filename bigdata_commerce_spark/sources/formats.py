@@ -67,3 +67,20 @@ def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> 
     """Sharded CSV export. Arrays/structs are not CSV-representable;
     callers flatten first (ANSI mode makes the error explicit)."""
     df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC reader — the other columnar interchange format (Hive-era
+    warehouses hand data over as ORC). Self-describing like parquet,
+    so the schema is optional and used as a projection/validation
+    contract when given; predicate pushdown and column pruning apply
+    the same way."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Sharded ORC export (one file per partition)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
