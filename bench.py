@@ -64,15 +64,22 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s * 1.0, "double")
     spark.range(100).select(_warm(F.col("id").cast("double"))).count()
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must never zero out
+    # the whole round's bench signal — record null and keep going.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        # collect() materializes the full result like the driver does.
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            # collect() materializes the full result like the driver does.
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     out = {
         "metric": "catalog_suite_wall",
         "value": total,
@@ -80,6 +87,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # Regression guard: compare against the carried-forward baseline
     # (BENCH_BASELINE.json = round 1's sf0.1 numbers). The box swings
@@ -95,14 +104,17 @@ def main() -> None:
         suspects = {
             q: t
             for q, t in timings.items()
-            if q in base and base[q] > 0 and t > 2 * base[q]
+            if t is not None and q in base and base[q] > 0 and t > 2 * base[q]
         }
         regressions = {}
         for q, t in suspects.items():
             best = t
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[q](spark, sf_dir).collect()
+                try:
+                    QUERIES[q](spark, sf_dir).collect()
+                except Exception:  # noqa: BLE001
+                    break
                 best = min(best, round(time.perf_counter() - t0, 3))
             if best > 2 * base[q]:
                 regressions[q] = {"now": t, "best_of_3": best, "baseline": base[q]}

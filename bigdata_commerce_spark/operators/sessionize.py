@@ -51,15 +51,16 @@ def sessionize(
     w_user = Window.partitionBy(user_col).orderBy(ts_col)
     # Exact microsecond arithmetic (unix_timestamp truncates to seconds,
     # which would disagree with an interval-based oracle on sub-second
-    # boundary gaps).
+    # boundary gaps). unix_micros only accepts TIMESTAMP, so cast:
+    # TIMESTAMP_NTZ inputs (Spark >=3.5 reads timezone-less parquet
+    # timestamp[us] as NTZ) are value-preserving under the pinned UTC
+    # session timezone.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(ts_col).over(w_user).cast("timestamp"))
     gap_break = (
         F.when(
             F.lag(ts_col).over(w_user).isNull()
-            | (
-                F.unix_micros(F.col(ts_col))
-                - F.unix_micros(F.lag(ts_col).over(w_user))
-                > gap_minutes * 60 * 1_000_000
-            ),
+            | (ts_us - prev_us > gap_minutes * 60 * 1_000_000),
             F.lit(1),
         ).otherwise(F.lit(0))
     )

@@ -33,11 +33,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
-# long (spark.sql.legacy.parquet.nanosAsLong=true, set in session.py);
-# normalize to microsecond timestamps by truncation — the same
-# conversion DuckDB applies, so oracle comparisons agree.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose parquet physical type varies by generator
+# version: TIMESTAMP(NANOS) reads as long (with
+# spark.sql.legacy.parquet.nanosAsLong=true, set in session.py) and is
+# truncated to microseconds — the same conversion DuckDB applies;
+# timezone-less timestamp[us] reads as TIMESTAMP_NTZ in Spark >=3.5
+# and is cast to TIMESTAMP, value-preserving under the pinned UTC
+# session timezone (and agreeing with DuckDB's naive-timestamp
+# epoch arithmetic). Downstream operators see plain TIMESTAMP either
+# way.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -49,12 +54,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # timezone would shift every timestamp value relative to the
     # UTC-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANOS_TS_COLS:
+    if name in _TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
