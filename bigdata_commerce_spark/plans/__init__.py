@@ -7,10 +7,16 @@ from bigdata_commerce_spark.plans import (  # noqa: F401
     catalog_dataops,
     catalog_relational_ext,
 )
-from bigdata_commerce_spark.plans.registry import ORACLES, QUERIES
+from bigdata_commerce_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+    TWIN_ORACLES,
+    TWIN_QUERIES,
+)
 
 # The SQL-surface twin must produce byte-identical results to the
-# DataFrame form — give it the same oracle.
-ORACLES.setdefault("region_top3_parts_sql", ORACLES["region_top3_parts"])
+# DataFrame form — give it the same oracle (checked in pytest; twins
+# don't burn driver catalog slots).
+TWIN_ORACLES.setdefault("region_top3_parts_sql", ORACLES["region_top3_parts"])
 
-__all__ = ["QUERIES", "ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "TWIN_QUERIES", "TWIN_ORACLES"]

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from bigdata_commerce_spark.operators import dedup, multimodal, similarity
 from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
 from bigdata_commerce_spark.operators import text as text_ops
-from bigdata_commerce_spark.plans.registry import query
+from bigdata_commerce_spark.plans.registry import query, twin_query
 from bigdata_commerce_spark.sources import commerce as _commerce
 from bigdata_commerce_spark.sources.testdata import load_table
 
@@ -260,7 +260,7 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
     return f"SELECT id, {cols} FROM ex GROUP BY id"
 
 
-@query(
+@twin_query(
     "minhash_signatures",
     oracle=f"""
     WITH {_SHINGLE_CTE}
@@ -270,7 +270,9 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-component MinHash signature per document (min of md5(i||':'||
     shingle) — fixed-width hex makes string-min == numeric-min, so the
-    signature is engine-portable)."""
+    signature is engine-portable). Twin slot: the consuming
+    ``dedup_minhash_lsh`` recomputes these signatures inside its own
+    driver-checked oracle, so the frame itself is pytest-checked."""
     docs = load_table(spark, "documents", sf_dir)
     return dedup.minhash_signatures(docs, num_hashes=8)
 
@@ -350,9 +352,11 @@ def _simhash_sql() -> str:
     """
 
 
-@query("simhash_values", oracle=_simhash_sql())
+@twin_query("simhash_values", oracle=_simhash_sql())
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (nibble-arithmetic portable)."""
+    """60-bit SimHash per document (nibble-arithmetic portable).
+    Twin slot: ``dedup_simhash``'s driver-checked oracle embeds the
+    same simhash CTE, so the value frame is pytest-checked."""
     docs = load_table(spark, "documents", sf_dir)
     return dedup.simhash(docs)
 
@@ -581,7 +585,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
 
 
-@query("embedding_ann_ivf_indexed", oracle=_IVF_ORACLE)
+@twin_query("embedding_ann_ivf_indexed", oracle=_IVF_ORACLE)
 def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The build-once / search-many form of ``embedding_ann_ivf``: the
     corpus is written to parquet ``partitionBy`` cell (one broadcast

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from bigdata_commerce_spark.functions import money_sum
 from bigdata_commerce_spark.operators.asof import asof_join
 from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
-from bigdata_commerce_spark.plans.registry import query
+from bigdata_commerce_spark.plans.registry import query, twin_query
 from bigdata_commerce_spark.sources.testdata import load_table
 
 
@@ -209,13 +209,14 @@ def supplier_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("region_top3_parts_sql")
+@twin_query("region_top3_parts_sql")
 def region_top3_parts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface parity (SURVEY.md §3.2): the area/top-3 pipeline as
     the reference writes it — a chain of temp views consumed by
     spark.sql — proving the engine's full SQL surface produces the
     same plan/result as the DataFrame form (views are logical plans;
-    the chain fuses into one physical plan)."""
+    the chain fuses into one physical plan). Twin slot: pytest asserts
+    row-identical output vs the driver-checked ``region_top3_parts``."""
     from bigdata_commerce_spark.sources.testdata import register_views
 
     register_views(spark, sf_dir)
