@@ -74,3 +74,18 @@ def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
     n_out = len(glob.glob(f"{out}/part-*.parquet"))
     assert n_out == 4, n_out
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_compaction_rejects_overlapping_paths(spark, tmp_path):
+    """In-place / nested compaction must refuse: overwrite would
+    truncate the lazily-read source."""
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.sources import compaction
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id")
+    base = str(tmp_path / "src")
+    docs.limit(10).write.parquet(base)
+    for out in (base, base + "/", base + "/nested", str(tmp_path)):
+        with _pytest.raises(ValueError, match="overlaps"):
+            compaction.compact(spark, base, out)
