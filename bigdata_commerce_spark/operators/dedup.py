@@ -329,27 +329,38 @@ def simhash(
     nibble decode) reproduces it exactly.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
-    h = F.md5(F.col("shingle"))
-    nibbled = ex.select(
+    # One-element explode barrier (same trick as _exploded_shingles):
+    # without it CollapseProject inlines the md5 alias into all 15
+    # nibble decodes, hashing every shingle 15x. Generate binds the
+    # digest as a real attribute, so md5 runs once per shingle.
+    hashed = ex.select("id", F.explode(F.array(F.md5(F.col("shingle")))).alias("h"))
+    # The 15-nibble / 60-bit fold is built from SQL strings, not nested
+    # Column operators: the Column form issues one py4j round-trip per
+    # operator node (~500 calls for 60 aggregates + the 60-term value
+    # chain), which measured 2.5 s of *driver-side build time* per
+    # invocation at any data size — 6x the query's actual execution.
+    # One expr() parse per output column keeps the identical plan with
+    # ~80 gateway calls.
+    nibbled = hashed.selectExpr(
         "id",
         *[
-            F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int").alias(f"v{p}")
+            f"CAST(conv(substring(h, {p + 1}, 1), 16, 10) AS INT) AS v{p}"
             for p in range(SIMHASH_NIBBLES)
         ],
     )
-    aggs = []
-    for p in range(SIMHASH_NIBBLES):
-        for b in range(4):
-            contrib = (F.shiftright(F.col(f"v{p}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            aggs.append(F.sum(contrib).alias(f"s{p}_{b}"))
-    summed = nibbled.groupBy("id").agg(*aggs)
-    value = None
-    for p in range(SIMHASH_NIBBLES):
-        for b in range(4):
-            bit = F.when(F.col(f"s{p}_{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-            term = bit.cast("bigint") * F.lit(1 << (4 * p + b)).cast("bigint")
-            value = term if value is None else value + term
-    return summed.select("id", value.alias("simhash"))
+    summed = nibbled.groupBy("id").agg(
+        *[
+            F.expr(f"sum((shiftright(v{p}, {b}) & 1) * 2 - 1) AS s{p}_{b}")
+            for p in range(SIMHASH_NIBBLES)
+            for b in range(4)
+        ]
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{p}_{b} > 0 THEN 1 ELSE 0 END) * CAST({1 << (4 * p + b)} AS BIGINT)"
+        for p in range(SIMHASH_NIBBLES)
+        for b in range(4)
+    )
+    return summed.selectExpr("id", f"{value} AS simhash")
 
 
 def simhash_pairs(
