@@ -63,6 +63,63 @@ def test_replace_partition_deletes_then_inserts(spark, tmp_path):
     assert got == {("p1", "w", 9), ("p2", "z", 3)}
 
 
+def test_kill_and_resume_from_checkpoint_matches_uninterrupted(spark, tmp_path):
+    """Stop a streaming query mid-stream, restart it from the same
+    checkpoint against the same Derby database, and the final state
+    must equal an uninterrupted run over the same chunks — the JDBC
+    twin of the parquet backend's restart-recovery test. The epoch
+    ledger must also absorb any replayed micro-batch across the
+    restart boundary without double-applying."""
+    import shutil
+
+    def write_chunk(flat, name, rows):
+        staging = tmp_path / f"stage_{flat.name}_{name}"
+        _counts(spark, rows).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    def run(flat, ckpt, backend, table):
+        sink = backend.accumulate_sink(table, ["k"], "v")
+        q = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    chunk1 = [("a", 1), ("b", 2)]
+    chunk2 = [("a", 10), ("c", 3)]
+    chunk3 = [("b", 1), ("c", 1)]
+
+    # Interrupted run: chunk1, stop (the "kill"), land more chunks,
+    # restart from the same checkpoint.
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    be = _backend(spark, tmp_path, "rec")
+    write_chunk(flat, "c1", chunk1)
+    run(flat, tmp_path / "ckpt", be, "t_rec")
+    write_chunk(flat, "c2", chunk2)
+    write_chunk(flat, "c3", chunk3)
+    run(flat, tmp_path / "ckpt", be, "t_rec")
+
+    # Uninterrupted twin: all chunks visible from the start.
+    flat2 = tmp_path / "flat2"
+    flat2.mkdir()
+    be2 = _backend(spark, tmp_path, "rec_twin")
+    for name, rows in (("c1", chunk1), ("c2", chunk2), ("c3", chunk3)):
+        write_chunk(flat2, name, rows)
+    run(flat2, tmp_path / "ckpt2", be2, "t_rec")
+
+    got = {(r.k, r.v) for r in be.read_state("t_rec").collect()}
+    want = {(r.k, r.v) for r in be2.read_state("t_rec").collect()}
+    assert got == want == {("a", 11), ("b", 3), ("c", 4)}
+
+
 def test_jdbc_matches_parquet_epoch_sinks(spark, tmp_path):
     """Same merge algebra behind both backends: an identical batch
     sequence through the parquet accumulate sink and the JDBC MERGE
