@@ -122,6 +122,93 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, _lang_pred(text_col).alias("predicted_lang"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 family of
+    filters): the fraction of duplicated tokens / 2-grams / 3-grams in
+    each document. High values mark boilerplate, keyword stuffing and
+    degenerate generations — standard kill criteria in pretraining
+    corpus cleaning.
+
+    dup fraction over a bag B = 1 - |distinct(B)| / |B|; computed with
+    array expressions only (size + array_distinct over the shingle
+    fold), so the whole operator is ONE projection — no explode, no
+    shuffle, stays in whole-stage codegen at any corpus size.
+    """
+    t = tokens(text_col)
+
+    def _dup_fraction(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, F.round((n - F.size(F.array_distinct(arr))) / n, 4)
+        ).otherwise(F.lit(0.0))
+
+    # one-element explode barrier: t is referenced by six expressions
+    # below; without the barrier each one re-tokenizes the text.
+    barrier = df.select(
+        id_col, F.explode(F.array(F.struct(t.alias("t")))).alias("x")
+    )
+    tb = F.col("x.t")
+
+    def _dup_of(n: int) -> Column:
+        if n == 1:
+            return _dup_fraction(tb)
+        length = F.size(tb) - (n - 1)
+        acc = F.slice(tb, 1, length)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(tb, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(F.size(tb) >= n, _dup_fraction(acc)).otherwise(F.lit(0.0))
+
+    return barrier.select(
+        id_col,
+        F.size(tb).alias("n_tokens"),
+        _dup_of(1).alias("dup_token_frac"),
+        _dup_of(2).alias("dup_2gram_frac"),
+        _dup_of(3).alias("dup_3gram_frac"),
+    )
+
+
+# PII patterns: deliberately simple, deterministic regexes (the same
+# class DuckDB's RE2-style engine accepts) — emails, North-America-ish
+# phone numbers, IPv4. A production scrubber adds locale packs and a
+# validation pass; the Spark-side shape (one projection, chained
+# regexp_replace, counts from the PRE-scrub text) is what matters.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholders and report per-document match counts (the audit
+    trail a compliance pass needs). Pure projection: regexp_count +
+    chained regexp_replace, codegen end to end.
+
+    Order matters and is fixed: emails first (an email never parses
+    as a phone), then phones, then IPv4 (phone scrub cannot create an
+    IP). Counts are computed on the ORIGINAL text, not the partially
+    scrubbed intermediate, so they are order-independent.
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return df.select(
+        id_col,
+        scrubbed.alias("scrubbed_text"),
+        F.regexp_count(c, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_IPV4)).alias("n_ipv4"),
+    )
+
+
 def curate(
     df: DataFrame,
     min_quality: float = 0.5,

@@ -70,13 +70,103 @@ FROM tok_docs
 """
 
 
-@query("text_stats", oracle=_TEXT_STATS_SQL)
+@twin_query("text_stats", oracle=_TEXT_STATS_SQL)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics — pure projection, no shuffle,
-    stays in whole-stage codegen (operators/text.py)."""
+    stays in whole-stage codegen (operators/text.py). Twin slot:
+    ``text_quality_score``'s driver-checked oracle embeds this whole
+    CTE, so the stats frame itself is pytest-checked."""
     docs = load_table(spark, "documents", sf_dir)
     out = text_ops.text_stats(docs)
     return out.withColumn("n_chars", F.col("n_chars").cast("bigint"))
+
+
+def _dup_frac_sql(list_expr: str, min_len: int) -> str:
+    arr = f"CASE WHEN len(toks) >= {min_len} THEN {list_expr} ELSE NULL END"
+    return (
+        f"COALESCE(ROUND((len({arr}) - len(list_distinct({arr}))) * 1.0"
+        f" / NULLIF(len({arr}), 0), 4), 0.0)"
+    )
+
+
+def _ngram_list_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return f"list_transform(range(1, len(toks) - {n - 2}), i -> {parts})"
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           {_dup_frac_sql("toks", 1)} AS dup_token_frac,
+           {_dup_frac_sql(_ngram_list_sql(2), 2)} AS dup_2gram_frac,
+           {_dup_frac_sql(_ngram_list_sql(3), 3)} AS dup_3gram_frac
+    FROM tok_docs
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicated token /
+    2-gram / 3-gram fractions per document, all from array
+    expressions in one projection (operators/text.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.repetition_stats(docs)
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{text_ops.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{text_ops.PII_PHONE}', '<PHONE>', 'g'),
+               '{text_ops.PII_IPV4}', '<IP>', 'g') AS scrubbed_text,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_IPV4}')) AS INT) AS n_ipv4
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone/IPv4 redaction with per-document audit counts —
+    one codegen projection (operators/text.py). The synthetic corpus
+    contains no PII, so counts are zero here; the regex semantics are
+    additionally pinned by tests/test_dataops.py on crafted rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.pii_scrub(docs)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , counted AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok_docs
+    ), offsets AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+        FROM counted
+    )
+    SELECT doc_id, n_tokens,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_start // 2048 AS BIGINT) AS pack_id,
+           CAST(token_start % 2048 AS BIGINT) AS pack_offset
+    FROM offsets
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget contiguous-fill packing (operators/packing.py).
+    The oracle is the one-window global-prefix-sum spec; the Spark
+    side computes the SAME numbers with a two-level bucketed prefix
+    sum that never runs a global window over the corpus — the check
+    proves the distributed decomposition equals the spec."""
+    from bigdata_commerce_spark.operators.packing import pack_sequences as _pack
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select("doc_id", F.size(text_ops.tokens("text")).alias("n_tokens"))
+    return _pack(counted, budget=2048)
 
 
 @query(
@@ -638,7 +728,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@twin_query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id,
@@ -651,7 +741,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize plumbing: Arrow-batched mapInPandas kernel (the
     PIL/libvips decode->resample->encode seam), deterministic stub
-    fingerprint reproduced by the DuckDB oracle via sha256."""
+    fingerprint reproduced by the DuckDB oracle via sha256. Twin
+    slot: same kernel plumbing as the driver-checked
+    ``multimodal_features`` / ``multimodal_frame_sample``."""
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.documents_as_media(docs)
     return multimodal.resize_media(media, width=64, height=64)

@@ -113,7 +113,7 @@ def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.subtract(buyers)
 
 
-@query(
+@twin_query(
     "users_click_and_purchase",
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'click'
@@ -122,7 +122,9 @@ def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (INTERSECT)."""
+    """Set intersection (INTERSECT). Twin slot: §2.7's set-operation
+    surface keeps ``users_click_no_purchase`` (EXCEPT, including the
+    0-row edge) as its driver-checked representative."""
     ev = load_table(spark, "events", sf_dir)
     clickers = ev.where(F.col("event_type") == "click").select("user_id")
     buyers = ev.where(F.col("event_type") == "purchase").select("user_id")

@@ -1,0 +1,101 @@
+"""Unit coverage for the round-3 training-data operators: repetition
+filters, PII scrubbing (the synthetic corpus has no PII, so regex
+semantics are pinned on crafted rows here), and token-budget sequence
+packing (determinism + partition independence + the two-level prefix
+sum against a driver-side spec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.packing import pack_sequences
+from bigdata_commerce_spark.operators.text import pii_scrub, repetition_stats
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        # 4 tokens, all distinct; 3 distinct 2-grams, 2 distinct 3-grams
+        (1, "a b c d"),
+        # "a a a a": dup tokens 3/4; 2-grams [aa,aa,aa] dup 2/3;
+        # 3-grams [aaa,aaa] dup 1/2
+        (2, "a a a a"),
+        # single token: no 2/3-grams -> 0.0 by contract
+        (3, "solo"),
+        # "x y x y": tokens dup 2/4; 2-grams [xy,yx,xy] dup 1/3;
+        # 3-grams [xyx,yxy] distinct -> 0
+        (4, "x y x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].dup_token_frac == 0.0
+    assert got[1].dup_2gram_frac == 0.0
+    assert got[2].dup_token_frac == 0.75
+    assert got[2].dup_2gram_frac == round(2 / 3, 4)
+    assert got[2].dup_3gram_frac == 0.5
+    assert got[3].dup_2gram_frac == 0.0
+    assert got[3].dup_3gram_frac == 0.0
+    assert got[4].dup_token_frac == 0.5
+    assert got[4].dup_2gram_frac == round(1 / 3, 4)
+    assert got[4].dup_3gram_frac == 0.0
+
+
+def test_pii_scrub_crafted_rows(spark):
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+        (2, "server at 10.0.255.3 and mirror at 192.168.1.1"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io c@d.org; call +1 333 444 5555"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "<EMAIL>" in got[1].scrubbed_text and "<PHONE>" in got[1].scrubbed_text
+    assert "bob.smith" not in got[1].scrubbed_text
+    assert got[2].n_ipv4 == 2 and got[2].scrubbed_text.count("<IP>") == 2
+    assert got[3].scrubbed_text == rows[2][1]
+    assert got[3].n_emails == got[3].n_phones == got[3].n_ipv4 == 0
+    assert got[4].n_emails == 2 and got[4].n_phones == 1
+
+
+def test_pack_sequences_matches_sequential_spec(spark):
+    """The two-level distributed prefix sum must equal the sequential
+    contiguous-fill spec, regardless of input partitioning."""
+    import random
+
+    rng = random.Random(7)
+    docs = [(i, rng.randint(1, 900)) for i in range(0, 5000, 3)]
+    budget = 2048
+
+    # driver-side sequential spec
+    expected = {}
+    start = 0
+    for doc_id, n in docs:  # docs already in doc_id order
+        expected[doc_id] = (start, start // budget, start % budget)
+        start += n
+
+    for n_parts in (1, 7, 32):
+        df = spark.createDataFrame(docs, "doc_id long, n_tokens long").repartition(
+            n_parts
+        )
+        got = {
+            r.doc_id: (r.token_start, r.pack_id, r.pack_offset)
+            for r in pack_sequences(df, budget=budget, bucket_width=64).collect()
+        }
+        assert got == expected, f"mismatch at {n_parts} partitions"
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark):
+    """The corpus-wide window must be partitioned (by bucket); the
+    only single-partition exchange in the plan feeds the bucket-totals
+    window, which sees #buckets rows, never the corpus."""
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1000)], "doc_id long, n_tokens long"
+    )
+    plan = (
+        pack_sequences(df, budget=128, bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
