@@ -165,6 +165,18 @@ def neardup_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    # Explicit fan-out before the verify: candidate rows are tiny (two
+    # longs) but each costs a 2*dim-float cosine after the join, so
+    # AQE's size-based coalescing collapses the stage to a few
+    # partitions and serializes the math (measured 2.2x the whole
+    # query's wall at sf0.1). REPARTITION_BY_NUM is exempt from AQE
+    # coalescing; size to the session's configured parallelism.
+    sc = corpus.sparkSession.sparkContext
+    n_parts = max(
+        sc.defaultParallelism,
+        int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    candidates = candidates.repartition(n_parts)
     v1 = corpus.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
     v2 = corpus.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
     # Threshold the UNROUNDED cosine, round only for output — the
