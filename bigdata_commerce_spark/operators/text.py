@@ -171,6 +171,55 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the step
+    between cleaning and sequence packing in a pretraining pipeline
+    (long documents become training-sized pieces; the overlap
+    preserves cross-boundary context).
+
+    Chunk c covers tokens [c*stride, c*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short, and
+    a chunk is only emitted if it starts inside the document, so every
+    token lands in >=1 chunk and no empty chunks appear. Pure array
+    expressions + one explode — map-side, no shuffle, and exactly
+    expressible in the DuckDB oracle (range + list_slice).
+
+    Returns (doc_id, chunk_no, chunk_n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    # one-element explode barrier: bind the token array once (see
+    # _exploded_shingles in operators/dedup.py for the rationale)
+    barrier = df.select(
+        id_col, F.explode(F.array(F.struct(tokens(text_col).alias("t")))).alias("x")
+    )
+    t = F.col("x.t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_no"),
+            F.slice(t, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        barrier.select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.size("c.toks").alias("chunk_n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )
+
+
 # PII patterns: deliberately simple, deterministic regexes (the same
 # class DuckDB's RE2-style engine accepts) — emails, North-America-ish
 # phone numbers, IPv4. A production scrubber adds locale packs and a

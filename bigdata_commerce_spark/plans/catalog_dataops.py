@@ -137,6 +137,30 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.pii_scrub(docs)
 
 
+@twin_query(
+    "chunk_documents",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , starts AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 224)) AS s
+        FROM tok_docs
+    )
+    SELECT doc_id,
+           CAST(s // 224 AS INT) AS chunk_no,
+           CAST(len(toks[s + 1 : s + 256]) AS INT) AS chunk_n_tokens,
+           array_to_string(toks[s + 1 : s + 256], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per document (256-token chunks,
+    32-token overlap -> stride 224) — map-side array expressions + one
+    explode (operators/text.py). Twin slot: the driver catalog is at
+    its 50-entry cap; oracle-checked in pytest."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.chunk_documents(docs, chunk_tokens=256, overlap=32)
+
+
 @query(
     "pack_sequences",
     oracle=f"""

@@ -57,6 +57,28 @@ def test_pii_scrub_crafted_rows(spark):
     assert got[4].n_emails == 2 and got[4].n_phones == 1
 
 
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from bigdata_commerce_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "short doc")],
+                               "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_no, r.chunk_n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: stride 3 -> starts 0,3,6,9; last chunk is 1 token
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+        (2, 0, 2, "short doc"),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert got[0][3].split()[-1:] == got[1][3].split()[:1]
+
+
 def test_pack_sequences_matches_sequential_spec(spark):
     """The two-level distributed prefix sum must equal the sequential
     contiguous-fill spec, regardless of input partitioning."""
