@@ -66,6 +66,57 @@ def write_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a written index: assign the delta
+    against the INDEX'S OWN centroids (read back from ``centroids/`` —
+    the quantizer is frozen at build time, so old and new vectors are
+    binned identically) and append the rows into the partitioned cell
+    store. No rebuild, no touch of existing data: parquet append under
+    ``partitionBy`` only adds files inside the affected cell
+    directories. Searches immediately see the union — results equal a
+    one-shot build over the full corpus with the same centroids
+    (asserted in tests).
+
+    At 100 TB this is the steady-state ingest path: per-batch cost is
+    one broadcast fold over the batch. Cell skew/drift accumulates as
+    the data distribution moves away from the frozen quantizer —
+    monitor per-cell row counts and re-quantize + rebuild when the
+    largest cell exceeds budget (rebuild is ``write_ivf_index`` with
+    fresh centroids; the layout is unchanged). Small appended files
+    are exactly what ``sources/compaction.compact`` exists for — run
+    it per closed cell directory.
+    """
+    spark = delta.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cent_row, id_type = _centroid_fold_row(centroids)
+    c = delta.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
+    )
+    assigned = _assign_cells(c, "cvec", cent_row, id_type)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/cells")
+
+
+def ivf_append_sink(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """foreachBatch sink: streaming IVF index maintenance — each
+    micro-batch of embeddings is assigned and appended to the store.
+    Parquet append is not idempotent under micro-batch replay; wrap
+    with the epoch-ledger discipline of ``streaming/sinks.py`` when
+    the source can replay (the test topology uses exactly-once file
+    sources)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(batch_df, path, id_col, vec_col)
+
+    return fn
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

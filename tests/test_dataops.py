@@ -533,6 +533,87 @@ def test_ivf_index_search_matches_ivf_topk(spark, tmp_path):
     assert got == want and got
 
 
+def test_ivf_index_append_equals_one_shot_build(spark, tmp_path):
+    """Build on half the corpus, append the other half: searches must
+    be row-identical to a one-shot build over the full corpus with the
+    same frozen quantizer."""
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    cents = md5_centroids(emb, 16).cache()
+
+    full_path = str(tmp_path / "ivf_full")
+    ivf_index.write_ivf_index(emb, full_path, centroids=cents)
+    inc_path = str(tmp_path / "ivf_inc")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    ivf_index.write_ivf_index(half1, inc_path, centroids=cents)
+    ivf_index.append_to_ivf_index(half2, inc_path)
+
+    got = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, inc_path, probes, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, full_path, probes, k=5).collect())
+    )
+    assert got == want and got
+    cents.unpersist()
+
+
+def test_ivf_streaming_append_sink_converges_to_batch_index(spark, tmp_path):
+    """Streaming index maintenance: micro-batches of embeddings fed
+    through ivf_append_sink land an index whose search equals the
+    batch-built one (same frozen centroids)."""
+    import shutil as _shutil
+
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5).cache()
+    cents = md5_centroids(emb, 16).cache()
+
+    batch_path = str(tmp_path / "ivf_batch")
+    ivf_index.write_ivf_index(emb, batch_path, centroids=cents)
+
+    # streamed index: seeded empty (build with 0 rows), all data
+    # arrives through the stream in 3 chunks
+    stream_path = str(tmp_path / "ivf_stream")
+    ivf_index.write_ivf_index(emb.limit(0), stream_path, centroids=cents)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    rows = emb.collect()
+    third = len(rows) // 3
+    for i, chunk in enumerate((rows[:third], rows[third : 2 * third], rows[2 * third :])):
+        chunk_dir = tmp_path / f"c{i}"
+        spark.createDataFrame(chunk, emb.schema).coalesce(1).write.parquet(str(chunk_dir))
+        part = next(chunk_dir.glob("part-*.parquet"))
+        _shutil.copy(part, flat / f"{i:02d}.parquet")
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(ivf_index.ivf_append_sink(stream_path))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, stream_path, probes, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, batch_path, probes, k=5).collect())
+    )
+    assert got == want and got
+    cents.unpersist()
+    probes.unpersist()
+
+
 def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
     """The probe-time cell scan must prune at the partition level:
     PartitionFilters carries the cell-id predicate, and partitions
