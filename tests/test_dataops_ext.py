@@ -6,6 +6,7 @@ sum against a driver-side spec)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.packing import pack_sequences
@@ -104,6 +105,66 @@ def test_pack_sequences_matches_sequential_spec(spark):
             for r in pack_sequences(df, budget=budget, bucket_width=64).collect()
         }
         assert got == expected, f"mismatch at {n_parts} partitions"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chunk_documents_partition_properties(spark, seed):
+    """Chunking invariants over random corpora: every token index is
+    covered; consecutive chunks of a doc overlap by exactly `overlap`
+    (except a shorter trailing chunk); rebuilding the doc from chunk 0
+    strides reproduces the normalized text."""
+    import random
+
+    from bigdata_commerce_spark.operators.text import chunk_documents
+
+    rng = random.Random(seed)
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    docs = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        n_tokens = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_no)
+        # chunk_no is dense from 0; starts cover every token index
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            start = c.chunk_no * stride
+            covered.update(range(start, start + c.chunk_n_tokens))
+            assert c.chunk_n_tokens == len(c.chunk_text.split())
+        assert covered == set(range(n_tokens))
+        # stride-0 reconstruction: dropping each chunk's first
+        # `overlap` tokens (except chunk 0) rebuilds the doc
+        rebuilt: list[str] = []
+        for c in chunks:
+            toks = c.chunk_text.split()
+            rebuilt.extend(toks if c.chunk_no == 0 else toks[overlap:])
+        assert len(rebuilt) >= n_tokens  # trailing chunk may re-add tail
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pack_sequences_pack_budget_property(spark, seed):
+    """No pack's content begins at an offset outside [0, budget); pack
+    ids are dense over the token space; per-pack token starts are
+    consistent with the documents' own lengths."""
+    import random
+
+    rng = random.Random(seed)
+    budget = 512
+    docs = [(i, rng.randint(1, 300)) for i in range(500)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    rows = pack_sequences(df, budget=budget, bucket_width=32).collect()
+    assert all(0 <= r.pack_offset < budget for r in rows)
+    assert all(r.pack_id == r.token_start // budget for r in rows)
+    total = sum(n for _, n in docs)
+    assert max(r.token_start + r.n_tokens for r in rows) == total
 
 
 def test_pack_sequences_no_global_window_over_corpus(spark):
