@@ -1,0 +1,107 @@
+"""Time-series similarity search over the event stream.
+
+Pattern from the distributed time-series literature (e.g. "Time
+Series Similarity Search for Streaming Data in Distributed Systems",
+EDBT 2019): resample each entity's raw events onto a fixed-length
+grid, treat the grid as a dense vector, and run similarity search
+with the same vector machinery the embedding family already has —
+``similarity.cosine_topk`` exact search here; the LSH/IVF ANN paths
+accept the same (id, vector) shape when the entity count outgrows
+brute force.
+
+The resample is one aggregation: events bucket to grid cells
+map-side, partial sums combine, and the dense vector materializes
+per entity from a map lookup over ``sequence(0, n-1)`` — no explode,
+no per-entity collect, no UDF. At 100 TB the only shuffle is the
+(entity, bucket) aggregate; grid length is a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.similarity import cosine_topk
+
+
+def value_series(
+    events: DataFrame,
+    n_buckets: int,
+    bucket_seconds: int,
+    origin: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(key, series) with ``series[i]`` = sum of ``value_col`` in
+    ``[origin + i*bucket, origin + (i+1)*bucket)``; events outside the
+    grid are dropped. ``origin`` is an ISO timestamp string so the
+    grid is a fixed contract, not data-dependent (series from
+    different runs/partitions align)."""
+    origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
+    # floor, not truncate-toward-zero: a pre-origin event must land in
+    # a negative bucket (and be dropped), not alias into bucket 0
+    bucket = F.floor(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) - origin_us)
+        / (bucket_seconds * 1_000_000)
+    ).cast("bigint")
+    per_bucket = (
+        events.select(
+            F.col(key_col).alias("series_id"),
+            bucket.alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .where((F.col("bucket") >= 0) & (F.col("bucket") < n_buckets))
+        .groupBy("series_id", "bucket")
+        .agg(
+            # round_dp pins the per-bucket sum to a fixed precision so
+            # float summation order (partial-aggregation dependent)
+            # cannot drift an oracle hash comparison
+            (
+                F.round(F.sum("v"), round_dp) if round_dp is not None else F.sum("v")
+            ).alias("v")
+        )
+    )
+    # dense vector: aggregate the sparse (bucket, v) entries into a
+    # map (<= n_buckets entries per key — bounded by the grid, not the
+    # data), then one projection fills the fixed grid via map lookup.
+    sparse = per_bucket.groupBy("series_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+        ).alias("m")
+    )
+    return sparse.select(
+        "series_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.coalesce(F.element_at("m", i.cast("bigint")), F.lit(0.0)),
+        ).alias("series"),
+    )
+
+
+def similar_series(
+    events: DataFrame,
+    probe_keys: list,
+    k: int = 5,
+    n_buckets: int = 48,
+    bucket_seconds: int = 3600,
+    origin: str = "2024-01-01 00:00:00",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Top-k most similar entities (cosine over resampled value
+    series) for each probe entity. Exact brute-force via
+    ``cosine_topk`` — probes broadcast, corpus never shuffled; swap in
+    ``lsh_ann_topk``/``ivf_topk`` unchanged when entities outgrow
+    brute force.
+
+    Returns (probe_id, corpus_id, score, rank).
+    """
+    series = value_series(
+        events, n_buckets, bucket_seconds, origin, key_col, ts_col, value_col, round_dp
+    )
+    probes = series.where(F.col("series_id").isin(probe_keys))
+    return cosine_topk(series, probes, k=k, id_col="series_id", vec_col="series")

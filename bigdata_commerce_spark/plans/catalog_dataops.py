@@ -137,6 +137,67 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.pii_scrub(docs)
 
 
+_TS_SIM_VEC = "list_reduce(list_transform(list_zip({a}, {b}), q -> q[1] * q[2]), (acc, x) -> acc + x)"
+
+
+@twin_query(
+    "ts_similar_users",
+    oracle=f"""
+    WITH per_bucket AS (
+        SELECT user_id AS series_id,
+               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                    // CAST(21600000000 AS BIGINT) AS BIGINT) AS bucket,
+               ROUND(SUM(value), 6) AS v
+        FROM events
+        WHERE (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+              // CAST(21600000000 AS BIGINT) BETWEEN 0 AND 119
+        GROUP BY 1, 2
+    ), keys AS (
+        SELECT DISTINCT series_id FROM per_bucket
+    ), grid AS (
+        SELECT series_id, i AS bucket
+        FROM keys CROSS JOIN (SELECT unnest(range(0, 120)) AS i)
+    ), dense AS (
+        SELECT g.series_id, g.bucket, COALESCE(p.v, 0.0) AS v
+        FROM grid g LEFT JOIN per_bucket p USING (series_id, bucket)
+    ), series AS (
+        SELECT series_id, list(v ORDER BY bucket) AS s
+        FROM dense GROUP BY series_id
+    ), scored AS (
+        SELECT p.series_id AS probe_id, c.series_id AS corpus_id,
+               ROUND({_TS_SIM_VEC.format(a="p.s", b="c.s")}
+                 / (sqrt({_TS_SIM_VEC.format(a="p.s", b="p.s")})
+                    * sqrt({_TS_SIM_VEC.format(a="c.s", b="c.s")})), 4) AS score
+        FROM series p JOIN series c ON c.series_id != p.series_id
+        WHERE p.series_id < 5
+    )
+    SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: users resampled onto a fixed
+    120x6h grid over the events month, cosine top-5 most similar
+    users per probe via the shared vector machinery
+    (operators/timeseries.py -> similarity.cosine_topk). Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.timeseries import similar_series
+
+    ev = load_table(spark, "events", sf_dir)
+    return similar_series(
+        ev,
+        probe_keys=[0, 1, 2, 3, 4],
+        k=5,
+        n_buckets=120,
+        bucket_seconds=21600,
+        origin="2024-01-01 00:00:00",
+        round_dp=6,
+    )
+
+
 @twin_query(
     "chunk_documents",
     oracle=f"""

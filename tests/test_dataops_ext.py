@@ -167,6 +167,57 @@ def test_pack_sequences_pack_budget_property(spark, seed):
     assert max(r.token_start + r.n_tokens for r in rows) == total
 
 
+def test_value_series_grid_contract(spark):
+    """Resampled series: fixed length, zero-filled gaps, out-of-grid
+    events (including pre-origin) dropped, sums per bucket."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.timeseries import value_series
+
+    o = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, o + dt.timedelta(seconds=10), 1.5),
+        (1, o + dt.timedelta(seconds=20), 2.0),   # same bucket as above
+        (1, o + dt.timedelta(seconds=70), 4.0),   # bucket 1
+        (1, o - dt.timedelta(seconds=5), 99.0),   # pre-origin: dropped
+        (2, o + dt.timedelta(seconds=130), 7.0),  # bucket 2
+        (2, o + dt.timedelta(seconds=1000), 8.0),  # beyond grid: dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r.series_id: r.series
+        for r in value_series(
+            df, n_buckets=4, bucket_seconds=60, origin="2024-01-01 00:00:00"
+        ).collect()
+    }
+    assert got[1] == [3.5, 4.0, 0.0, 0.0]
+    assert got[2] == [0.0, 0.0, 7.0, 0.0]
+
+
+def test_similar_series_identical_series_rank_first(spark):
+    """Two users with proportional series have cosine 1.0 and must
+    rank each other first."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.timeseries import similar_series
+
+    o = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, scale in ((1, 1.0), (2, 3.0), (3, None)):
+        for b, v in ((0, 2.0), (1, 5.0), (3, 1.0)):
+            rows.append(
+                (u, o + dt.timedelta(seconds=60 * b + 5),
+                 v * scale if scale else 9.0 - v)
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = similar_series(
+        df, probe_keys=[1], k=2, n_buckets=4, bucket_seconds=60,
+        origin="2024-01-01 00:00:00",
+    ).collect()
+    assert [r.corpus_id for r in got] == [2, 3]
+    assert got[0].score == 1.0
+
+
 def test_pack_sequences_no_global_window_over_corpus(spark):
     """The corpus-wide window must be partitioned (by bucket); the
     only single-partition exchange in the plan feeds the bucket-totals
