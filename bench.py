@@ -104,7 +104,10 @@ def main() -> None:
         suspects = {
             q: t
             for q, t in timings.items()
-            if t is not None and q in base and base[q] > 0 and t > 2 * base[q]
+            if t is not None
+            and base.get(q) is not None
+            and base[q] > 0
+            and t > 2 * base[q]
         }
         regressions = {}
         for q, t in suspects.items():

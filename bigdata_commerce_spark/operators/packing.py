@@ -49,6 +49,10 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if bucket_width <= 0:
+        # div 0 would NULL every bucket, silently collapsing the
+        # two-level prefix sum into one global single-partition window
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.col(token_count_col).cast("bigint").alias("n"),

@@ -165,18 +165,18 @@ def neardup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    # Explicit fan-out before the verify: candidate rows are tiny (two
-    # longs) but each costs a 2*dim-float cosine after the join, so
-    # AQE's size-based coalescing collapses the stage to a few
-    # partitions and serializes the math (measured 2.2x the whole
-    # query's wall at sf0.1). REPARTITION_BY_NUM is exempt from AQE
-    # coalescing; size to the session's configured parallelism.
-    sc = corpus.sparkSession.sparkContext
-    n_parts = max(
-        sc.defaultParallelism,
-        int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
-    candidates = candidates.repartition(n_parts)
+    # Verify parallelism note (measured both ways): candidate rows are
+    # tiny (two longs) but each costs a 2*dim-float cosine after the
+    # join, so on a SMALL corpus AQE's size-based coalescing can
+    # collapse the verify to a few partitions and serialize the math
+    # (2.2x this query's wall at sf0.1). An unconditional
+    # repartition() fixes that case but round-trips the ENTIRE
+    # candidate stream through an extra shuffle — at 10x corpus the
+    # candidate set is ~N^2/2^bits rows and the shuffle dominated the
+    # whole query (84x wall in scale_probe.py). Candidate volume is
+    # the quantity that grows, so the shuffle-free plan is the one
+    # that survives scale; for latency-sensitive small corpora, tune
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes down instead.
     v1 = corpus.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
     v2 = corpus.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
     # Threshold the UNROUNDED cosine, round only for output — the

@@ -201,7 +201,14 @@ def chunk_documents(
         id_col, F.explode(F.array(F.struct(tokens(text_col).alias("t")))).alias("x")
     )
     t = F.col("x.t")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride))
+    # NULL text -> NULL token array -> NULL starts: explode then emits
+    # NO rows for the document, matching the DuckDB oracle (range over
+    # a NULL list is NULL). Without the guard, size(NULL) arithmetic
+    # fabricates a phantom all-NULL chunk row.
+    starts = F.when(
+        t.isNotNull(),
+        F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)),
+    )
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
@@ -239,7 +246,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Order matters and is fixed: emails first (an email never parses
     as a phone), then phones, then IPv4 (phone scrub cannot create an
     IP). Counts are computed on the ORIGINAL text, not the partially
-    scrubbed intermediate, so they are order-independent.
+    scrubbed intermediate, so they are order-independent — which also
+    means counts tally PATTERN OCCURRENCES, not emitted placeholders:
+    a span matching two classes (e.g. a phone-shaped email local
+    part) is counted under both but redacted once by the earlier
+    class. Audit consumers should treat counts as detections, not as
+    a placeholder census of scrubbed_text.
     """
     c = F.col(text_col)
     scrubbed = F.regexp_replace(

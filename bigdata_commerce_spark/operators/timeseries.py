@@ -103,5 +103,18 @@ def similar_series(
     series = value_series(
         events, n_buckets, bucket_seconds, origin, key_col, ts_col, value_col, round_dp
     )
-    probes = series.where(F.col("series_id").isin(probe_keys))
+    # Probe vectors resample from the probes' OWN events only — a
+    # `series.where(isin)` would re-run the full-corpus aggregation a
+    # second time just to extract a handful of probe rows (cosine_topk
+    # evaluates its probe branch independently).
+    probes = value_series(
+        events.where(F.col(key_col).isin(probe_keys)),
+        n_buckets,
+        bucket_seconds,
+        origin,
+        key_col,
+        ts_col,
+        value_col,
+        round_dp,
+    )
     return cosine_topk(series, probes, k=k, id_col="series_id", vec_col="series")

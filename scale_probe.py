@@ -161,10 +161,15 @@ def main() -> None:
     emb1 = os.path.join(SF_DIR, "embeddings.parquet")
 
     out = {"metric": "scale_probe_10x_ratio", "copies": COPIES, "ops": {}}
-    for name in probes(spark, docs1, emb1):
-        fn1 = probes(spark, docs1, emb1)[name]
-        fn10 = probes(spark, docs10, emb10)[name]
-        fn1()  # warm codegen/readers on the small input
+    p1 = probes(spark, docs1, emb1)
+    p10 = probes(spark, docs10, emb10)
+    for name in p1:
+        fn1, fn10 = p1[name], p10[name]
+        # symmetric warm-up: both sides pay one run before timing, so
+        # one-time reader/codegen cost doesn't inflate only the 10x
+        # number (the headline ratio)
+        fn1()
+        fn10()
         t0 = time.perf_counter()
         n1 = fn1()
         w1 = time.perf_counter() - t0

@@ -80,6 +80,16 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     assert got[0][3].split()[-1:] == got[1][3].split()[:1]
 
 
+def test_chunk_documents_null_text_emits_no_chunks(spark):
+    """NULL text must produce zero chunk rows (matching the oracle's
+    range-over-NULL semantics), not a phantom all-NULL chunk."""
+    from bigdata_commerce_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=2, overlap=0).collect()
+    assert {r.doc_id for r in rows} == {2}
+
+
 def test_pack_sequences_matches_sequential_spec(spark):
     """The two-level distributed prefix sum must equal the sequential
     contiguous-fill spec, regardless of input partitioning."""
