@@ -228,6 +228,26 @@ def test_similar_series_identical_series_rank_first(spark):
     assert got[0].score == 1.0
 
 
+def test_projection_operators_have_no_shuffle(spark):
+    """repetition_stats, pii_scrub and chunk_documents claim to be
+    map-side (projection/generate only): their physical plans must
+    contain no Exchange at all."""
+    from bigdata_commerce_spark.operators.text import (
+        chunk_documents,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    for name, out in (
+        ("repetition_stats", repetition_stats(df)),
+        ("pii_scrub", pii_scrub(df)),
+        ("chunk_documents", chunk_documents(df, chunk_tokens=3, overlap=1)),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan}"
+
+
 def test_pack_sequences_no_global_window_over_corpus(spark):
     """The corpus-wide window must be partitioned (by bucket); the
     only single-partition exchange in the plan feeds the bucket-totals
