@@ -104,15 +104,30 @@ def append_to_ivf_index(
 def ivf_append_sink(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
     """foreachBatch sink: streaming IVF index maintenance — each
     micro-batch of embeddings is assigned and appended to the store.
-    Parquet append is not idempotent under micro-batch replay; wrap
-    with the epoch-ledger discipline of ``streaming/sinks.py`` when
-    the source can replay (the test topology uses exactly-once file
-    sources)."""
+
+    Parquet append alone is not idempotent under Structured
+    Streaming's at-least-once ``foreachBatch``, so the sink keeps an
+    epoch ledger (one empty marker file per applied epoch, the same
+    discipline as ``streaming/sinks.py``): a replayed epoch finds its
+    marker and skips the append. The marker is written AFTER the
+    append commits — a crash between append and marker re-appends
+    that epoch on restart, the standard at-least-once ledger caveat;
+    the JDBC backend's transactional ledger is the strict
+    exactly-once alternative."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/epochs/epoch={int(epoch_id)}"
+        )
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
         append_to_ivf_index(batch_df, path, id_col, vec_col)
+        fs.create(marker, True).close()
 
     return fn
 

@@ -614,6 +614,29 @@ def test_ivf_streaming_append_sink_converges_to_batch_index(spark, tmp_path):
     probes.unpersist()
 
 
+def test_ivf_append_sink_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same epoch id) must not double-append:
+    the epoch ledger marker makes the second call a no-op."""
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    cents = md5_centroids(emb, 16).cache()
+    path = str(tmp_path / "ivf")
+    ivf_index.write_ivf_index(emb.limit(0), path, centroids=cents)
+
+    sink = ivf_index.ivf_append_sink(path)
+    batch = emb.limit(40)
+    sink(batch, 0)
+    n_once = spark.read.parquet(f"{path}/cells").count()
+    sink(batch, 0)  # replay
+    n_replay = spark.read.parquet(f"{path}/cells").count()
+    assert n_once == n_replay == 40
+    sink(emb.limit(60), 1)  # a NEW epoch still appends
+    assert spark.read.parquet(f"{path}/cells").count() == 100
+    cents.unpersist()
+
+
 def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
     """The probe-time cell scan must prune at the partition level:
     PartitionFilters carries the cell-id predicate, and partitions
