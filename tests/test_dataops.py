@@ -660,3 +660,70 @@ def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
     # executed effect: the scan reads exactly the wanted cells
     got_cells = {r.centroid_id for r in scan.select("centroid_id").distinct().collect()}
     assert got_cells == set(wanted)
+
+
+def test_hll_rollup_union_is_lossless_and_accurate(spark):
+    """Mergeable distinct-count rollup: unioning per-day sketches
+    gives the SAME estimate as one sketch over the raw rows (HLL
+    union at fixed lgK is lossless), and the estimate lands within
+    5% of the exact distinct count."""
+    from bigdata_commerce_spark.operators.sketch import (
+        hll_estimate_over,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        F.to_date("ts").alias("d"), "event_type", "user_id"
+    )
+    rollup = hll_rollup(ev, ["d", "event_type"], "user_id")
+    got = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate_over(rollup, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.e
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            .cast("bigint")
+            .alias("e")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == direct  # union of day sketches == sketch of union
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(2, 0.05 * n), (et, got[et], n)
+
+
+def test_hll_rollup_two_level_merge_associative(spark):
+    """day -> (day-bucket) -> global merges equal the direct global
+    merge: sketch union is associative, so a rollup ladder can merge
+    level-to-level without touching raw data."""
+    from bigdata_commerce_spark.operators.sketch import (
+        hll_estimate_over,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).withColumn("bucket", (F.dayofmonth("d") % 3).alias("bucket"))
+    daily = hll_rollup(ev, ["d", "bucket"], "user_id")
+    via_buckets = (
+        daily.groupBy("bucket")
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("hll")).cast("bigint").alias("e"))
+        .collect()[0]
+        .e
+    )
+    direct = (
+        hll_estimate_over(daily.withColumn("g", F.lit(1)), ["g"])
+        .collect()[0]
+        .approx_distinct
+    )
+    assert via_buckets == direct
