@@ -727,3 +727,58 @@ def test_hll_rollup_two_level_merge_associative(spark):
         .approx_distinct
     )
     assert via_buckets == direct
+
+
+def test_ivf_appended_cells_compact_and_search_unchanged(spark, tmp_path):
+    """The documented steady-state flow end to end: streaming appends
+    leave small files inside cell directories; compacting a closed
+    cell (write to temp, swap via rename) reduces file count without
+    changing search results."""
+    import glob
+    import os
+
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import md5_centroids
+    from bigdata_commerce_spark.sources import compaction
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5).cache()
+    cents = md5_centroids(emb, 16).cache()
+    path = str(tmp_path / "ivf")
+    ivf_index.write_ivf_index(emb.limit(0), path, centroids=cents)
+    # 5 appends -> >=5 small files per populated cell
+    rows = emb.collect()
+    fifth = len(rows) // 5
+    for i in range(5):
+        chunk = rows[i * fifth : (i + 1) * fifth] if i < 4 else rows[4 * fifth :]
+        ivf_index.append_to_ivf_index(
+            spark.createDataFrame(chunk, emb.schema), path
+        )
+    before = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, path, probes, k=5).collect())
+    )
+
+    cell_dirs = glob.glob(f"{path}/cells/centroid_id=*")
+    cell = max(cell_dirs, key=lambda d: len(glob.glob(f"{d}/*.parquet")))
+    n_before = len(glob.glob(f"{cell}/*.parquet"))
+    assert n_before >= 5
+
+    tmp_out = str(tmp_path / "cell_compacted")
+    compaction.compact(spark, cell, tmp_out)
+    # swap: retire the fragmented cell dir OUTSIDE the cells tree (a
+    # sibling ".old" dir would parse as a bogus partition value),
+    # move the compacted one in
+    os.rename(cell, str(tmp_path / "retired_cell"))
+    os.rename(tmp_out, cell)
+    # drop Spark/committer metadata so only data files remain
+    for extra in glob.glob(f"{cell}/_*"):
+        os.remove(extra)
+    n_after = len(glob.glob(f"{cell}/*.parquet"))
+    assert n_after < n_before
+
+    after = sorted(
+        map(tuple, ivf_index.search_ivf_index(spark, path, probes, k=5).collect())
+    )
+    assert after == before
+    cents.unpersist()
+    probes.unpersist()
