@@ -1,0 +1,120 @@
+"""Hypothesis-driven invariants for the round-3 operators: generated
+inputs instead of hand-picked ones, checked against driver-side
+reference implementations. Example counts are kept small — every
+example is a real Spark job — but the generators explore sparse ids,
+ragged lengths and parameter combinations no fixed fixture covers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_commerce_spark.operators.packing import pack_sequences
+from bigdata_commerce_spark.operators.text import chunk_documents
+from bigdata_commerce_spark.sources.layout import zorder_value
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def doc_lengths(draw):
+    """Sparse, unsorted (doc_id, n_tokens) pairs with duplicate-free
+    ids and ragged token counts."""
+    ids = draw(
+        st.lists(st.integers(0, 100_000), min_size=1, max_size=60, unique=True)
+    )
+    return [(i, draw(st.integers(1, 5_000))) for i in ids]
+
+
+@_SETTINGS
+@given(docs=doc_lengths(), budget=st.integers(1, 4096), width=st.integers(1, 2048))
+def test_pack_sequences_equals_sequential_spec(spark, docs, budget, width):
+    expected = {}
+    start = 0
+    for doc_id, n in sorted(docs):
+        expected[doc_id] = (n, start, start // budget, start % budget)
+        start += n
+    got = {
+        r.doc_id: (r.n_tokens, r.token_start, r.pack_id, r.pack_offset)
+        for r in pack_sequences(
+            spark.createDataFrame(docs, "doc_id long, n_tokens long"),
+            budget=budget,
+            bucket_width=width,
+        ).collect()
+    }
+    assert got == expected
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=50).map(
+            lambda xs: " ".join(f"w{x}" for x in xs)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    chunk=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunk_documents_reference_equality(spark, texts, chunk, overlap_frac):
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    rows = list(enumerate(texts))
+    got = {}
+    for r in chunk_documents(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        chunk_tokens=chunk,
+        overlap=overlap,
+    ).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_no] = r.chunk_text
+    for doc_id, text in rows:
+        toks = text.split()
+        expected = {
+            c: " ".join(toks[s : s + chunk])
+            for c, s in enumerate(range(0, len(toks), stride))
+        }
+        assert got.get(doc_id, {}) == expected, (doc_id, chunk, overlap)
+
+
+def _py_interleave(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@_SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=100,
+    ),
+    bits=st.integers(1, 16),
+)
+def test_zorder_value_matches_python_reference(spark, pairs, bits):
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(zorder_value("x", "y", bits=bits).alias("z")).collect()
+    ]
+    want = [_py_interleave(x & ((1 << bits) - 1), y & ((1 << bits) - 1), bits) for x, y in pairs]
+    assert sorted(got) == sorted(want)
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=10, bucket_width=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
