@@ -308,6 +308,43 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@twin_query(
+    "cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id AS u, date_trunc('month', CAST(ts AS DATE)) AS m
+        FROM events
+    ), cohorts AS (
+        SELECT u, MIN(m) AS cohort_month FROM activity GROUP BY u
+    ), joined AS (
+        SELECT a.u, c.cohort_month,
+               (EXTRACT(year FROM a.m) - EXTRACT(year FROM c.cohort_month)) * 12
+               + (EXTRACT(month FROM a.m) - EXTRACT(month FROM c.cohort_month)) AS period
+        FROM activity a JOIN cohorts c USING (u)
+    ), per_period AS (
+        SELECT cohort_month, CAST(period AS INT) AS period,
+               COUNT(DISTINCT u) AS active_users
+        FROM joined GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort_month, COUNT(DISTINCT u) AS cohort_size
+        FROM cohorts GROUP BY 1
+    )
+    SELECT CAST(p.cohort_month AS DATE) AS cohort_month, p.period,
+           s.cohort_size, p.active_users,
+           ROUND(p.active_users * 1.0 / s.cohort_size, 4) AS retention_rate
+    FROM per_period p JOIN sizes s USING (cohort_month)
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix over the events table
+    (operators/cohort.py). Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.cohort import cohort_retention as _cr
+
+    ev = load_table(spark, "events", sf_dir)
+    return _cr(ev)
+
+
 @query(
     "exact_price_percentiles",
     oracle="""
