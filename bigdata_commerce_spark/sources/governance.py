@@ -1,0 +1,90 @@
+"""Targeted record deletion over partitioned stores (the
+right-to-be-forgotten pass every long-lived data platform needs).
+
+Naive delete rewrites the whole table. The scalable shape bounds the
+rewrite to partitions that actually contain the targeted rows:
+
+1. one scan finds the affected partition values (predicate pushdown
+   applies if the store is bucketed/indexed by the key; worst case
+   it's a full scan of the KEY COLUMN only — column pruning keeps it
+   narrow);
+2. only those partitions are re-read, anti-joined against the key
+   set, and written back under dynamic partition overwrite
+   (``spark.sql.sources.partitionOverwriteMode=dynamic``), which
+   replaces exactly the partitions present in the written frame;
+3. every untouched partition keeps its original files byte-for-byte
+   (asserted at file level in tests) — at 100 TB a deletion affecting
+   a handful of dates costs a handful of partition rewrites, not a
+   table rewrite.
+
+Deletion is by anti-join against a (small, broadcast) key frame, so
+one pass serves any number of subjects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: Sequence,
+    partition_col: str,
+) -> dict:
+    """Remove every row whose ``key_col`` is in ``keys`` from the
+    parquet store at ``path`` (partitioned by ``partition_col``),
+    rewriting ONLY the partitions that contain such rows. Returns
+    audit counts: {"partitions_rewritten": n, "rows_deleted": n}.
+    """
+    keys_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in keys], f"{key_col} {_key_type(spark, path, key_col)}")
+    )
+    table = spark.read.parquet(path)
+    hits = (
+        table.join(keys_df, key_col, "left_semi")
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected = [r[partition_col] for r in hits]
+    rows_deleted = sum(r.n for r in hits)
+    if not affected:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+
+    kept = (
+        spark.read.parquet(path)
+        .where(F.col(partition_col).isin(affected))
+        .join(keys_df, key_col, "left_anti")
+        # materialize BEFORE overwriting the files being read:
+        # localCheckpoint cuts the plan's file-source lineage, so the
+        # self-overwrite check passes and the data is safely off-disk
+        .localCheckpoint(eager=True)
+    )
+    kept_parts = {r[partition_col] for r in kept.select(partition_col).distinct().collect()}
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dynamic overwrite replaces only partitions PRESENT in the
+    # written frame — a partition whose every row was deleted isn't,
+    # so its stale directory must be dropped explicitly
+    jvm = spark._jvm
+    for p in set(affected) - kept_parts:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}")
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hp):
+            fs.delete(hp, True)
+    return {"partitions_rewritten": len(affected), "rows_deleted": rows_deleted}
+
+
+def _key_type(spark: SparkSession, path: str, key_col: str) -> str:
+    return dict(spark.read.parquet(path).dtypes)[key_col]
