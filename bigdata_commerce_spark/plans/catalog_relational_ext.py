@@ -309,6 +309,30 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "latest_user_events",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read current-state view: each user's latest event from
+    the append-only log (operators/upsert_view.py — max_by aggregate,
+    no per-key sort; the oracle is the equivalent row_number spec).
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.upsert_view import latest_by_key
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_by_key(ev, ["user_id"], "ts", tiebreak_col="event_id")
+
+
+@twin_query(
     "cohort_retention",
     oracle="""
     WITH activity AS (

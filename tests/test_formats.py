@@ -89,3 +89,20 @@ def test_compaction_rejects_overlapping_paths(spark, tmp_path):
     for out in (base, base + "/", base + "/nested", str(tmp_path)):
         with _pytest.raises(ValueError, match="overlaps"):
             compaction.compact(spark, base, out)
+
+
+def test_mixed_schema_directory_reads_with_mergeschema(spark, tmp_path):
+    """Schema evolution at the ingest boundary: files written before a
+    column existed read back NULL-filled when the directory is loaded
+    with mergeSchema — no rewrite of old files."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(path + "/batch=1")
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
