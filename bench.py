@@ -79,10 +79,28 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    base: dict[str, float] = {}
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text()).get("queries", {})
+
+    # Aggregate metric. A failed query must never make the headline
+    # number look BETTER (dropping it from the sum would): substitute
+    # the baseline timing for any errored query so the aggregate can
+    # only degrade on failure; with no baseline to substitute, the
+    # aggregate itself is unusable — emit null.
+    total: float | None = 0.0
+    for name, t in timings.items():
+        if t is not None:
+            total += t
+        elif base.get(name) is not None:
+            total += base[name]
+        else:
+            total = None
+            break
     out = {
         "metric": "catalog_suite_wall",
-        "value": total,
+        "value": round(total, 3) if total is not None else None,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -97,10 +115,13 @@ def main() -> None:
     # *suspect*: re-time it twice and keep the flag only if the best
     # of three is still >2x baseline. Re-runs are warm-cache, which
     # biases toward NOT flagging — a flag that survives is real.
-    baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
-    if baseline_path.exists() and str(out["sf"]) == "0.1":
-        base = json.loads(baseline_path.read_text()).get("queries", {})
+    if base and str(out["sf"]) == "0.1":
         out["baseline_queries"] = base
+        out["baseline_ratio"] = {
+            q: round(t / base[q], 3)
+            for q, t in timings.items()
+            if t is not None and base.get(q)
+        }
         suspects = {
             q: t
             for q, t in timings.items()
@@ -122,6 +143,15 @@ def main() -> None:
             if best > 2 * base[q]:
                 regressions[q] = {"now": t, "best_of_3": best, "baseline": base[q]}
         out["regressions"] = regressions
+
+    # Self-archive the FULL result in-repo: the driver keeps only the
+    # last ~2000 chars of stdout, which loses most of the 50 per-query
+    # timings; BENCH_LATEST.json makes every ratio auditable.
+    latest_path = Path(__file__).resolve().parent / "BENCH_LATEST.json"
+    try:
+        latest_path.write_text(json.dumps(out, indent=2) + "\n")
+    except OSError:
+        pass  # archiving must never fail the bench itself
     print(json.dumps(out))
     spark.stop()
 

@@ -25,7 +25,7 @@ re-rank (asserted in tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.similarity import (
@@ -168,6 +168,29 @@ def search_ivf_index(
         F.col("corpus_id").alias(id_col), F.col("cvec").alias(vec_col)
     )
     return _exact_rerank(candidates, index_vectors, probes, k, id_col, vec_col)
+
+
+def cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell observability for quantizer drift: (centroid_id, n_rows,
+    frac, skew) where ``skew`` = n_rows / mean-cell-size. The append
+    path freezes the quantizer at build time, so as the data
+    distribution moves the largest cells grow unboundedly — this is
+    the monitoring hook SCALE.md prescribes: re-quantize + rebuild when
+    max(skew) exceeds budget. One count-per-partition aggregate; at
+    100 TB the scan reads only parquet footer row counts (count(*)
+    per partition is metadata-only for parquet)."""
+    counts = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = Window.partitionBy()
+    return counts.select(
+        "centroid_id",
+        "n_rows",
+        (F.col("n_rows") / F.sum("n_rows").over(tot)).alias("frac"),
+        (F.col("n_rows") / F.avg("n_rows").over(tot)).alias("skew"),
+    )
 
 
 def pruned_cell_scan(

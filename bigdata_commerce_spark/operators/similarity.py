@@ -443,6 +443,25 @@ def ivf_kmeans_topk(
     rather than SQL-oracled — the documented trade against
     ``ivf_topk``.
     """
+    centroids = train_kmeans_centroids(
+        corpus, n_centroids, vec_col=vec_col, seed=seed, max_iter=max_iter
+    )
+    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train the spherical-equivalent k-means coarse quantizer and
+    return it as the standard (centroid_id, centroid_vec) table — the
+    same shape ``md5_centroids`` produces, so it plugs into
+    ``_ivf_search`` and ``ivf_index.write_ivf_index`` unchanged.
+    Training is the expensive step; persist the result once (the index
+    build does) instead of re-fitting per search."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -458,11 +477,10 @@ def ivf_kmeans_topk(
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__feat"
     ).fit(unit.select(array_to_vector("__nvec").alias("__feat")))
-    centroids = spark.createDataFrame(
+    return spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "centroid_id int, centroid_vec array<double>",
     )
-    return _ivf_search(corpus, probes, centroids, k, nprobe, id_col, vec_col)
 
 
 def lsh_ann_topk(

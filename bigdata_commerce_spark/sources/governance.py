@@ -76,14 +76,38 @@ def delete_keys_partitioned(
 
     # dynamic overwrite replaces only partitions PRESENT in the
     # written frame — a partition whose every row was deleted isn't,
-    # so its stale directory must be dropped explicitly
+    # so its stale directory must be dropped explicitly. The dir name
+    # uses Spark's partition-value escaping (percent-encoding of
+    # space, ':', '/', '%', ...), so the value must be escaped the
+    # same way or the exists() check silently misses the directory
+    # and the "deleted" rows stay readable.
     jvm = spark._jvm
     for p in set(affected) - kept_parts:
-        hp = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}")
+        hp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{partition_col}={_escape_partition_value(spark, p)}"
+        )
         fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hp):
             fs.delete(hp, True)
     return {"partitions_rewritten": len(affected), "rows_deleted": rows_deleted}
+
+
+def _escape_partition_value(spark: SparkSession, value) -> str:
+    """Escape a partition value exactly as Spark's writer does when it
+    builds the ``col=value`` directory name. Delegates to the engine's
+    own ExternalCatalogUtils.escapePathName (the writer's code path) so
+    the two can never drift; falls back to the documented Hive
+    percent-encoding if the catalyst class is unreachable."""
+    s = str(value)
+    try:
+        return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+    except Exception:
+        # Hive FileUtils.escapePathName charset: control chars plus
+        # the special path/metastore characters below.
+        needs_escape = set('"#%\'*/:=?\\\x7f{[]^')
+        return "".join(
+            f"%{ord(ch):02X}" if ch in needs_escape or ord(ch) < 32 else ch for ch in s
+        )
 
 
 def _key_type(spark: SparkSession, path: str, key_col: str) -> str:

@@ -39,11 +39,16 @@ def zorder_value(col_a: str, col_b: str, bits: int = 16) -> Column:
     """
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    # The CAST must precede the shift: shiftleft on a 32-bit INT
+    # operand masks the distance mod 32 (and shift 31 lands in the
+    # sign bit), so an INT-typed column with the default bits=16
+    # would produce aliased/negative Z-values. Casting the extracted
+    # bit to BIGINT first makes the shift 64-bit for any input type.
     terms = []
     for i in range(bits):
-        terms.append(f"shiftleft((`{col_a}` >> {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft((`{col_b}` >> {i}) & 1, {2 * i + 1})")
-    return F.expr(" | ".join(f"CAST({t} AS BIGINT)" for t in terms))
+        terms.append(f"shiftleft(CAST((`{col_a}` >> {i}) & 1 AS BIGINT), {2 * i})")
+        terms.append(f"shiftleft(CAST((`{col_b}` >> {i}) & 1 AS BIGINT), {2 * i + 1})")
+    return F.expr(" | ".join(terms))
 
 
 def write_zordered(

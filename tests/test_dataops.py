@@ -533,6 +533,66 @@ def test_ivf_index_search_matches_ivf_topk(spark, tmp_path):
     assert got == want and got
 
 
+def test_ivf_index_serves_trained_quantizer(spark, tmp_path):
+    """Build-once/search-many with the TRAINED k-means quantizer:
+    train once via train_kmeans_centroids, persist through
+    write_ivf_index, and every search against the store must be
+    row-identical to the in-memory ivf_kmeans_topk form (which
+    re-trains per call with the same seed) — no re-fit at search
+    time, which is the point of serving the index."""
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import train_kmeans_centroids
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    cents = train_kmeans_centroids(emb, 16, seed=42, max_iter=10)
+    path = str(tmp_path / "ivf_trained")
+    ivf_index.write_ivf_index(emb, path, centroids=cents)
+
+    want = sorted(
+        map(tuple, similarity.ivf_kmeans_topk(emb, probes, k=5, seed=42).collect())
+    )
+    # search twice — the second search must not differ (frozen quantizer)
+    for _ in range(2):
+        got = sorted(
+            map(tuple, ivf_index.search_ivf_index(spark, path, probes, k=5).collect())
+        )
+        assert got == want and got
+
+
+def test_ivf_cell_stats_flags_skew(spark, tmp_path):
+    """The drift-observability hook: per-cell counts sum to the corpus,
+    fracs sum to 1, and a deliberately skewed store (all appends into
+    one frozen quantizer cell) reports skew > 1 for the hot cell."""
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    n = emb.count()
+    cents = md5_centroids(emb, 8).cache()
+    path = str(tmp_path / "ivf_stats")
+    ivf_index.write_ivf_index(emb, path, centroids=cents)
+
+    stats = {r.centroid_id: r for r in ivf_index.cell_stats(spark, path).collect()}
+    assert sum(r.n_rows for r in stats.values()) == n
+    assert abs(sum(r.frac for r in stats.values()) - 1.0) < 1e-9
+    base_max_skew = max(r.skew for r in stats.values())
+
+    # drift: re-append the whole corpus — rows rebin into the same
+    # cells, doubling counts but also the mean, so skew holds; then
+    # check a hot cell by appending one cell's members again
+    hot = max(stats, key=lambda c: stats[c].n_rows)
+    members = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("centroid_id") == hot)
+        .select(F.col("corpus_id").alias("vec_id"), F.col("cvec").alias("embedding"))
+    )
+    ivf_index.append_to_ivf_index(members, path)
+    stats2 = {r.centroid_id: r for r in ivf_index.cell_stats(spark, path).collect()}
+    assert stats2[hot].skew > base_max_skew
+    cents.unpersist()
+
+
 def test_ivf_index_append_equals_one_shot_build(spark, tmp_path):
     """Build on half the corpus, append the other half: searches must
     be row-identical to a one-shot build over the full corpus with the

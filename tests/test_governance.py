@@ -66,6 +66,28 @@ def test_delete_drops_fully_emptied_partition(spark, tmp_path):
     assert spark.read.parquet(path).where(F.col("user_id") == 5).count() == 0
 
 
+def test_delete_drops_emptied_partition_with_special_chars(spark, tmp_path):
+    # Partition values containing space/colon are percent-encoded in
+    # the directory name (dt=2024-01-04 00%3A00%3A00); the stale-dir
+    # cleanup must escape the value the same way or the fully-deleted
+    # partition's files silently survive.
+    path = str(tmp_path / "store")
+    rows = [
+        (1, "2024-01-03 12:00:00", 1.0),
+        (5, "2024-01-04 00:00:00", 2.0),  # sole row of its partition
+    ]
+    spark.createDataFrame(rows, "user_id long, dt string, v double").write.partitionBy(
+        "dt"
+    ).parquet(path)
+    audit = delete_keys_partitioned(spark, path, "user_id", [5], "dt")
+    assert audit["rows_deleted"] == 1
+    # no directory (escaped or not) for the emptied partition survives
+    assert not glob.glob(f"{path}/dt=2024-01-04*")
+    left = spark.read.parquet(path)
+    assert left.where(F.col("user_id") == 5).count() == 0
+    assert {str(r.dt) for r in left.select("dt").collect()} == {"2024-01-03 12:00:00"}
+
+
 def test_delete_missing_keys_is_noop(spark, tmp_path):
     path = str(tmp_path / "store")
     _write_store(spark, path)

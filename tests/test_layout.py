@@ -30,6 +30,23 @@ def test_zorder_value_interleaves_bits(spark):
     assert z == 0b011011
 
 
+def test_zorder_value_int_columns_full_width(spark):
+    # 32-bit INT inputs at the default bits=16 exercise shift
+    # distances up to 31: without the cast-before-shift the INT
+    # shiftleft hits the sign bit (negative z) and bits>16 would wrap
+    # mod 32 (aliased z). The result must be identical to the LONG
+    # path and non-negative.
+    rows = [(0, 0), (1, 1), ((1 << 16) - 1, (1 << 16) - 1), (12345, 54321)]
+    as_int = spark.createDataFrame(rows, "x int, y int")
+    as_long = spark.createDataFrame(rows, "x long, y long")
+    zi = [r.z for r in as_int.select(zorder_value("x", "y", bits=16).alias("z")).collect()]
+    zl = [r.z for r in as_long.select(zorder_value("x", "y", bits=16).alias("z")).collect()]
+    assert zi == zl
+    assert all(z >= 0 for z in zi)
+    # top bit of col_b (bit 15 -> z bit 31) really lands at 2^31
+    assert zi[2] == (1 << 32) - 1
+
+
 def test_zorder_files_skip_on_both_dimensions(spark, tmp_path):
     pts = _points(spark)
     zpath = str(tmp_path / "zordered")
