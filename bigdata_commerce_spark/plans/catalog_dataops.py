@@ -198,9 +198,7 @@ def ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@twin_query(
-    "chunk_documents",
-    oracle=f"""
+_CHUNK_ORACLE = f"""
     WITH {_NORM_CTE}
     , starts AS (
         SELECT doc_id, toks, unnest(range(0, len(toks), 224)) AS s
@@ -211,8 +209,10 @@ def ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(toks[s + 1 : s + 256]) AS INT) AS chunk_n_tokens,
            array_to_string(toks[s + 1 : s + 256], ' ') AS chunk_text
     FROM starts
-    """,
-)
+    """
+
+
+@twin_query("chunk_documents", oracle=_CHUNK_ORACLE)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token windows per document (256-token chunks,
     32-token overlap -> stride 224) — map-side array expressions + one
@@ -220,6 +220,22 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 50-entry cap; oracle-checked in pytest."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.chunk_documents(docs, chunk_tokens=256, overlap=32)
+
+
+@twin_query("chunk_documents_udtf", oracle=_CHUNK_ORACLE)
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking computed through the Python UDTF surface
+    (Spark 4 table function, Arrow-optimized, LATERAL join —
+    functions/udtfs.py): completes SURVEY §2.10's UDF-surface story
+    with a procedural row generator checked against the identical
+    DuckDB oracle as the expression form. The expression form stays
+    the production path (whole-stage codegen, zero Python)."""
+    from bigdata_commerce_spark.functions.udtfs import (
+        chunk_documents_udtf as _chunk_udtf,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return _chunk_udtf(docs, chunk_tokens=256, overlap=32)
 
 
 @query(

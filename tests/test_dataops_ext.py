@@ -263,3 +263,30 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
     )
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_percentile_approx_rank_guarantee_past_compression(spark):
+    """price_quantiles passes its hash oracle only because the GK
+    sketch stays exact below the compression threshold; this pins the
+    behavior PAST it. With accuracy=100 (eps = 1/100) over n = 200k
+    rows the sketch compresses many times, so exactness is gone — but
+    Greenwald-Khanna still guarantees the returned value's rank is
+    within eps*n of the target rank. Data is the identity permutation
+    (value == rank), which turns the rank check into arithmetic."""
+    n, accuracy = 200_000, 100
+    eps = 1.0 / accuracy
+    df = spark.range(n)  # value == 0-based rank
+    percentiles = [0.5, 0.9, 0.99]
+    q = F.percentile_approx("id", percentiles, accuracy)
+    got = df.agg(q.alias("q")).collect()[0].q
+    assert len(got) == len(percentiles)
+    for p, v in zip(percentiles, got):
+        target = p * n
+        assert abs(v - target) <= eps * n + 1, (p, v, target)
+    # contrast: at the exact-regime accuracy (n < threshold, the
+    # price_quantiles configuration) the same query is rank-exact
+    exact = df.agg(
+        F.percentile_approx("id", percentiles, 1_000_000).alias("q")
+    ).collect()[0].q
+    for p, v in zip(percentiles, exact):
+        assert abs(v - p * n) <= 1, (p, v)

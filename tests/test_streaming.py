@@ -467,6 +467,125 @@ def test_ad_pipeline_on_jdbc_backend_matches_parquet(spark, stream_result, tmp_p
     assert 9999 in bl
 
 
+def test_ad_pipeline_soak_six_batches_with_midrun_restart(spark, tmp_path):
+    """Soak of the full reqs 7-10 topology (ref AdverStat.scala:76-90
+    runs all four outputs off one stream): SIX micro-batches through
+    all four sinks concurrently, the query killed after batch 3 and
+    restarted from its checkpoint, remaining files processed by the
+    resumed query. Every state table must equal its batch twin over
+    the effective rows — restart must neither lose batches 0-2 nor
+    replay them into the additive sinks (the epoch ledger's job).
+
+    Burst user 9999 clicks twice per chunk with threshold 3: counts
+    cross after batch 1, so the in-topology feedback filter drops the
+    user from batch 2 onward — only chunks 0-1's four burst rows are
+    effective, and the blacklisting straddles the restart."""
+    organic = _ad_events(spark)
+    first = organic.first()
+    burst_row = (first.event_time, first.event_date, "p9", "c99", 9999, 1)
+    rows = organic.collect()
+    n_chunks = 6
+    step = len(rows) // n_chunks
+    chunks = [rows[i * step : (i + 1) * step] for i in range(n_chunks - 1)]
+    chunks.append(rows[(n_chunks - 1) * step :])
+    for chunk in chunks:
+        chunk.extend([burst_row, burst_row])
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    def _land(i):
+        chunk_dir = tmp_path / f"chunk_{i}"
+        spark.createDataFrame(chunks[i], ad_stream.AD_EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(chunk_dir))
+        shutil.copy(next(chunk_dir.glob("part-*.parquet")), flat / f"{i:02d}.parquet")
+
+    work = str(tmp_path / "state")
+    for i in range(3):
+        _land(i)
+    handles = pipelines.run_ad_pipeline(
+        pipelines.file_event_source(spark, str(flat)),
+        work,
+        blacklist_threshold=3,
+        watermark="365 days",
+    )
+    handles.process_all()
+    handles.stop()  # mid-run kill after 3 of 6 batches
+
+    for i in range(3, n_chunks):
+        _land(i)
+    resumed = pipelines.run_ad_pipeline(
+        pipelines.file_event_source(spark, str(flat)),
+        work,
+        blacklist_threshold=3,
+        watermark="365 days",
+    )
+    resumed.process_all()
+    resumed.stop()
+
+    # effective rows: organic + the 4 pre-blacklist burst clicks
+    events = spark.createDataFrame(
+        [tuple(r) for r in rows] + [burst_row] * 4, ad_stream.AD_EVENT_SCHEMA
+    ).cache()
+    try:
+        got_counts = sinks.read_state(spark, resumed.user_counts_dir)
+        want_counts = events.groupBy("event_date", "user_id", "ad_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
+        assert sorted(map(tuple, got_counts.collect())) == sorted(
+            map(tuple, want_counts.collect())
+        )
+
+        got_cum = sinks.read_state(spark, resumed.cumulative_dir)
+        want_cum = events.groupBy("event_date", "province", "city", "ad_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
+        assert sorted(map(tuple, got_cum.collect())) == sorted(
+            map(tuple, want_cum.collect())
+        )
+
+        bl = {r.user_id for r in sinks.read_state(spark, resumed.blacklist_dir).collect()}
+        want_bl = {
+            r.user_id
+            for r in events.groupBy("event_date", "user_id", "ad_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 3)
+            .collect()
+        }
+        assert bl == want_bl and 9999 in bl
+
+        got_top3 = sinks.read_state(spark, resumed.top3_dir)
+        counts = events.groupBy("event_date", "province", "ad_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
+        want_top3 = top_k_per_group(
+            counts,
+            ["event_date", "province"],
+            [F.desc("click_count"), F.asc("ad_id")],
+            k=3,
+        )
+        assert sorted(map(tuple, got_top3.collect())) == sorted(
+            map(tuple, want_top3.collect())
+        )
+
+        got_trend = sinks.read_state(spark, resumed.trend_dir)
+        want_trend = (
+            events.groupBy(F.window("event_time", "60 minutes", "1 minute"), "ad_id")
+            .agg(F.count(F.lit(1)).alias("click_count"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "ad_id",
+                "click_count",
+            )
+        )
+        assert sorted(map(tuple, got_trend.collect())) == sorted(
+            map(tuple, want_trend.collect())
+        )
+    finally:
+        events.unpersist()
+
+
 def test_jsonl_stream_fingerprints_match_batch(spark, tmp_path):
     """Streaming ingest of JSONL shards -> fingerprint -> distinct
     sink must converge to exactly the batch doc_fingerprints result

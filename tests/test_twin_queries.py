@@ -47,6 +47,19 @@ def test_sql_twin_row_identical_to_dataframe_form(spark):
     assert _sorted_rows(sql_df) == _sorted_rows(df_df)
 
 
+def test_udtf_chunker_row_identical_to_expression_form(spark):
+    """The Arrow UDTF chunker and the array-expression chunker are
+    semantic twins — row-identical output, and the UDTF plan must use
+    the Arrow-batched Python evaluator, not the pickled row path."""
+    udtf_df = TWIN_QUERIES["chunk_documents_udtf"](spark, SF_SMOKE)
+    expr_df = TWIN_QUERIES["chunk_documents"](spark, SF_SMOKE)
+    assert udtf_df.columns == expr_df.columns
+    assert _sorted_rows(udtf_df) == _sorted_rows(expr_df)
+    plan = udtf_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan, plan.splitlines()[:12]
+    assert "BatchEvalPythonUDTF" not in plan
+
+
 def test_ivf_indexed_matches_in_memory_form(spark):
     """Persisted partition-pruned IVF index returns exactly what the
     in-memory IVF search returns (same quantizer, same re-rank)."""
