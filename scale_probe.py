@@ -154,17 +154,95 @@ def probes(spark, docs_path: str, emb_path: str):
     }
 
 
-def main() -> None:
-    spark = get_spark(app_name="scale_probe")
-    docs10, emb10 = build_corpus(spark)
-    docs1 = os.path.join(SF_DIR, "documents.parquet")
-    emb1 = os.path.join(SF_DIR, "embeddings.parquet")
+# The relational/session/streaming-batch heavies (top unprobed bench
+# timings at sf0.1, incl. every r3-verdict target). corpus_curation
+# rides along because the 10x documents land in the same dir.
+RELATIONAL_PROBE = [
+    "region_top3_parts",
+    "event_rollup_ladder",
+    "ad_launch_window_counts",
+    "lineitem_cube",
+    "session_extract",
+    "asof_click_attribution",
+    "heavy_hitter_users",
+    "session_stats",
+    "pricing_summary",
+    "supplier_window_suite",
+    "corpus_curation",
+]
 
-    out = {"metric": "scale_probe_10x_ratio", "copies": COPIES, "ops": {}}
-    p1 = probes(spark, docs1, emb1)
-    p10 = probes(spark, docs10, emb10)
-    for name in p1:
-        fn1, fn10 = p1[name], p10[name]
+
+def build_relational_corpus(spark, docs10: str, emb10: str, n_copies: int) -> str:
+    """A full sf-dir at ``n_copies``x: fact tables (lineitem, orders,
+    events) unioned as id-remapped copies, dimension tables copied
+    verbatim (dims stay broadcast-sized as data grows — the 100 TB
+    shape), and the decorrelated documents/embeddings linked in.
+
+    Fact decorrelation = key remapping only (join keys offset by
+    copy * (max_key + 1)): join integrity holds within each copy, key
+    cardinality grows Nx (Nx users / orders, constant per-key fan-in),
+    while value/date distributions are untouched — so group-by output
+    grows where keys grow and only there, and a probe ratio near Nx
+    means linear scan/shuffle work, not Nx-heavier groups.
+
+    A 1x corpus is built through the SAME writer (32 files): the
+    shipped sf0.1 facts are single parquet files, i.e. one scan task,
+    so raw sf0.1-vs-10x walls would measure file-layout parallelism,
+    not data growth. Layout-matched sides isolate the data term."""
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    out_dir = SCRATCH / f"sf{n_copies}x"
+    done = out_dir / "_BUILT"
+    if done.exists():
+        return str(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True)
+
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(SF_DIR, f"{dim}.parquet")
+        dst = out_dir / f"{dim}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+
+    def fan_out(df, remap_cols):
+        maxes = df.agg(*[F.max(c).alias(c) for c in remap_cols]).collect()[0]
+        fanned = df.crossJoin(F.broadcast(copies))
+        for c in remap_cols:
+            fanned = fanned.withColumn(
+                c, F.col(c) + F.col("copy") * F.lit(int(maxes[c]) + 1)
+            )
+        return fanned.drop("copy").repartition(32)
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    fan_out(li, ["l_orderkey"]).write.parquet(str(out_dir / "lineitem.parquet"))
+    orders = load_table(spark, "orders", SF_DIR)
+    fan_out(orders, ["o_orderkey"]).write.parquet(str(out_dir / "orders.parquet"))
+    ev = load_table(spark, "events", SF_DIR)
+    fan_out(ev, ["event_id", "user_id"]).write.parquet(
+        str(out_dir / "events.parquet")
+    )
+
+    # decorrelated text/vector corpora from the dedup-probe builders;
+    # the 1x twin re-lands the originals through the same 32-file
+    # writer so both sides scan with equal parallelism
+    if n_copies == 1:
+        for name in ("documents.parquet", "embeddings.parquet"):
+            spark.read.parquet(os.path.join(SF_DIR, name)).repartition(32
+            ).write.parquet(str(out_dir / name))
+    else:
+        for src, name in ((docs10, "documents.parquet"), (emb10, "embeddings.parquet")):
+            shutil.copytree(src, out_dir / name)
+    done.touch()
+    return str(out_dir)
+
+
+def run_probe(pairs: dict, headline: str) -> dict:
+    out = {"metric": headline, "copies": COPIES, "ops": {}}
+    for name, (fn1, fn10) in pairs.items():
         # symmetric warm-up: both sides pay one run before timing, so
         # one-time reader/codegen cost doesn't inflate only the 10x
         # number (the headline ratio)
@@ -184,6 +262,34 @@ def main() -> None:
             "rows_10x": n10,
         }
         print(f"# {name}: {w1:.2f}s -> {w10:.2f}s ({w10 / w1:.1f}x)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    suite = sys.argv[1] if len(sys.argv) > 1 else "dedup"
+    spark = get_spark(app_name="scale_probe")
+    docs10, emb10 = build_corpus(spark)
+
+    if suite == "relational":
+        from bigdata_commerce_spark.plans import QUERIES
+
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        pairs = {
+            name: (
+                lambda n=name: len(QUERIES[n](spark, sf1).collect()),
+                lambda n=name: len(QUERIES[n](spark, sf10).collect()),
+            )
+            for name in RELATIONAL_PROBE
+        }
+        out = run_probe(pairs, "scale_probe_10x_ratio_relational")
+    else:
+        docs1 = os.path.join(SF_DIR, "documents.parquet")
+        emb1 = os.path.join(SF_DIR, "embeddings.parquet")
+        p1 = probes(spark, docs1, emb1)
+        p10 = probes(spark, docs10, emb10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio")
     print(json.dumps(out))
     spark.stop()
 
