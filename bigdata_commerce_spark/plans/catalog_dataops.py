@@ -426,6 +426,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+@twin_query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    , corpus_ex AS (SELECT id AS corpus_id, shingle FROM ex WHERE id % 40 != 7),
+    bench_ex AS (SELECT id AS bench_id, shingle FROM ex WHERE id % 40 = 7),
+    bsizes AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bench_ex GROUP BY bench_id
+    ),
+    shared AS (
+        SELECT corpus_id, bench_id, COUNT(*) AS shared_ngrams
+        FROM corpus_ex JOIN bench_ex USING (shingle) GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id, shared_ngrams, bench_ngrams,
+           ROUND(shared_ngrams * 1.0 / bench_ngrams, 4) AS coverage
+    FROM shared JOIN bsizes USING (bench_id)
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage scan (operators/contamination.py): every
+    (corpus doc, benchmark doc) pair sharing word 3-grams, scored by
+    the fraction of the benchmark doc's distinct n-grams present. The
+    benchmark here is the deterministic doc_id % 40 == 7 slice playing
+    the role of a held-out eval set; the corpus is everything else.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.contamination import contamination_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 40 == 7)
+    corpus = docs.where(F.col("doc_id") % 40 != 7)
+    return contamination_report(corpus, bench, n=3)
+
+
+# Mixture config for the twin: a spread of per-source keep fractions
+# incl. the edges (0 = drop source, 1 = keep all). The oracle CASE is
+# generated from this same dict (mixing.mixture_oracle_case), so the
+# two sides cannot drift.
+_MIX_FRACTIONS = {f"src{i}": round(i / 19, 4) for i in range(20)}
+
+
+def _mix_oracle() -> str:
+    from bigdata_commerce_spark.operators.mixing import mixture_oracle_case
+
+    return f"""
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+        < {mixture_oracle_case(_MIX_FRACTIONS, default=0.0)}
+    """
+
+
+@twin_query("mixture_sample", oracle=_mix_oracle())
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling (operators/mixing.py): per-source keep
+    fractions applied by deterministic id-hash threshold — zero
+    shuffle, pure scan+filter, nested samples across fraction changes.
+    Fractions here sweep 0..1 over the 20 sources (src0 dropped
+    entirely, src19 kept entirely). Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import mixture_sample as _mix
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return _mix(docs, _MIX_FRACTIONS, default=0.0)
+
+
 # One persisted pairs DataFrame per (session, sf_dir): dedup_clusters
 # consumes the same verified pairs dedup_ngram_jaccard computes, so a
 # suite run materializes the full shingle -> prefix-filter -> verify

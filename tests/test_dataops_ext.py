@@ -290,3 +290,89 @@ def test_percentile_approx_rank_guarantee_past_compression(spark):
     ).collect()[0].q
     for p, v in zip(percentiles, exact):
         assert abs(v - p * n) <= 1, (p, v)
+
+
+def test_contamination_report_planted_overlap(spark):
+    """Planted corpus/benchmark overlap with hand-computable 3-gram
+    sets; the benchmark side must broadcast (corpus never shuffles
+    before the probe join)."""
+    from bigdata_commerce_spark.operators.contamination import (
+        contaminated_ids,
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # doc 1 contains bench doc 100 verbatim -> coverage 1.0
+            (1, "alpha beta gamma delta epsilon"),
+            # doc 2 shares exactly one 3-gram with bench 100:
+            # "beta gamma delta"
+            (2, "zz beta gamma delta yy qq"),
+            # doc 3 disjoint
+            (3, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # 3 distinct 3-grams: (alpha beta gamma), (beta gamma delta),
+        # (gamma delta epsilon)
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    rep = contamination_report(corpus, bench, n=3)
+    got = {(r.corpus_id, r.bench_id): r for r in rep.collect()}
+    assert set(got) == {(1, 100), (2, 100)}
+    assert got[(1, 100)].shared_ngrams == 3
+    assert got[(1, 100)].bench_ngrams == 3
+    assert got[(1, 100)].coverage == 1.0
+    assert got[(2, 100)].shared_ngrams == 1
+    assert round(got[(2, 100)].coverage, 4) == round(1 / 3, 4)
+
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    flagged = contaminated_ids(corpus, bench, n=3, min_coverage=0.5)
+    assert {r.doc_id for r in flagged.collect()} == {1}
+
+
+def test_mixture_sample_determinism_nesting_and_rates(spark):
+    """Hash-threshold mixing: deterministic across runs, nested across
+    fraction increases, observed rates near targets, edge fractions
+    exact (0 drops all, 1 keeps all), and the plan stays shuffle-free."""
+    from bigdata_commerce_spark.operators.mixing import (
+        mixture_sample,
+        temperature_fractions,
+        threshold_hex,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    small = {r.doc_id for r in mixture_sample(df, {"a": 0.2, "b": 0.0}).collect()}
+    small2 = {r.doc_id for r in mixture_sample(df, {"a": 0.2, "b": 0.0}).collect()}
+    assert small == small2 and small
+    assert all(i % 2 == 0 for i in small)  # b dropped entirely
+
+    big = {r.doc_id for r in mixture_sample(df, {"a": 0.5, "b": 1.0}).collect()}
+    assert small <= big  # nested thresholds
+    assert {i for i in range(4000) if i % 2 == 1} <= big  # b kept entirely
+
+    n_a = sum(1 for i in small)
+    assert 0.13 * 2000 <= n_a <= 0.27 * 2000  # ~0.2 within binomial slack
+    n_a5 = sum(1 for i in big if i % 2 == 0)
+    assert 0.42 * 2000 <= n_a5 <= 0.58 * 2000
+
+    plan = mixture_sample(df, {"a": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # threshold encoding edges
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(1.0) == "g" > "ffffffff"
+
+    # temperature helper: tau=1 reproduces natural shares; tau=0
+    # splits the budget evenly across sources
+    counts = {"a": 3000, "b": 1000}
+    nat = temperature_fractions(counts, budget_rows=2000, temperature=1.0)
+    assert abs(nat["a"] - 0.5) < 1e-12 and abs(nat["b"] - 0.5) < 1e-12
+    uni = temperature_fractions(counts, budget_rows=2000, temperature=0.0)
+    assert abs(uni["a"] - 1000 / 3000) < 1e-12 and abs(uni["b"] - 1.0) < 1e-12
