@@ -1,0 +1,108 @@
+"""Data mixing: deterministic source-weighted sampling for training
+corpora.
+
+A pretraining pipeline rarely trains on the raw corpus mix — it
+up/down-samples per source (web/wiki/code/...) toward configured
+mixture weights. Two layers here, split the way real pipelines split
+them:
+
+- ``mixture_sample``: given explicit per-source KEEP FRACTIONS (the
+  mixture config), sample deterministically by content-independent
+  hash threshold. Pure projection + filter — ZERO shuffle, no count
+  pass, no windows — so at 100 TB it is exactly one map-side scan.
+  The per-row uniform is the first 8 hex chars of
+  md5(id || ':mix'); fixed-width lowercase hex compares
+  lexicographically == numerically, so "hash < threshold(source)"
+  needs no integer conversion and reproduces verbatim in any engine
+  with md5 (the DuckDB oracle runs the same expression).
+  Thresholds are NESTED: the f=0.2 sample is a strict subset of the
+  f=0.5 sample — growing a source's weight only ADDS documents,
+  which keeps ablation runs comparable (tested).
+- ``temperature_fractions``: the standard temperature-scaled helper
+  that turns observed source counts into fractions
+  (w_s ∝ n_s^tau, share_s = budget * w_s / Σw, fraction =
+  min(1, share_s / n_s)). Counts come from one tiny aggregate
+  (source cardinality is small by contract); the result is config —
+  feed it to ``mixture_sample``.
+
+Expected sample size per source is fraction * n_s (binomial, not
+exact-quota): the price of the shuffle-free plan. An exact-quota
+variant is a per-source md5-ranked window (the stratified-extract
+discipline of operators/sessionize.py) — per-source single-reducer
+sort, only worth it when exactness matters more than the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SALT = ":mix"
+_SCALE = 1 << 32
+
+
+def threshold_hex(fraction: float) -> str:
+    """8-hex-char lowercase threshold for a keep fraction. f >= 1
+    returns 'g' — lexicographically above every hex string, i.e. keep
+    all, without widening past 8 chars (a 9-char '100000000' would
+    compare LOWER than 'ffffffff' stringwise)."""
+    if fraction >= 1.0:
+        return "g"
+    f = max(fraction, 0.0)
+    return format(int(f * _SCALE), "08x")
+
+
+def hash_uniform(id_col: str) -> Column:
+    """The per-row uniform: md5 prefix of the salted id — independent
+    of content, partitioning, and engine."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(HASH_SALT))), 1, 8
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with probability ``fractions[source]`` (sources
+    absent from the dict use ``default``), deterministically by id
+    hash. Zero shuffle; rows of a source keep/drop identically across
+    runs, engines, and any other query using the same salt."""
+    thr = F.lit(threshold_hex(default))
+    for s in sorted(fractions):
+        thr = F.when(F.col(source_col) == s, F.lit(threshold_hex(fractions[s]))).otherwise(thr)
+    return df.where(hash_uniform(id_col) < thr)
+
+
+def mixture_oracle_case(
+    fractions: dict[str, float], default: float = 0.0, source_col: str = "source"
+) -> str:
+    """The ANSI-SQL CASE expression computing the same per-source
+    threshold — generated from the SAME dict the Spark plan uses, so
+    the oracle can never drift from the engine."""
+    whens = "\n        ".join(
+        f"WHEN {source_col} = '{s}' THEN '{threshold_hex(fractions[s])}'"
+        for s in sorted(fractions)
+    )
+    return f"CASE {whens} ELSE '{threshold_hex(default)}' END"
+
+
+def temperature_fractions(
+    counts: dict[str, int], budget_rows: int, temperature: float = 0.5
+) -> dict[str, float]:
+    """Temperature-scaled mixture config from observed source counts:
+    tau=1 reproduces the natural mix, tau=0 uniform-over-sources,
+    tau in between flattens the head and boosts the tail. Plain
+    driver-side floats over a handful of sources — the scale-bearing
+    part is that it ships OUT of the query as config."""
+    if not counts:
+        return {}
+    w = {s: float(n) ** temperature for s, n in counts.items()}
+    total = sum(w[s] for s in sorted(w))
+    return {
+        s: min(1.0, (budget_rows * w[s] / total) / counts[s]) if counts[s] else 0.0
+        for s in counts
+    }
