@@ -516,3 +516,35 @@ def lsh_ann_topk(
         .distinct()
     )
     return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)
+
+
+def embedding_dedup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic dedup: group embeddings into transitive near-duplicate
+    clusters — ``neardup_pairs`` edges fed through the same
+    size-gated connected-components machinery the text dedup uses
+    (operators/dedup_cluster.py). Returns (id_col, cluster_id) where
+    cluster_id is the minimum member id; the canonical survivor set is
+    ``where(id_col == cluster_id)``.
+
+    Scale shape: edges are near-dup PAIRS (tiny vs the corpus by
+    construction); CC is driver union-find under the 1M-edge gate,
+    distributed min-label propagation past it — identical posture to
+    dedup_clusters, measured in SCALE.md."""
+    from bigdata_commerce_spark.operators.dedup_cluster import connected_components
+
+    pairs = neardup_pairs(
+        corpus, threshold, id_col, vec_col, num_planes, bands, dim, seed
+    )
+    nodes = corpus.select(F.col(id_col).alias("id"))
+    return connected_components(nodes, pairs, node_col="id").select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )

@@ -1,0 +1,97 @@
+"""Training-shard export: the pipeline's last mile.
+
+Trainers consume fixed-size shards (so data-loader workers stripe
+evenly and resume points are cheap), not whatever file sizes the last
+shuffle happened to leave. This writer assigns every row a
+deterministic shard id from an explicit ordering column and lands
+exactly ceil(n / rows_per_shard) parquet files, one per shard, each
+internally sorted:
+
+- shard_id = dense_rank_by(order_col) // rows_per_shard, computed as
+  a two-level bucketed prefix sum over COUNTS (operators/packing.py
+  discipline) — never a global single-partition row_number over the
+  data. The per-bucket count table is tiny (one row per bucket), so
+  the only full-data shuffle is the final repartition BY shard.
+- repartition(num_shards, shard_id) + sortWithinPartitions lands one
+  in-order file per shard via parquet's one-file-per-partition write.
+
+At 100 TB: one count aggregate (map-side partials), one broadcast of
+the bucket offsets, one shuffle by shard id — the minimum any exact
+fixed-size sharding can do. If approximate shard sizes are
+acceptable, skip this and write with maxRecordsPerFile; this module
+exists for the exact, resumable layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    df: DataFrame,
+    rows_per_shard: int,
+    order_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Add ``shard_id`` and ``shard_pos`` (0-based position within the
+    shard) by global ``order_col`` order, without a global window.
+
+    ``order_col`` must be unique (it defines the total order). Bucket
+    prefix sums: rows bucket by order_col // bucket_width; per-bucket
+    counts (tiny) get an exclusive running total on the driver-sized
+    frame; each row's global rank = bucket offset + rank within
+    bucket. The within-bucket window partitions by bucket — bounded
+    memory, no single-reducer stage."""
+    # integer `div`, not float `/`+cast: double rounding would misplace
+    # ids above 2^53 and ids exactly at bucket boundaries
+    bucket = F.expr(f"`{order_col}` div {bucket_width}")
+    rows = df.withColumn("__bucket", bucket)
+    counts = rows.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.partitionBy().orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(order_col)
+    ranked = (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__rank", F.col("__offset") + F.row_number().over(w_in) - 1)
+    )
+    return (
+        ranked.withColumn("shard_id", F.expr(f"CAST(__rank div {rows_per_shard} AS INT)"))
+        .withColumn("shard_pos", F.pmod(F.col("__rank"), F.lit(rows_per_shard)).cast("int"))
+        .drop("__bucket", "__n", "__offset", "__rank")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str = "doc_id",
+) -> int:
+    """Write ``df`` as exactly ceil(n / rows_per_shard) shards under
+    ``path/shard_id=K/``, ONE parquet file per shard, each holding
+    ``rows_per_shard`` consecutive rows of the ``order_col`` order
+    (the last shard short), internally sorted by position. Returns
+    the shard count.
+
+    repartition BY shard_id can hash-collide two shards into one
+    task; ``partitionBy`` at write splits a task's rows per shard
+    value, so the one-file-per-shard layout holds regardless (each
+    task writes one file per shard directory it touches). The
+    count() that sizes the repartition is one extra aggregate —
+    acceptable for a terminal export job (it IS the job)."""
+    assigned = assign_shards(df, rows_per_shard, order_col)
+    n = assigned.count()
+    num_shards = max(1, -(-n // rows_per_shard))
+    (
+        assigned.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return num_shards

@@ -842,3 +842,36 @@ def test_ivf_appended_cells_compact_and_search_unchanged(spark, tmp_path):
     assert after == before
     cents.unpersist()
     probes.unpersist()
+
+
+def test_embedding_dedup_clusters_match_driver_union_find(spark):
+    """Semantic dedup clusters = transitive closure of neardup_pairs:
+    checked against a driver-side union-find over the same edges;
+    survivors (id == cluster_id) are exactly one per cluster."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.embedding_dedup_clusters(emb, threshold=0.45).collect()
+    }
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    edges = [
+        (r.id1, r.id2)
+        for r in similarity.neardup_pairs(emb, threshold=0.45).collect()
+    ]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert got == want
+    assert edges, "corpus must contain planted near-dups"
+    survivors = {i for i, c in got.items() if i == c}
+    assert survivors == set(want.values())

@@ -376,3 +376,80 @@ def test_mixture_sample_determinism_nesting_and_rates(spark):
     assert abs(nat["a"] - 0.5) < 1e-12 and abs(nat["b"] - 0.5) < 1e-12
     uni = temperature_fractions(counts, budget_rows=2000, temperature=0.0)
     assert abs(uni["a"] - 1000 / 3000) < 1e-12 and abs(uni["b"] - 1.0) < 1e-12
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be result-identical to the plain join (inner
+    and left, incl. unmatched left rows), with the dim side replicated
+    salt_buckets ways."""
+    from bigdata_commerce_spark.operators.salted import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(2000)] + [(9999, 42, 1.0)],
+        "fact_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, ["k"], F.xxhash64("fact_id"), 8, how=how)
+        want = facts.join(dim, ["k"], how)
+        assert sorted(got.columns) == sorted(want.columns)
+        cols = sorted(got.columns)
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        ), how
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, ["k"], F.xxhash64("fact_id"), 8, how="right")
+
+
+def test_write_training_shards_exact_layout(spark, tmp_path):
+    """Exact fixed-size sharding: ceil(n/size) shard dirs, one file
+    each, every shard full except the last, rows in global order_col
+    order across (shard_id, shard_pos)."""
+    import glob
+
+    from bigdata_commerce_spark.sources.shards import assign_shards, write_training_shards
+
+    n, size = 1034, 100
+    # non-contiguous, shuffled ids across partitions
+    df = spark.createDataFrame(
+        [(i * 3 + 1, f"t{i}") for i in range(n)], "doc_id long, text string"
+    ).repartition(13)
+    path = str(tmp_path / "shards")
+    num = write_training_shards(df, path, rows_per_shard=size, order_col="doc_id")
+    assert num == -(-n // size) == 11
+
+    dirs = sorted(glob.glob(f"{path}/shard_id=*"))
+    assert len(dirs) == num
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1, d
+
+    back = spark.read.parquet(path)
+    rows = [(r.shard_id, r.shard_pos, r.doc_id) for r in back.collect()]
+    rows.sort()
+    # global order: doc_id ascending across (shard, pos)
+    assert [r[2] for r in rows] == sorted(r[2] for r in rows)
+    # every shard full except the last
+    from collections import Counter
+
+    sizes = Counter(r[0] for r in rows)
+    assert all(sizes[s] == size for s in range(num - 1))
+    assert sizes[num - 1] == n - size * (num - 1)
+    # positions dense within each shard
+    got_assign = assign_shards(df, size, "doc_id")
+    assert got_assign.where(
+        (F.col("shard_pos") < 0) | (F.col("shard_pos") >= size)
+    ).count() == 0
+
+
+def test_cli_list_names_all_queries(capsys):
+    """python -m bigdata_commerce_spark list prints every catalog and
+    twin query name."""
+    from bigdata_commerce_spark.__main__ import main
+    from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
+
+    main(["list"])
+    out = capsys.readouterr().out.splitlines()
+    names = {line.split()[0] for line in out if line.strip()}
+    assert names == set(QUERIES) | set(TWIN_QUERIES)
