@@ -23,9 +23,13 @@ the template for logic that can't be expressed that way.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import udtf
+
+_VIEW_LOCK = threading.Lock()
+_VIEW_SEQ = 0
 
 # Java \s = [ \t\n\x0B\f\r]; Python's \s would also match unicode
 # whitespace, so spell the class out to match the JVM normalizer
@@ -55,8 +59,11 @@ def make_chunk_udtf(chunk_tokens: int = 256, overlap: int = 32, use_arrow: bool 
             # expression form (explode over a NULL sequence).
             if text is None:
                 return
+            # toks is never empty: str.split(" ") on "" yields [""],
+            # so range(0, len(toks), stride) is exactly the expression
+            # form's sequence(0, size-1, stride)
             toks = _normalize(text).split(" ")
-            for chunk_no, s in enumerate(range(0, max(len(toks) - 1, 0) + 1, stride)):
+            for chunk_no, s in enumerate(range(0, len(toks), stride)):
                 piece = toks[s : s + chunk_tokens]
                 yield chunk_no, len(piece), " ".join(piece)
 
@@ -87,9 +94,20 @@ def chunk_documents_udtf(
     spark = df.sparkSession
     fn_name = f"__chunk_udtf_{chunk_tokens}_{overlap}"
     spark.udtf.register(fn_name, make_chunk_udtf(chunk_tokens, overlap))
-    view = f"__chunk_udtf_in_{abs(hash((id_col, text_col, chunk_tokens, overlap))) % 10**8}"
-    df.select(id_col, text_col).createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT v.`{id_col}`, c.chunk_no, c.chunk_n_tokens, c.chunk_text "
-        f"FROM {view} AS v, LATERAL {fn_name}(v.`{text_col}`) AS c"
-    )
+    # Per-call unique view name: a geometry-derived name would race
+    # concurrent callers (B's createOrReplaceTempView swapping the
+    # frame under A's sql()). spark.sql analyzes EAGERLY, so the view
+    # reference is resolved into the returned DataFrame's plan and the
+    # view can be dropped immediately — no session-catalog leak.
+    with _VIEW_LOCK:
+        global _VIEW_SEQ
+        _VIEW_SEQ += 1
+        view = f"__chunk_udtf_in_{_VIEW_SEQ}"
+        df.select(id_col, text_col).createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                f"SELECT v.`{id_col}`, c.chunk_no, c.chunk_n_tokens, c.chunk_text "
+                f"FROM {view} AS v, LATERAL {fn_name}(v.`{text_col}`) AS c"
+            )
+        finally:
+            spark.catalog.dropTempView(view)

@@ -77,8 +77,11 @@ def contaminated_ids(
     this against the corpus to drop them. Same plan as the report plus
     one cheap distinct over the (rare) flagged ids."""
     report = contamination_report(corpus, benchmark, n, text_col, id_col)
+    # threshold the UNROUNDED ratio (coverage is rounded for output
+    # only) — same discipline as the neardup cosine verify: a rounded
+    # filter would misclassify docs within 5e-5 of the cutoff
     return (
-        report.where(F.col("coverage") >= min_coverage)
+        report.where(F.col("shared_ngrams") / F.col("bench_ngrams") >= min_coverage)
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )

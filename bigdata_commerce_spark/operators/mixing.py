@@ -98,11 +98,16 @@ def temperature_fractions(
     tau in between flattens the head and boosts the tail. Plain
     driver-side floats over a handful of sources — the scale-bearing
     part is that it ships OUT of the query as config."""
-    if not counts:
-        return {}
-    w = {s: float(n) ** temperature for s, n in counts.items()}
+    # zero-count sources carry no rows and must carry no WEIGHT either:
+    # 0.0**0 == 1.0 would hand an empty source a full share of the
+    # budget at tau=0 (diluting every real source), and 0.0**-tau
+    # raises. Exclude them from the sum and emit 0.0.
+    pos = {s: n for s, n in counts.items() if n > 0}
+    if not pos:
+        return {s: 0.0 for s in counts}
+    w = {s: float(n) ** temperature for s, n in pos.items()}
     total = sum(w[s] for s in sorted(w))
     return {
-        s: min(1.0, (budget_rows * w[s] / total) / counts[s]) if counts[s] else 0.0
+        s: min(1.0, (budget_rows * w[s] / total) / counts[s]) if s in pos else 0.0
         for s in counts
     }

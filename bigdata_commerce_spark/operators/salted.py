@@ -69,8 +69,12 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = list(on)
+    # coalesce: a NULL salt_col (nullable hash input) would never
+    # equi-match the dim's salt domain — the fact row would silently
+    # drop (inner) or mis-null (left), breaking the identity with the
+    # plain join. NULLs all land in bucket 0: correct, just unspread.
     salted_facts = facts.withColumn(
-        "__salt", F.pmod(salt_col, F.lit(salt_buckets)).cast("int")
+        "__salt", F.coalesce(F.pmod(salt_col, F.lit(salt_buckets)), F.lit(0)).cast("int")
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -78,9 +78,10 @@ def delete_keys_partitioned(
     # written frame — a partition whose every row was deleted isn't,
     # so its stale directory must be dropped explicitly. The dir name
     # uses Spark's partition-value escaping (percent-encoding of
-    # space, ':', '/', '%', ...), so the value must be escaped the
-    # same way or the exists() check silently misses the directory
-    # and the "deleted" rows stay readable.
+    # ':', '/', '%', '#', control chars, ... — space stays literal),
+    # so the value must be escaped the same way or the exists() check
+    # silently misses the directory and the "deleted" rows stay
+    # readable.
     jvm = spark._jvm
     for p in set(affected) - kept_parts:
         hp = jvm.org.apache.hadoop.fs.Path(

@@ -84,14 +84,23 @@ def write_training_shards(
     task writes one file per shard directory it touches). The
     count() that sizes the repartition is one extra aggregate —
     acceptable for a terminal export job (it IS the job)."""
-    assigned = assign_shards(df, rows_per_shard, order_col)
-    n = assigned.count()
-    num_shards = max(1, -(-n // rows_per_shard))
-    (
-        assigned.repartition(num_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "shard_pos")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(path)
-    )
-    return num_shards
+    # persist before counting: the count() that sizes the repartition
+    # would otherwise recompute the whole rank pipeline (scan + bucket
+    # agg + windows) a second time for the write
+    assigned = assign_shards(df, rows_per_shard, order_col).persist()
+    try:
+        n = assigned.count()
+        num_shards = -(-n // rows_per_shard)
+        if n:
+            (
+                assigned.repartition(num_shards, "shard_id")
+                .sortWithinPartitions("shard_id", "shard_pos")
+                .write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(path)
+            )
+        # empty input: 0 shards, nothing written — a data-loader must
+        # see the true shard count, not a phantom shard 1
+        return num_shards
+    finally:
+        assigned.unpersist()

@@ -208,23 +208,36 @@ def build_relational_corpus(spark, docs10: str, emb10: str, n_copies: int) -> st
 
     copies = spark.range(n_copies).withColumnRenamed("id", "copy")
 
-    def fan_out(df, remap_cols):
-        maxes = df.agg(*[F.max(c).alias(c) for c in remap_cols]).collect()[0]
+    def fan_out(df, remap: dict):
+        """remap: col -> stride. Strides for a SHARED key domain
+        (l_orderkey / o_orderkey) must be the same number, or copy k
+        of lineitem would reference different orders than copy k of
+        orders writes — silent join breakage."""
         fanned = df.crossJoin(F.broadcast(copies))
-        for c in remap_cols:
-            fanned = fanned.withColumn(
-                c, F.col(c) + F.col("copy") * F.lit(int(maxes[c]) + 1)
-            )
+        for c, stride in remap.items():
+            fanned = fanned.withColumn(c, F.col(c) + F.col("copy") * F.lit(stride))
         return fanned.drop("copy").repartition(32)
 
     li = load_table(spark, "lineitem", SF_DIR)
-    fan_out(li, ["l_orderkey"]).write.parquet(str(out_dir / "lineitem.parquet"))
     orders = load_table(spark, "orders", SF_DIR)
-    fan_out(orders, ["o_orderkey"]).write.parquet(str(out_dir / "orders.parquet"))
-    ev = load_table(spark, "events", SF_DIR)
-    fan_out(ev, ["event_id", "user_id"]).write.parquet(
-        str(out_dir / "events.parquet")
+    order_stride = (
+        max(
+            li.agg(F.max("l_orderkey")).collect()[0][0],
+            orders.agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
     )
+    fan_out(li, {"l_orderkey": order_stride}).write.parquet(
+        str(out_dir / "lineitem.parquet")
+    )
+    fan_out(orders, {"o_orderkey": order_stride}).write.parquet(
+        str(out_dir / "orders.parquet")
+    )
+    ev = load_table(spark, "events", SF_DIR)
+    ev_strides = {
+        c: int(ev.agg(F.max(c)).collect()[0][0]) + 1 for c in ("event_id", "user_id")
+    }
+    fan_out(ev, ev_strides).write.parquet(str(out_dir / "events.parquet"))
 
     # decorrelated text/vector corpora from the dedup-probe builders;
     # the 1x twin re-lands the originals through the same 32-file

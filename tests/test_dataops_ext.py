@@ -453,3 +453,67 @@ def test_cli_list_names_all_queries(capsys):
     out = capsys.readouterr().out.splitlines()
     names = {line.split()[0] for line in out if line.strip()}
     assert names == set(QUERIES) | set(TWIN_QUERIES)
+
+
+def test_salted_join_null_salt_rows_survive(spark):
+    """A NULL salt expression must not drop (inner) or mis-null (left)
+    fact rows — NULLs fold into bucket 0."""
+    from bigdata_commerce_spark.operators.salted import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, None), (3, 1, "y")],
+        "fact_id long, k long, tag string",
+    )
+    dim = spark.createDataFrame([(0, "d0"), (1, "d1")], "k long, label string")
+    salt = F.xxhash64("tag")  # NULL tag -> NULL hash
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, ["k"], salt, 4, how=how)
+        want = facts.join(dim, ["k"], how)
+        cols = sorted(got.columns)
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        ), how
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    from bigdata_commerce_spark.sources.shards import write_training_shards
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert write_training_shards(df, str(tmp_path / "s"), 10) == 0
+
+
+def test_contaminated_ids_threshold_unrounded(spark):
+    """The decontamination filter must compare the raw ratio, not the
+    4dp-rounded coverage: 49996/100000 rounds to 0.5 but is below it."""
+    from bigdata_commerce_spark.operators.contamination import contaminated_ids
+
+    # tiny analog: 4999/10000 ~ 0.4999 -> rounds to 0.4999, fine; use
+    # 3-gram counts where shared/bench rounds UP across the cutoff:
+    # bench has 3 n-grams, corpus shares 1 -> 1/3 = 0.3333 rounds to
+    # 0.3333; threshold 1/3: raw 0.33333... >= 1/3 exactly? 1/3 double
+    # compare of the same division is equal -> kept. Use threshold
+    # slightly above the raw value but below the rounded one.
+    corpus = spark.createDataFrame(
+        [(1, "zz beta gamma delta yy qq")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    # raw = 1/3 = 0.33333...; rounded coverage = 0.3333 (below raw).
+    # A rounded filter at min_coverage=0.33335 would use 0.3333 and
+    # drop the doc; the raw filter keeps it.
+    flagged = contaminated_ids(corpus, bench, n=3, min_coverage=0.33333)
+    assert {r.doc_id for r in flagged.collect()} == {1}
+    # and above the raw value nothing is flagged
+    assert contaminated_ids(corpus, bench, n=3, min_coverage=0.334).count() == 0
+
+
+def test_temperature_fractions_zero_count_sources(spark):
+    from bigdata_commerce_spark.operators.mixing import temperature_fractions
+
+    # tau=0: empty source must not absorb budget
+    f = temperature_fractions({"a": 1000, "b": 0}, budget_rows=1000, temperature=0.0)
+    assert f == {"a": 1.0, "b": 0.0}
+    # negative tau with a zero-count source must not raise
+    f2 = temperature_fractions({"a": 100, "b": 0}, budget_rows=50, temperature=-1.0)
+    assert f2["b"] == 0.0 and 0 < f2["a"] <= 1.0
