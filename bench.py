@@ -22,6 +22,24 @@ from bigdata_commerce_spark import get_spark  # noqa: E402
 from bigdata_commerce_spark.plans import QUERIES  # noqa: E402
 
 
+def aggregate_total(
+    timings: dict[str, float | None], base: dict[str, float]
+) -> float | None:
+    """Suite total that can only DEGRADE on failure: an errored query
+    (None timing) contributes its baseline timing; with no baseline to
+    substitute the aggregate is meaningless — None. (A dropped query
+    would make the headline number improve when something breaks.)"""
+    total = 0.0
+    for name, t in timings.items():
+        if t is not None:
+            total += t
+        elif base.get(name) is not None:
+            total += base[name]
+        else:
+            return None
+    return round(total, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,23 +102,10 @@ def main() -> None:
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text()).get("queries", {})
 
-    # Aggregate metric. A failed query must never make the headline
-    # number look BETTER (dropping it from the sum would): substitute
-    # the baseline timing for any errored query so the aggregate can
-    # only degrade on failure; with no baseline to substitute, the
-    # aggregate itself is unusable — emit null.
-    total: float | None = 0.0
-    for name, t in timings.items():
-        if t is not None:
-            total += t
-        elif base.get(name) is not None:
-            total += base[name]
-        else:
-            total = None
-            break
+    total = aggregate_total(timings, base)
     out = {
         "metric": "catalog_suite_wall",
-        "value": round(total, 3) if total is not None else None,
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -146,9 +151,17 @@ def main() -> None:
 
     # Self-archive the FULL result in-repo: the driver keeps only the
     # last ~2000 chars of stdout, which loses most of the 50 per-query
-    # timings; BENCH_LATEST.json makes every ratio auditable.
-    latest_path = Path(__file__).resolve().parent / "BENCH_LATEST.json"
+    # timings; BENCH_LATEST.json makes every ratio auditable. Only the
+    # headline sf lands there — smoke runs at other sfs archive to
+    # .scratch so they can't clobber the committed artifact.
+    repo = Path(__file__).resolve().parent
+    latest_path = (
+        repo / "BENCH_LATEST.json"
+        if str(out["sf"]) == "0.1"
+        else repo / ".scratch" / f"bench_latest_sf{out['sf']}.json"
+    )
     try:
+        latest_path.parent.mkdir(parents=True, exist_ok=True)
         latest_path.write_text(json.dumps(out, indent=2) + "\n")
     except OSError:
         pass  # archiving must never fail the bench itself

@@ -256,6 +256,62 @@ def region_top3_parts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@twin_query(
+    "group_concat_distinct_udaf",
+    oracle="""
+    SELECT r_name AS area, l_partkey,
+           COUNT(*) AS order_count,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nation_list
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def group_concat_distinct_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one custom UDAF (GroupConcatDistinct —
+    ``areaStat/src/main/scala/GroupConcatDistinct.scala``) computed
+    through Spark's Python UDAF surface: a pandas grouped-aggregate
+    UDF (Arrow-batched, one Python call per group — never
+    row-at-a-time). The production path remains
+    collect_set+array_sort+array_join (pure JVM, used by
+    region_top3_parts); this twin completes SURVEY §2.10's UDF-surface
+    story the way chunk_documents_udtf does for UDTFs — and unlike the
+    reference's UDAF, the merge step cannot forget cross-partition
+    dedup (SURVEY §2.12/7): the set is built per assembled group."""
+    from pyspark.sql.functions import PandasUDFType
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+
+    # hint-free + explicit GROUPED_AGG: string type annotations don't
+    # resolve under `from __future__ import annotations` (same issue
+    # bench.py's warmup documents)
+    @F.pandas_udf("string", PandasUDFType.GROUPED_AGG)
+    def concat_distinct(s):
+        return ",".join(sorted(set(s.dropna())))
+
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_rows(s):
+        return len(s)
+
+    basic = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("area"), F.col("n_name").alias("nation"), "l_partkey")
+    )
+    # both aggregates through the pandas UDAF path: Spark disallows
+    # mixing builtin and group-aggregate pandas UDFs in one agg
+    return basic.groupBy("area", "l_partkey").agg(
+        count_rows("nation").alias("order_count"),
+        concat_distinct("nation").alias("nation_list"),
+    )
+
+
 @query(
     "lineitem_cube",
     oracle="""

@@ -517,3 +517,17 @@ def test_temperature_fractions_zero_count_sources(spark):
     # negative tau with a zero-count source must not raise
     f2 = temperature_fractions({"a": 100, "b": 0}, budget_rows=50, temperature=-1.0)
     assert f2["b"] == 0.0 and 0 < f2["a"] <= 1.0
+
+
+def test_bench_aggregate_total_degrades_on_failure():
+    """An errored query must never improve the headline number: its
+    baseline timing substitutes; no baseline -> null total."""
+    import bench
+
+    base = {"a": 1.0, "b": 2.0}
+    assert bench.aggregate_total({"a": 1.5, "b": 2.5}, base) == 4.0
+    # error on b -> baseline 2.0 substitutes (total can't shrink)
+    assert bench.aggregate_total({"a": 1.5, "b": None}, base) == 3.5
+    # error on a query without baseline -> aggregate unusable
+    assert bench.aggregate_total({"a": 1.5, "c": None}, base) is None
+    assert bench.aggregate_total({}, {}) == 0.0
