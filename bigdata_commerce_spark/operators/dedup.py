@@ -20,7 +20,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.functions import fan_out
-from bigdata_commerce_spark.operators.text import fingerprint, normalize_text, tokens
+from bigdata_commerce_spark.operators.text import (
+    fingerprint,
+    ngram_fold,
+    normalize_text,
+    tokens,
+)
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -28,23 +33,10 @@ HEX_DIGITS = "0123456789abcdef"
 def shingle_array(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text; documents
     shorter than n tokens use the whole normalized text as the single
-    shingle.
-
-    Built from n shifted ``slice``s zipped together rather than
-    ``element_at(tokens, i+j)`` inside a transform lambda: lambda-body
-    subexpressions re-evaluate per *element*, so the element_at form
-    re-tokenizes (regex split over the full text) three times per
-    shingle — O(tokens^2) work per document. The slice/zip form
-    references the token array O(n) times per *row*.
-    """
+    shingle. The fold itself is the shared ``text.ngram_fold`` (see
+    its docstring for the slice-vs-element_at rationale)."""
     t = tokens(col)
-    length = F.size(t) - (n - 1)
-    acc = F.slice(t, 1, length)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.when(F.size(t) >= n, F.array_distinct(acc)).otherwise(
+    return F.when(F.size(t) >= n, F.array_distinct(ngram_fold(t, n))).otherwise(
         F.array(normalize_text(col))
     )
 
@@ -92,15 +84,9 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
         ).alias("x"),
     )
     t = F.col("x.t")
-    length = F.size(t) - (n - 1)
-    acc = F.slice(t, 1, length)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
-        )
     # documents shorter than n tokens use the whole normalized text as
     # their single shingle — same contract as shingle_array().
-    arr = F.when(F.size(t) >= n, F.array_distinct(acc)).otherwise(
+    arr = F.when(F.size(t) >= n, F.array_distinct(ngram_fold(t, n))).otherwise(
         F.array(F.col("x.norm"))
     )
     # No trailing .distinct(): array_distinct already dedups within a
@@ -281,6 +267,15 @@ def minhash_lsh_pairs(
     verify runs only on candidates, so the expensive step scales with
     the number of near-dups, not documents^2.
     """
+    # bands must tile the signature exactly: bands > num_hashes gives
+    # 0-row bands whose empty concat hashes to ONE shared bucket —
+    # the candidate join silently degenerates to the all-pairs cross
+    # product this module exists to avoid; non-divisible bands would
+    # silently drop trailing components.
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     ex = _exploded_shingles(df, text_col, id_col, n).persist()
     exprs = minhash_hash_exprs(num_hashes)

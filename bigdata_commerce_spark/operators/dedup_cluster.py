@@ -113,7 +113,10 @@ def connected_components(
     # Only nodes with edges participate in propagation; isolated nodes
     # are singleton clusters by definition and skip the loop entirely
     # (on a dedup graph that's the overwhelming majority).
-    edge_nodes = sym.select("a").distinct()
+    # localCheckpoint (eager): consumed again by the singleton
+    # anti-join AFTER sym is unpersisted below — a lazy plan there
+    # would re-run the whole upstream pair pipeline.
+    edge_nodes = sym.select("a").distinct().localCheckpoint()
     labels = edge_nodes.select("a", F.col("a").alias("label"))
     changed = -1
     for _ in range(max_iterations):
@@ -163,9 +166,15 @@ def connected_components(
         .join(edge_nodes, "a", "left_anti")
         .select("a", F.col("a").alias("label"))
     )
-    return labels.unionByName(singletons).select(
+    out = labels.unionByName(singletons).select(
         F.col("a").alias(node_col), F.col("label").alias("cluster_id")
     )
+    # labels is localCheckpoint-ed (lineage cut), so the cached edge
+    # lists are no longer needed; leaving them pinned would accumulate
+    # executor storage across repeated dedup passes in one session
+    raw.unpersist()
+    sym.unpersist()
+    return out
 
 
 def dedup_survivors(
@@ -181,16 +190,16 @@ def dedup_survivors(
         scored = clusters.join(
             quality.select(F.col(node_col), F.col(quality_col)), node_col, "left"
         ).withColumn(quality_col, F.coalesce(F.col(quality_col), F.lit(0.0)))
-        best = F.max(
-            F.struct(F.col(quality_col), (-F.col(node_col)).alias("neg_id"))
-        ).alias("best")
-        agg = scored.groupBy("cluster_id").agg(
+        # min_by over (negated QUALITY, id): max quality then min id in
+        # one aggregate. The quality column is numeric by contract so
+        # negating it is safe for ANY id type — negating the ID (the
+        # previous form) broke on the string/uuid ids
+        # connected_components explicitly supports.
+        best = F.min_by(
+            node_col, F.struct((-F.col(quality_col)).alias("nq"), F.col(node_col))
+        ).alias("survivor_id")
+        return scored.groupBy("cluster_id").agg(
             best, F.count(F.lit(1)).alias("cluster_size")
-        )
-        return agg.select(
-            "cluster_id",
-            (-F.col("best.neg_id")).alias("survivor_id"),
-            "cluster_size",
         )
     return clusters.groupBy("cluster_id").agg(
         F.min(node_col).alias("survivor_id"), F.count(F.lit(1)).alias("cluster_size")

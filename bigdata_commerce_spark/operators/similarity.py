@@ -38,6 +38,17 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Raw cosine via try_divide: a zero-magnitude vector makes the
+    denominator 0, which under Spark 4's default ANSI mode would THROW
+    from plain `/` — one degenerate embedding anywhere in the corpus
+    killing the job. try_divide yields NULL instead, which is ALSO
+    DuckDB's division-by-zero semantics, so the oracles agree: NULL
+    scores fail >= thresholds and sort after real scores (NULLS LAST
+    in both engines)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -59,11 +70,7 @@ def cosine_topk(
         .select(
             "probe_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cvec"), F.col("pvec"))
-                / (_norm(F.col("cvec")) * _norm(F.col("pvec"))),
-                4,
-            ).alias("score"),
+            F.round(_cosine(F.col("cvec"), F.col("pvec")), 4).alias("score"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("corpus_id"))
@@ -92,6 +99,14 @@ def _sign_buckets(
     query on the DRIVER, dwarfing the actual math. The UDF plan is
     one node; the planes ship once in the closure."""
     num_planes = planes.shape[0]
+    # bands must tile the bit string exactly: bands > num_planes makes
+    # every bucket the zero-width substring '' — one global bucket,
+    # i.e. a silent all-pairs cross join at exactly the scale this
+    # banding exists to prevent.
+    if not 1 <= bands <= num_planes or num_planes % bands:
+        raise ValueError(
+            f"bands must divide num_planes (got bands={bands}, num_planes={num_planes})"
+        )
     rows_per_band = num_planes // bands
 
     @F.pandas_udf("string")
@@ -188,10 +203,7 @@ def neardup_pairs(
         .select(
             "id1",
             "id2",
-            (
-                _dot(F.col("v1"), F.col("v2"))
-                / (_norm(F.col("v1")) * _norm(F.col("v2")))
-            ).alias("__raw"),
+            _cosine(F.col("v1"), F.col("v2")).alias("__raw"),
         )
         .where(F.col("__raw") >= threshold)
         .select("id1", "id2", F.round("__raw", 4).alias("score"))
@@ -222,11 +234,7 @@ def _exact_rerank(
         .select(
             "probe_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("corpus_vec"), F.col("probe_vec"))
-                / (_norm(F.col("corpus_vec")) * _norm(F.col("probe_vec"))),
-                4,
-            ).alias("score"),
+            F.round(_cosine(F.col("corpus_vec"), F.col("probe_vec")), 4).alias("score"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("corpus_id"))
@@ -265,11 +273,7 @@ def _cell_scores(vec: str) -> Column:
     return F.transform(
         F.col("cents"),
         lambda cent: F.struct(
-            F.round(
-                _dot(F.col(vec), cent["cv"])
-                / (_norm(F.col(vec)) * _norm(cent["cv"])),
-                4,
-            ).alias("s"),
+            F.round(_cosine(F.col(vec), cent["cv"]), 4).alias("s"),
             cent["cid"].alias("cid"),
         ),
     )
@@ -471,9 +475,15 @@ def train_kmeans_centroids(
     # element (CollapseProject), but over the bound array that is
     # O(dim^2) plain arithmetic per row — negligible for a one-time
     # training input.
-    unit = corpus.select(
-        F.explode(F.array(_as_double(vec_col))).alias("__v")
-    ).select(F.transform("__v", lambda x: x / _norm(F.col("__v"))).alias("__nvec"))
+    # zero-magnitude vectors carry no direction: excluded from the
+    # TRAINING sample (the filter guarantees the ANSI-mode division
+    # below never sees a zero norm; search paths handle such vectors
+    # via _cosine's NULL instead)
+    unit = (
+        corpus.select(F.explode(F.array(_as_double(vec_col))).alias("__v"))
+        .where(_norm(F.col("__v")) > 0)
+        .select(F.transform("__v", lambda x: x / _norm(F.col("__v"))).alias("__nvec"))
+    )
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__feat"
     ).fit(unit.select(array_to_vector("__nvec").alias("__feat")))

@@ -65,11 +65,19 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 256) -> DataFra
 def heavy_hitters(
     df: DataFrame, key_col: str, top_n: int = 10, k: int = 256
 ) -> DataFrame:
-    """Exact top-N frequent keys via sketch-then-verify: Misra-Gries
-    candidates, broadcast semi-join re-count, rank. Exact whenever the
-    N-th true frequency exceeds n/(k+1) (size k accordingly); the
-    ranking window runs over <= k*partitions candidate counts, never
-    the raw keys."""
+    """Exact top-N frequent keys via sketch-then-verify, CERTIFIED:
+    Misra-Gries candidates, broadcast semi-join re-count, rank — then
+    check the guarantee actually covers the answer. The sketch only
+    promises that keys with true frequency > n/(k+1) survive into the
+    candidate set, so the top-N is provably exact iff the N-th
+    candidate's exact count clears that bound (no non-candidate can
+    then outrank it). On flat distributions where it doesn't, the
+    sketch path would be silently distribution-dependent — instead we
+    fall back to the plain exact groupBy, so the result equals the
+    GROUP BY oracle UNCONDITIONALLY. Certification costs one count()
+    of the input and one materialization of the <= top_n candidate
+    rows; size k so the bound clears and neither fallback nor the
+    extra pass triggers in steady state."""
     cands = misra_gries_candidates(df, key_col, k)
     exact = (
         df.join(F.broadcast(cands.select(key_col)), key_col, "left_semi")
@@ -83,6 +91,16 @@ def heavy_hitters(
     # the single partition a global window would force. The ranking
     # window then runs over exactly top_n rows.
     top = exact.orderBy(F.desc("event_count"), F.asc(key_col)).limit(top_n)
+    top_rows = top.collect()
+    bound = df.count() / (k + 1)
+    certified = len(top_rows) == top_n and top_rows[-1].event_count > bound
+    if not certified:
+        top = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("event_count"))
+            .orderBy(F.desc("event_count"), F.asc(key_col))
+            .limit(top_n)
+        )
     w = Window.orderBy(F.desc("event_count"), F.asc(key_col))
     return (
         top.withColumn("rank", F.row_number().over(w))

@@ -47,6 +47,28 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def ngram_fold(t: Column, n: int) -> Column:
+    """Word n-gram array from a token-array column, as n shifted
+    ``slice``s zipped together (concat_ws-joined). The single home of
+    this fold — dedup's shingling and the repetition filters both
+    build on it, so the oracle-parity contract can't drift per call
+    site. Callers own the short-document (< n tokens) policy: the
+    fold yields an empty array there.
+
+    Why slices, not element_at in a transform lambda: lambda-body
+    subexpressions re-evaluate per *element*, so the element_at form
+    re-tokenizes (regex split over the full text) n times per n-gram
+    — O(tokens^2) per document. This form references the token array
+    O(n) times per row."""
+    length = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
+
+
 def _stat_exprs(text_col: str) -> list[Column]:
     """The per-document statistic columns, reusable wherever stats are
     needed next to other columns (text_stats, curate)."""
@@ -58,12 +80,19 @@ def _stat_exprs(text_col: str) -> list[Column]:
     punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
     digits = F.length(F.regexp_replace(F.col(text_col), DIGIT_CLASS, ""))
     norm_len = F.length(normalize_text(text_col))
+    # try_divide on the n_chars ratios: an empty-string document has
+    # n_chars=0 and plain `/` THROWS under Spark 4's default ANSI mode
+    # (one dirty row kills the whole curation job). NULL-on-zero is
+    # also exactly DuckDB's division semantics, so the oracle agrees;
+    # downstream quality gates then fail the doc (NULL comparisons are
+    # false), which is the right fate for empty text. n_tokens is
+    # never 0 (split of "" yields [""]), so those divisions stay plain.
     return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round((norm_len - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
-        F.round(punct / n_chars, 4).alias("punct_ratio"),
-        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(F.try_divide(punct, n_chars), 4).alias("punct_ratio"),
+        F.round(F.try_divide(digits, n_chars), 4).alias("digit_ratio"),
         F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
     ]
 
@@ -154,13 +183,9 @@ def repetition_stats(
     def _dup_of(n: int) -> Column:
         if n == 1:
             return _dup_fraction(tb)
-        length = F.size(tb) - (n - 1)
-        acc = F.slice(tb, 1, length)
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc, F.slice(tb, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
-            )
-        return F.when(F.size(tb) >= n, _dup_fraction(acc)).otherwise(F.lit(0.0))
+        return F.when(F.size(tb) >= n, _dup_fraction(ngram_fold(tb, n))).otherwise(
+            F.lit(0.0)
+        )
 
     return barrier.select(
         id_col,

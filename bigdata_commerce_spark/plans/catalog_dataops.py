@@ -502,6 +502,15 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
+        # Evict other entries before inserting: stale keys pin cached
+        # blocks (and dead-session objects after a restart) for the
+        # process lifetime, and the suite only ever works one
+        # (session, sf_dir) at a time.
+        for old_key in [k for k in _PAIRS_CACHE if k != key]:
+            try:
+                _PAIRS_CACHE.pop(old_key).unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                _PAIRS_CACHE.pop(old_key, None)
         docs = load_table(spark, "documents", sf_dir)
         _PAIRS_CACHE[key] = dedup.jaccard_pairs(docs, threshold=0.8).persist()
     return _PAIRS_CACHE[key]
@@ -1275,10 +1284,12 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 users by event count via the Misra-Gries
     sketch-then-verify path (operators/sketch.py): per-partition
     k-counter summaries -> merged candidate superset -> broadcast
-    semi-join exact re-count. The candidate-set guarantee (every key
-    with frequency > n/(k+1) survives, any partitioning) makes the
-    final exact output deterministic, so the plain GROUP BY oracle
-    applies — the sketch only bounds how much gets counted."""
+    semi-join exact re-count, then CERTIFICATION — the candidate-set
+    guarantee (every key with frequency > n/(k+1) survives, any
+    partitioning) is checked against the 10th exact count and the
+    operator falls back to the plain groupBy when a flat distribution
+    leaves the bound uncleared. Either way the output equals the
+    GROUP BY oracle unconditionally."""
     from bigdata_commerce_spark.operators.sketch import heavy_hitters
 
     ev = _events(spark, sf_dir)

@@ -216,7 +216,14 @@ def page_convert_rate(
     spark: SparkSession, actions: DataFrame, params: TaskParams
 ) -> DataFrame:
     """Req 5: single-step conversion along params.target_page_flow
-    (lead window; missing transitions are 0 — fixes §2.12/9)."""
+    (lead window; missing transitions are 0 — fixes §2.12/9).
+
+    tiebreak on page_id: user_visit_action has second-granularity
+    timestamps and no unique action id, so same-second actions in one
+    session are real; without a tiebreak the lead() ordering — and
+    therefore the transition counts — would be partition-order
+    nondeterministic (the catalog's page_funnel passes event_id for
+    the same reason)."""
     flow = [str(p) for p in params.target_page_flow]
     out = funnel_counts(
         spark,
@@ -225,6 +232,7 @@ def page_convert_rate(
         session_col="session_id",
         ts_col="action_time",
         page_col="page_id",
+        tiebreak_col="page_id",
     )
     return with_task_id(out, params)
 

@@ -39,7 +39,10 @@ def delete_keys_partitioned(
     """Remove every row whose ``key_col`` is in ``keys`` from the
     parquet store at ``path`` (partitioned by ``partition_col``),
     rewriting ONLY the partitions that contain such rows. Returns
-    audit counts: {"partitions_rewritten": n, "rows_deleted": n}.
+    audit counts: {"partitions_rewritten": n, "partitions_dropped": n,
+    "rows_deleted": n} — rewritten and dropped are disjoint (a
+    partition whose every row was deleted is dropped whole, not
+    rewritten; a compliance log needs the two counted apart).
     """
     keys_df = F.broadcast(
         spark.createDataFrame([(k,) for k in keys], f"{key_col} {_key_type(spark, path, key_col)}")
@@ -54,7 +57,7 @@ def delete_keys_partitioned(
     affected = [r[partition_col] for r in hits]
     rows_deleted = sum(r.n for r in hits)
     if not affected:
-        return {"partitions_rewritten": 0, "rows_deleted": 0}
+        return {"partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
 
     kept = (
         spark.read.parquet(path)
@@ -83,14 +86,19 @@ def delete_keys_partitioned(
     # silently misses the directory and the "deleted" rows stay
     # readable.
     jvm = spark._jvm
-    for p in set(affected) - kept_parts:
+    dropped = set(affected) - kept_parts
+    for p in dropped:
         hp = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{partition_col}={_escape_partition_value(spark, p)}"
         )
         fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hp):
             fs.delete(hp, True)
-    return {"partitions_rewritten": len(affected), "rows_deleted": rows_deleted}
+    return {
+        "partitions_rewritten": len(affected) - len(dropped),
+        "partitions_dropped": len(dropped),
+        "rows_deleted": rows_deleted,
+    }
 
 
 def _escape_partition_value(spark: SparkSession, value) -> str:

@@ -44,16 +44,18 @@ def parse_ad_log(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse the reference's positional text lines into typed columns
     (replaces ``AdverStat.scala:97-103``'s split-at-every-use; fixes
     SURVEY.md §2.12/6 — epoch millis parsed as a number, not
-    ``new Date(String)``)."""
+    ``new Date(String)``). Positions come from AD_LOG_FIELDS so a
+    wire-format change edits ONE constant, not hardcoded indices."""
     parts = F.split(F.col(value_col).cast("string"), " ")
-    ts = F.timestamp_millis(parts.getItem(0).cast("bigint"))
+    pos = {name: parts.getItem(i) for i, name in enumerate(AD_LOG_FIELDS)}
+    ts = F.timestamp_millis(pos["ts_ms"].cast("bigint"))
     return lines.select(
         ts.alias("event_time"),
         F.to_date(ts).alias("event_date"),
-        parts.getItem(1).alias("province"),
-        parts.getItem(2).alias("city"),
-        parts.getItem(3).cast("bigint").alias("user_id"),
-        parts.getItem(4).cast("bigint").alias("ad_id"),
+        pos["province"].alias("province"),
+        pos["city"].alias("city"),
+        pos["user_id"].cast("bigint").alias("user_id"),
+        pos["ad_id"].cast("bigint").alias("ad_id"),
     )
 
 
@@ -65,25 +67,25 @@ def without_blacklisted(stream: DataFrame, blacklist: DataFrame) -> DataFrame:
     return stream.join(blacklist.select("user_id"), "user_id", "left_anti")
 
 
-def user_day_ad_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Req 7 base: per-(date, user, ad) click counts as an update-mode
-    stateful aggregation; watermark bounds state (the reference keeps
-    unbounded MySQL rows instead)."""
-    return (
-        stream.withWatermark("event_time", watermark)
-        .groupBy("event_date", "user_id", "ad_id")
-        .agg(F.count(F.lit(1)).alias("click_count"))
-    )
-
-
-def cumulative_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def cumulative_counts(stream: DataFrame) -> DataFrame:
     """Req 8: running totals per (date, province, city, ad) —
     ``updateStateByKey`` (``AdverStat.scala:211-223``) becomes a
-    stateful aggregation in update mode."""
-    return (
-        stream.withWatermark("event_time", watermark)
-        .groupBy("event_date", "province", "city", "ad_id")
-        .agg(F.count(F.lit(1)).alias("click_count"))
+    stateful aggregation in update mode.
+
+    State honesty: the grouping keys carry NO event-time column, so
+    the watermark mechanism cannot evict this state (Spark only
+    applies the watermark predicate to event-time grouping keys) —
+    running totals inherently keep one state row per key forever.
+    State is bounded by KEY CARDINALITY, not time: past dates stop
+    receiving updates but their rows remain until retired out-of-band.
+    That is exactly why the production topology (pipelines.py) keeps
+    these totals in SINK-side state (foreachBatch additive merge)
+    rather than the streaming state store — the sink table can be
+    partitioned and pruned by date. An earlier form took a watermark
+    parameter and claimed it bounded state; that claim was wrong and
+    the parameter is gone."""
+    return stream.groupBy("event_date", "province", "city", "ad_id").agg(
+        F.count(F.lit(1)).alias("click_count")
     )
 
 

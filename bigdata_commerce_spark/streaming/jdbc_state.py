@@ -39,6 +39,28 @@ def _q(name: str) -> str:
     return '"' + name + '"'
 
 
+# Hidden column on append-only state tables recording the inserting
+# epoch — what lets read_state(before_epoch=...) replay a historical
+# view (the parquet backend gets the same property from its per-epoch
+# snapshot dirs).
+EPOCH_COL = "__epoch"
+
+# Stored stand-in for NULL in string columns (see _stage): a bare NUL
+# character, which no parsed log field or aggregate key produces.
+NULL_SENTINEL = "\x00"
+
+
+def _on_clause(key_cols: list[str]) -> str:
+    # Null-safe key equality: plain `t.k = s.k` never matches NULL
+    # keys, so a NULL-keyed state row would be re-inserted every
+    # micro-batch instead of merged — diverging from the parquet
+    # backend, whose groupBy/distinct treats NULLs as equal.
+    return " AND ".join(
+        f"(t.{_q(k)} = s.{_q(k)} OR (t.{_q(k)} IS NULL AND s.{_q(k)} IS NULL))"
+        for k in key_cols
+    )
+
+
 class JdbcStateBackend:
     """Factory for the four merge-mode sinks over one JDBC database."""
 
@@ -55,6 +77,17 @@ class JdbcStateBackend:
 
     def _stage(self, batch_df: DataFrame, table: str) -> str:
         stage = f"{table}_stage"
+        # NULL strings can't be staged as-is: Spark's Derby dialect
+        # maps StringType -> CLOB, so its setNull(CLOB) collides with
+        # the VARCHAR columns declared below (Derby 22005). Encode
+        # NULL -> NUL-char sentinel on every string column; read_state
+        # decodes. Bonus: sentinel equality gives NULL-keyed string
+        # rows the merge-as-equal semantics directly.
+        for c, t in batch_df.dtypes:
+            if t == "string":
+                batch_df = batch_df.withColumn(
+                    c, F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+                )
         w = (
             batch_df.write.format("jdbc")
             .option("url", self._cfg.url)
@@ -130,22 +163,40 @@ class JdbcStateBackend:
     ) -> DataFrame | None:
         """Latest state, or None before the table's first write.
 
-        ``before_epoch`` is accepted for protocol compatibility with
-        the parquet backend but is inherently satisfied here: inside
-        the topology, reads run before the epoch's merges, so "latest"
-        IS the pre-epoch state on first processing; on a replay the
-        merges are skipped via the epoch ledger, so any difference in
-        what a replayed read sees cannot reach the state tables."""
+        ``before_epoch`` reconstructs the state as it stood before the
+        given epoch — the property the topology's replay determinism
+        depends on (a replayed batch must see the SAME blacklist it
+        saw originally, even when a later sink of the same epoch
+        already committed before a crash). MERGE-accumulated tables
+        keep no history, so only append-only tables can honor it:
+        ``distinct_append_sink`` stamps each row with the epoch that
+        inserted it (the hidden ``__epoch`` column), and the filter
+        here replays any historical view. Asking for ``before_epoch``
+        on a table without the stamp raises instead of silently
+        returning too-new state."""
         from bigdata_commerce_spark.sources.sinks import read_jdbc
 
         try:
             df = read_jdbc(self._spark, table, self._cfg)
             df.schema  # force table resolution
-            return df
         except Exception as e:
             if "does not exist" in str(e) or "42X05" in str(e):
                 return None
             raise
+        for c, t in df.dtypes:  # decode the staged NULL sentinel
+            if t == "string":
+                df = df.withColumn(c, F.nullif(F.col(c), F.lit(NULL_SENTINEL)))
+        if EPOCH_COL in df.columns:
+            if before_epoch is not None:
+                df = df.where(F.col(EPOCH_COL) < before_epoch)
+            return df.drop(EPOCH_COL)
+        if before_epoch is not None:
+            raise ValueError(
+                f"read_state(before_epoch=...) needs the {EPOCH_COL} stamp, "
+                f"which only append-only (distinct_append) tables carry; "
+                f"table {table!r} is merge-accumulated and keeps no history"
+            )
+        return df
 
     # -- the four merge algebras ------------------------------------------
 
@@ -158,7 +209,7 @@ class JdbcStateBackend:
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             new = batch_df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col))
             stage = self._stage(new, table)
-            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+            on = _on_clause(key_cols)
             cols = ", ".join(_q(c) for c in [*key_cols, value_col])
             vals = ", ".join(f"s.{_q(c)}" for c in [*key_cols, value_col])
             self._apply(
@@ -180,10 +231,18 @@ class JdbcStateBackend:
         ``JdbcHelper.scala:230,360``) — UPDATE on match, INSERT on miss."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            stage = self._stage(batch_df, table)
             all_cols = batch_df.columns
             data_cols = [c for c in all_cols if c not in key_cols]
-            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+            if not data_cols:
+                # 'UPDATE SET <nothing>' is a syntax error on every
+                # backend; a key-only table is distinct_append's job
+                raise ValueError(
+                    f"overwrite_sink({table!r}) needs at least one non-key "
+                    "column to update; for key-only state use "
+                    "distinct_append_sink"
+                )
+            stage = self._stage(batch_df, table)
+            on = _on_clause(key_cols)
             sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in data_cols)
             cols = ", ".join(_q(c) for c in all_cols)
             vals = ", ".join(f"s.{_q(c)}" for c in all_cols)
@@ -208,8 +267,11 @@ class JdbcStateBackend:
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             stage = self._stage(batch_df, table)
+            # null-safe, like _on_clause: a NULL (non-string) partition
+            # value must still replace its old rows
             corr = " AND ".join(
-                f"s.{_q(p)} = t.{_q(p)}" for p in partition_cols
+                f"(s.{_q(p)} = t.{_q(p)} OR (s.{_q(p)} IS NULL AND t.{_q(p)} IS NULL))"
+                for p in partition_cols
             )
             self._apply(
                 table,
@@ -229,11 +291,16 @@ class JdbcStateBackend:
         ``JdbcHelper.scala:21-41``) — insert-on-miss only."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            new = batch_df.select(*key_cols).distinct()
+            new = (
+                batch_df.select(*key_cols)
+                .distinct()
+                .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+            )
             stage = self._stage(new, table)
-            on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
-            cols = ", ".join(_q(c) for c in key_cols)
-            vals = ", ".join(f"s.{_q(c)}" for c in key_cols)
+            on = _on_clause(key_cols)
+            ins_cols = [*key_cols, EPOCH_COL]
+            cols = ", ".join(_q(c) for c in ins_cols)
+            vals = ", ".join(f"s.{_q(c)}" for c in ins_cols)
             self._apply(
                 table,
                 stage,

@@ -44,7 +44,6 @@ def run_ad_pipeline(
     events: DataFrame,
     work_dir: str,
     blacklist_threshold: int = 100,
-    watermark: str = "10 minutes",
     backend=None,
 ) -> AdPipelineHandles:
     """Start the reqs 7-10 topology as ONE streaming query whose batch
@@ -62,9 +61,13 @@ def run_ad_pipeline(
     per batch and all sink epochs share the batch's epoch id — at
     cluster scale that's one Kafka read instead of three and a single
     checkpoint lineage. ``events`` must match AD_EVENT_SCHEMA (use
-    parse_ad_log for raw text lines). ``watermark`` bounds state for
-    the session/window helpers driven separately; the per-batch window
-    counts here are additive merges, so late rows fold in exactly.
+    parse_ad_log for raw text lines). No watermark parameter: the
+    foreachBatch topology keeps ALL state sink-side (additive epoch
+    merges), so late rows fold in exactly and there is no streaming
+    aggregation state for a watermark to bound — an earlier signature
+    accepted one and silently ignored it. The watermarked helpers
+    (minute_window_trend, session_window_counts) are separate
+    surfaces with event-time keys.
 
     ``backend`` selects the state store: default is the parquet epoch
     store under ``work_dir``; pass a ``jdbc_state.JdbcStateBackend``

@@ -138,7 +138,10 @@ def test_req5_funnel_matches_pandas(tables, spark):
     got = C.page_convert_rate(spark, tables["actions"], params).toPandas()
     pdf = tables["raw_pd"].copy()
     pdf["ts"] = pd.to_datetime(pdf.action_time)
-    pdf = pdf.sort_values(["session_id", "ts"], kind="mergesort")
+    # (ts, page_id) order — the engine's deterministic tiebreak for
+    # same-second actions; original-row order would be an accident of
+    # generation order
+    pdf = pdf.sort_values(["session_id", "ts", "page_id"], kind="mergesort")
     pdf["next_page"] = pdf.groupby("session_id").page_id.shift(-1)
     pairs = pdf.dropna(subset=["next_page"])
     counts = pairs.groupby(["page_id", "next_page"]).size()

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from bigdata_commerce_spark.operators import similarity
 from bigdata_commerce_spark.operators.packing import pack_sequences
 from bigdata_commerce_spark.operators.text import pii_scrub, repetition_stats
 
@@ -531,3 +532,107 @@ def test_bench_aggregate_total_degrades_on_failure():
     # error on a query without baseline -> aggregate unusable
     assert bench.aggregate_total({"a": 1.5, "c": None}, base) is None
     assert bench.aggregate_total({}, {}) == 0.0
+
+
+def test_text_stats_survive_empty_document(spark):
+    """An empty-string document must not crash the stats/quality/curate
+    path under ANSI mode: n_chars=0 ratios are NULL (DuckDB division
+    semantics), and the quality gate fails the doc."""
+    from bigdata_commerce_spark.operators.text import quality_score, text_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a normal document with some words")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_stats(df).collect()}
+    assert rows[1].n_chars == 0
+    assert rows[1].punct_ratio is None and rows[1].digit_ratio is None
+    assert rows[2].punct_ratio is not None
+    q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    assert q[2] is not None
+
+
+def test_cosine_paths_survive_zero_vector(spark):
+    """A zero-magnitude embedding must not crash any cosine path under
+    ANSI mode: its pairs score NULL (sorted last / failing thresholds),
+    never DIVIDE_BY_ZERO."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where(F.col("vec_id") < 2)
+    got = similarity.cosine_topk(emb, probes, k=2).collect()
+    real = [(r.probe_id, r.corpus_id, r.score) for r in got if r.score is not None]
+    assert any(p == 1 and c == 2 for p, c, _ in real)
+    # zero-vector probe 0 produces only NULL scores
+    assert all(r.score is None for r in got if r.probe_id == 0)
+    # near-dup verify: zero vector never passes the threshold
+    pairs = similarity.neardup_pairs(
+        emb, threshold=0.5, num_planes=4, bands=2, dim=4
+    ).collect()
+    assert all(0 not in (r.id1, r.id2) for r in pairs)
+
+
+def test_lsh_band_geometry_validated(spark):
+    """bands that don't tile the signature/bit-string must raise, not
+    silently degenerate to one global bucket (all-pairs join)."""
+    from bigdata_commerce_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="bands"):
+        similarity.lsh_ann_topk(emb, emb, num_planes=16, bands=20, dim=2)
+
+
+def test_dedup_survivors_string_ids_with_quality(spark):
+    """The quality tiebreak must work for non-numeric node ids (the id
+    types connected_components explicitly supports)."""
+    from bigdata_commerce_spark.operators.dedup_cluster import dedup_survivors
+
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "id string, cluster_id string"
+    )
+    quality = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.1)], "id string, quality double"
+    )
+    got = {r.cluster_id: (r.survivor_id, r.cluster_size)
+           for r in dedup_survivors(clusters, quality).collect()}
+    assert got == {"a": ("b", 2), "c": ("c", 1)}
+    # ties -> lowest id
+    q2 = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "id string, quality double")
+    got2 = {r.cluster_id: r.survivor_id
+            for r in dedup_survivors(clusters.where(F.col("cluster_id") == "a"), q2).collect()}
+    assert got2 == {"a": "a"}
+
+
+def test_heavy_hitters_flat_distribution_falls_back_to_exact(spark):
+    """When the 10th-heaviest key's count doesn't clear the n/(k+1)
+    sketch bound (flat distribution, small k), the certification must
+    fall back to the exact groupBy — output equals the plain GROUP BY
+    top-N regardless of distribution."""
+    from bigdata_commerce_spark.operators.sketch import heavy_hitters
+
+    # 600 near-uniform keys, counts 5..6; k=8 -> bound = n/9 >> 6
+    rows = [(i % 600,) for i in range(3300)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    got = [(r.user_id, r.event_count, r.rank)
+           for r in heavy_hitters(df, "user_id", top_n=10, k=8).collect()]
+    want = [
+        (r.user_id, r.n, i + 1)
+        for i, r in enumerate(
+            df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("user_id")).limit(10).collect()
+        )
+    ]
+    assert got == want
+    # and the certified regime still takes the sketch path (same output)
+    skewed = spark.createDataFrame(
+        [(1,)] * 500 + [(2,)] * 300 + [(i,) for i in range(3, 60)], "user_id long"
+    ).repartition(8)
+    hh = heavy_hitters(skewed, "user_id", top_n=2, k=64).collect()
+    assert [(r.user_id, r.event_count) for r in hh] == [(1, 500), (2, 300)]

@@ -40,7 +40,7 @@ def test_delete_rewrites_only_affected_partitions(spark, tmp_path):
     before = _files_with_mtime(path)
 
     audit = delete_keys_partitioned(spark, path, "user_id", [1], "dt")
-    assert audit == {"partitions_rewritten": 2, "rows_deleted": 2}
+    assert audit == {"partitions_rewritten": 2, "partitions_dropped": 0, "rows_deleted": 2}
 
     # partition values are read back type-inferred (string -> date)
     got = {(r.user_id, str(r.dt)) for r in spark.read.parquet(path).collect()}
@@ -62,6 +62,8 @@ def test_delete_drops_fully_emptied_partition(spark, tmp_path):
     # user 5 is the ONLY row of dt=2024-01-04: the partition dir must go
     audit = delete_keys_partitioned(spark, path, "user_id", [5], "dt")
     assert audit["rows_deleted"] == 1
+    # dropped whole, not rewritten — the audit counts them apart
+    assert audit["partitions_dropped"] == 1 and audit["partitions_rewritten"] == 0
     assert not glob.glob(f"{path}/dt=2024-01-04")
     assert spark.read.parquet(path).where(F.col("user_id") == 5).count() == 0
 
@@ -93,5 +95,5 @@ def test_delete_missing_keys_is_noop(spark, tmp_path):
     _write_store(spark, path)
     before = _files_with_mtime(path)
     audit = delete_keys_partitioned(spark, path, "user_id", [999], "dt")
-    assert audit == {"partitions_rewritten": 0, "rows_deleted": 0}
+    assert audit == {"partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
     assert _files_with_mtime(path) == before

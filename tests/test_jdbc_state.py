@@ -140,3 +140,56 @@ def test_jdbc_matches_parquet_epoch_sinks(spark, tmp_path):
         (r.k, r.v) for r in sinks.read_state(spark, str(tmp_path / "pq_state")).collect()
     }
     assert got_jdbc == got_pq == {("a", 5), ("b", 3), ("c", 7)}
+
+
+def test_distinct_append_before_epoch_replays_historical_view(spark, tmp_path):
+    """The replay-determinism contract: read_state(before_epoch=N) on
+    an append-only table reconstructs the state as it stood before
+    epoch N — so a replayed batch sees the SAME blacklist it saw
+    originally even if later sinks of that epoch already committed.
+    Merge-accumulated tables keep no history: asking raises."""
+    import pytest as _pytest
+
+    be = _backend(spark, tmp_path, "hist")
+    bl = be.distinct_append_sink("t_hist", ["k"])
+    bl(_counts(spark, [("u1", 0)]), 0)
+    bl(_counts(spark, [("u2", 0)]), 1)
+    bl(_counts(spark, [("u3", 0)]), 2)
+
+    assert sorted(r.k for r in be.read_state("t_hist").collect()) == ["u1", "u2", "u3"]
+    # the view a replay of epoch 1 must see: only epoch-0 insertions
+    assert sorted(r.k for r in be.read_state("t_hist", before_epoch=1).collect()) == ["u1"]
+    assert sorted(r.k for r in be.read_state("t_hist", before_epoch=2).collect()) == ["u1", "u2"]
+    # the hidden epoch stamp never leaks into the returned schema
+    assert be.read_state("t_hist").columns == ["k"]
+
+    acc = be.accumulate_sink("t_acc_hist", ["k"], "v")
+    acc(_counts(spark, [("a", 1)]), 0)
+    with _pytest.raises(ValueError, match="no history"):
+        be.read_state("t_acc_hist", before_epoch=1)
+
+
+def test_merge_sinks_fold_null_keys(spark, tmp_path):
+    """NULL join keys must merge like the parquet backend's groupBy
+    (NULLs equal), not re-insert a fresh NULL row every epoch."""
+    be = _backend(spark, tmp_path, "nulls")
+    sink = be.accumulate_sink("t_null", ["k"], "v")
+    sink(_counts(spark, [(None, 2), ("a", 1)]), 0)
+    sink(_counts(spark, [(None, 3)]), 1)
+    sink(_counts(spark, [(None, 5)]), 2)
+    got = {(r.k, r.v) for r in be.read_state("t_null").collect()}
+    assert got == {(None, 10), ("a", 1)}
+
+    bl = be.distinct_append_sink("t_null_bl", ["k"])
+    bl(_counts(spark, [(None, 0), ("u1", 0)]), 0)
+    bl(_counts(spark, [(None, 0)]), 1)
+    assert {r.k for r in be.read_state("t_null_bl").collect()} == {None, "u1"}
+
+
+def test_overwrite_sink_rejects_key_only_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    be = _backend(spark, tmp_path, "keyonly")
+    sink = be.overwrite_sink("t_keys", ["k", "v"])
+    with _pytest.raises(ValueError, match="non-key"):
+        sink(_counts(spark, [("a", 1)]), 0)

@@ -90,7 +90,7 @@ def stream_result(spark):
 
     stream = pipelines.file_event_source(spark, str(flat))
     handles = pipelines.run_ad_pipeline(
-        stream, str(SCRATCH / "state"), blacklist_threshold=3, watermark="365 days"
+        stream, str(SCRATCH / "state"), blacklist_threshold=3
     )
     handles.process_all()
     handles.stop()
@@ -193,7 +193,7 @@ def test_update_mode_stateful_agg_matches_batch(spark, stream_result):
         state_dir, ["event_date", "province", "city", "ad_id"]
     )
     q = (
-        ad_stream.cumulative_counts(stream, "365 days")
+        ad_stream.cumulative_counts(stream)
         .writeStream.outputMode("update")
         .option("checkpointLocation", str(SCRATCH / "state" / "ckpt" / "updmode"))
         .foreachBatch(sink)
@@ -444,7 +444,6 @@ def test_ad_pipeline_on_jdbc_backend_matches_parquet(spark, stream_result, tmp_p
         stream,
         str(tmp_path / "work"),
         blacklist_threshold=3,
-        watermark="365 days",
         backend=backend,
     )
     handles.process_all()
@@ -507,7 +506,6 @@ def test_ad_pipeline_soak_six_batches_with_midrun_restart(spark, tmp_path):
         pipelines.file_event_source(spark, str(flat)),
         work,
         blacklist_threshold=3,
-        watermark="365 days",
     )
     handles.process_all()
     handles.stop()  # mid-run kill after 3 of 6 batches
@@ -518,7 +516,6 @@ def test_ad_pipeline_soak_six_batches_with_midrun_restart(spark, tmp_path):
         pipelines.file_event_source(spark, str(flat)),
         work,
         blacklist_threshold=3,
-        watermark="365 days",
     )
     resumed.process_all()
     resumed.stop()
