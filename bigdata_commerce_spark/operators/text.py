@@ -330,3 +330,55 @@ def curate(
         F.min_by("n_tokens", id_col).alias("n_tokens"),
         F.count(F.lit(1)).alias("dup_count"),
     ).select(id_col, "quality", "n_tokens", "fp", "dup_count")
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide word n-gram frequency table: (ngram, n_total,
+    n_docs) — the statistic behind contamination thresholds, boilerplate
+    detection and tokenizer/LM corpus reports. Counts are over ALL
+    occurrences (not per-doc distinct); documents shorter than n tokens
+    contribute nothing.
+
+    Scale shape: the fold is map-side (shared ngram_fold over the
+    one-element explode barrier — tokenizer runs once per doc), one
+    explode fans occurrences out locally, and the single shuffle is
+    the hash aggregate on the ngram key with map-side partial
+    aggregation. n_docs rides the same aggregate as a distinct count
+    of doc ids per ngram."""
+    barrier = df.select(
+        id_col, F.explode(F.array(F.struct(tokens(text_col).alias("t")))).alias("x")
+    )
+    t = F.col("x.t")
+    grams = F.when(F.size(t) >= n, ngram_fold(t, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    ex = barrier.select(id_col, F.explode(grams).alias("ngram"))
+    return ex.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The top-k most frequent n-grams with a dense rank —
+    TakeOrderedAndProject over the ngram_counts aggregate (per-partition
+    heaps, never a global sort of the full vocabulary)."""
+    from pyspark.sql import Window
+
+    counts = ngram_counts(df, n, text_col, id_col)
+    top = counts.orderBy(F.desc("n_total"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("n_total"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "n_total", "n_docs", "rank"
+    )

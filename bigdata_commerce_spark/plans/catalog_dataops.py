@@ -427,6 +427,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "top_bigrams",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS ngram
+        FROM tok_docs WHERE len(toks) >= 2
+    ), counts AS (
+        SELECT ngram, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY 1
+    )
+    SELECT ngram, n_total, n_docs, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_total DESC, ngram ASC) AS rank
+        FROM counts
+    ) WHERE rank <= 50
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram frequency report (operators/text.ngram_counts
+    / top_ngrams): top-50 bigrams by total occurrences with document
+    frequency — the statistic behind contamination thresholds and
+    boilerplate detection. Map-side fold, one explode, one hash
+    aggregate on the ngram key, distributed top-k. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.top_ngrams(docs, n=2, k=50)
+
+
+@twin_query(
     "benchmark_contamination",
     oracle=f"""
     WITH {_SHINGLE_CTE}

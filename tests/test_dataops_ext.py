@@ -636,3 +636,49 @@ def test_heavy_hitters_flat_distribution_falls_back_to_exact(spark):
     ).repartition(8)
     hh = heavy_hitters(skewed, "user_id", top_n=2, k=64).collect()
     assert [(r.user_id, r.event_count) for r in hh] == [(1, 500), (2, 300)]
+
+
+def test_ngram_counts_known_values(spark):
+    from bigdata_commerce_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.ngram: (r.n_total, r.n_docs) for r in ngram_counts(df, n=2).collect()}
+    # doc1 bigrams: ab, ba, ab ; doc2: ab, bc ; doc3: none (1 token)
+    assert got == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of the operator: the hot key's rows must land in more
+    than one partition after the salted join (a plain shuffle join
+    puts them all in the hot key's single reducer)."""
+    from bigdata_commerce_spark.operators.salted import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, 7, float(i)) for i in range(5000)], "fact_id long, k long, v double"
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k long, label string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE would coalesce this tiny test shuffle into one partition and
+    # mask the distribution being asserted; at real scale the salted
+    # partitions exceed the advisory size and stay separate
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        salted = salted_join(facts, dim, ["k"], F.xxhash64("fact_id"), 16)
+        n_parts_salted = (
+            salted.withColumn("p", F.spark_partition_id())
+            .select("p").distinct().count()
+        )
+        plain = facts.join(dim, ["k"])
+        n_parts_plain = (
+            plain.withColumn("p", F.spark_partition_id())
+            .select("p").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+    assert n_parts_plain == 1, "plain shuffle join funnels the hot key to one reducer"
+    assert n_parts_salted > 4, f"salted join spread over {n_parts_salted} partitions"
