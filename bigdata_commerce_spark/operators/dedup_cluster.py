@@ -119,62 +119,64 @@ def connected_components(
     edge_nodes = sym.select("a").distinct().localCheckpoint()
     labels = edge_nodes.select("a", F.col("a").alias("label"))
     changed = -1
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("a", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        hop = labels.join(neighbor_min, "a", "left").select(
-            "a", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
-        )
-        # Pointer jumping (path halving): label <- min(label, label's
-        # label). Plain one-hop propagation needs O(diameter) rounds;
-        # composing it with this doubling step converges in
-        # O(log diameter) — on a long duplicate chain of 1000 docs
-        # that's ~10 rounds instead of ~1000.
-        parents = hop.select(
-            F.col("a").alias("label"), F.col("label").alias("parent")
-        )
-        new_labels = (
-            hop.join(parents, "label", "left")
-            .select(
-                "a",
-                F.least(F.col("label"), F.coalesce("parent", "label")).alias("label"),
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("a", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint()
+            hop = labels.join(neighbor_min, "a", "left").select(
+                "a", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+            )
+            # Pointer jumping (path halving): label <- min(label, label's
+            # label). Plain one-hop propagation needs O(diameter) rounds;
+            # composing it with this doubling step converges in
+            # O(log diameter) — on a long duplicate chain of 1000 docs
+            # that's ~10 rounds instead of ~1000.
+            parents = hop.select(
+                F.col("a").alias("label"), F.col("label").alias("parent")
+            )
+            new_labels = (
+                hop.join(parents, "label", "left")
+                .select(
+                    "a",
+                    F.least(F.col("label"), F.coalesce("parent", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "a")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # A silent cutoff would return labels that diverge from the
+            # recursive-CTE fixpoint oracle on long duplicate chains.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iterations"
+            )
+        singletons = (
+            nodes.select(F.col(node_col).alias("a"))
+            .join(edge_nodes, "a", "left_anti")
+            .select("a", F.col("a").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        return labels.unionByName(singletons).select(
+            F.col("a").alias(node_col), F.col("label").alias("cluster_id")
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # A silent cutoff would return labels that diverge from the
-        # recursive-CTE fixpoint oracle on long duplicate chains.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations"
-        )
-    singletons = (
-        nodes.select(F.col(node_col).alias("a"))
-        .join(edge_nodes, "a", "left_anti")
-        .select("a", F.col("a").alias("label"))
-    )
-    out = labels.unionByName(singletons).select(
-        F.col("a").alias(node_col), F.col("label").alias("cluster_id")
-    )
-    # labels is localCheckpoint-ed (lineage cut), so the cached edge
-    # lists are no longer needed; leaving them pinned would accumulate
-    # executor storage across repeated dedup passes in one session
-    raw.unpersist()
-    sym.unpersist()
-    return out
+    finally:
+        # labels/edge_nodes are localCheckpoint-ed (lineage cut), so
+        # the cached edge lists are no longer needed on ANY exit —
+        # including the non-convergence raise, where leaking them
+        # would accumulate storage across retry attempts
+        raw.unpersist()
+        sym.unpersist()
 
 
 def dedup_survivors(

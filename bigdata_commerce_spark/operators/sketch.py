@@ -94,7 +94,12 @@ def heavy_hitters(
     top_rows = top.collect()
     bound = df.count() / (k + 1)
     certified = len(top_rows) == top_n and top_rows[-1].event_count > bound
-    if not certified:
+    if certified:
+        # the rows are already in hand — re-localize them instead of
+        # leaving a lazy plan that would re-run the whole
+        # sketch+re-count pipeline when the caller evaluates
+        top = df.sparkSession.createDataFrame(top_rows, top.schema)
+    else:
         top = (
             df.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("event_count"))

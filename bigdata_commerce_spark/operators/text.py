@@ -60,7 +60,10 @@ def ngram_fold(t: Column, n: int) -> Column:
     re-tokenizes (regex split over the full text) n times per n-gram
     — O(tokens^2) per document. This form references the token array
     O(n) times per row."""
-    length = F.size(t) - (n - 1)
+    # greatest(..., 0): without the clamp a document with < n-1 tokens
+    # makes the slice length negative and F.slice THROWS — the clamp
+    # makes the documented empty-array contract actually hold
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
     acc = F.slice(t, 1, length)
     for j in range(1, n):
         acc = F.zip_with(

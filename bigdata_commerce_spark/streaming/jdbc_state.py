@@ -113,9 +113,19 @@ class JdbcStateBackend:
             if not any(s in str(e) for s in ok_states):
                 raise
 
-    def _apply(self, table: str, stage: str, statements: list[str], epoch_id: int) -> bool:
+    def _apply(
+        self,
+        table: str,
+        stage: str,
+        statements: list[str],
+        epoch_id: int,
+        migrate_ddl: tuple[str, ...] = (),
+    ) -> bool:
         """Run ``statements`` + epoch-ledger insert in one transaction.
-        Returns False (no-op) when the epoch was already applied."""
+        Returns False (no-op) when the epoch was already applied.
+        ``migrate_ddl`` statements run (errors-ignored) after the lazy
+        CREATEs — the upgrade hook for schema additions on tables
+        created by earlier code versions."""
         conn = self._connect()
         try:
             conn.setAutoCommit(False)
@@ -127,6 +137,8 @@ class JdbcStateBackend:
                 f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
                 ("X0Y32", "already exists"),
             )
+            for ddl in migrate_ddl:
+                self._exec_ignore(st, ddl, ("X0Y32", "already exists", "42X14", "42Z93"))
             self._exec_ignore(
                 st,
                 f"CREATE TABLE {table}_epochs "
@@ -309,6 +321,15 @@ class JdbcStateBackend:
                     f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
                 ],
                 epoch_id,
+                # upgrade path: a table created before the epoch stamp
+                # existed gains the column with DEFAULT -1 — Derby
+                # backfills existing rows with the default, so legacy
+                # rows read as epoch -1 and appear in EVERY
+                # before_epoch view (they predate all epochs)
+                migrate_ddl=(
+                    f"ALTER TABLE {table} ADD COLUMN {_q(EPOCH_COL)} "
+                    "BIGINT DEFAULT -1",
+                ),
             )
 
         return fn

@@ -193,3 +193,27 @@ def test_overwrite_sink_rejects_key_only_batch(spark, tmp_path):
     sink = be.overwrite_sink("t_keys", ["k", "v"])
     with _pytest.raises(ValueError, match="non-key"):
         sink(_counts(spark, [("a", 1)]), 0)
+
+
+def test_distinct_append_migrates_legacy_table(spark, tmp_path):
+    """A blacklist table created by pre-epoch-stamp code gains the
+    __epoch column on first write (DEFAULT -1: legacy rows predate all
+    epochs, so they appear in every before_epoch view)."""
+    be = _backend(spark, tmp_path, "legacy")
+    legacy = spark.createDataFrame([("u0", 0)], "k string, v long").select("k")
+    stage = be._stage(legacy, "t_leg")
+    conn = be._connect()
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(f"CREATE TABLE t_leg AS SELECT * FROM {stage} WITH NO DATA")
+        st.executeUpdate(f"INSERT INTO t_leg SELECT * FROM {stage}")
+    finally:
+        conn.close()
+
+    sink = be.distinct_append_sink("t_leg", ["k"])
+    sink(_counts(spark, [("u1", 0)]), 5)
+    sink(_counts(spark, [("u2", 0)]), 6)  # migration DDL must be idempotent
+
+    assert {r.k for r in be.read_state("t_leg").collect()} == {"u0", "u1", "u2"}
+    assert {r.k for r in be.read_state("t_leg", before_epoch=5).collect()} == {"u0"}
+    assert {r.k for r in be.read_state("t_leg", before_epoch=6).collect()} == {"u0", "u1"}
