@@ -288,6 +288,51 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.quality_score(docs)
 
 
+@twin_query(
+    "corpus_report",
+    oracle=f"""
+    WITH stats AS ({_TEXT_STATS_SQL}),
+    scored AS (
+        SELECT d.source, d.lang, s.n_tokens, s.n_chars,
+               ROUND(0.4 * LEAST(s.stopword_ratio * 4, 1.0)
+                   + 0.3 * (CASE WHEN s.mean_token_len BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.3 END)
+                   + 0.15 * (1 - LEAST(s.digit_ratio * 5, 1.0))
+                   + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0)), 4) AS quality
+        FROM documents d JOIN stats s USING (doc_id)
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(quality AS DECIMAL(20,4))) AS DOUBLE) AS quality_sum
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card: per (source, lang) document counts, token
+    and character totals, and the exact quality sum — the summary
+    every training-data intake publishes (mean = quality_sum/n_docs,
+    left to the consumer: sums of exact DECIMALs are summation-order-
+    independent, while a rounded mean sits on half-boundaries where
+    Spark's decimal-string HALF_UP and DuckDB's binary rounding
+    disagree — measured 0.7011 vs 0.7010 at sf0.01). One projection
+    (stats + quality are pure expressions) and one hash aggregate.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.text import _quality_expr, _stat_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select("doc_id", "source", "lang", *_stat_exprs("text")).withColumn(
+        "quality", _quality_expr()
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("quality").cast("decimal(20,4)")).cast("double").alias("quality_sum"),
+    )
+
+
 def _lang_sql() -> str:
     hits = ",\n           ".join(
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in stops)}))) AS hits_{lang}"
