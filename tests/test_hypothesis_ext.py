@@ -118,3 +118,61 @@ def test_pack_sequences_rejects_bad_params(spark):
         pack_sequences(df, budget=10, bucket_width=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(2, 5),
+)
+def test_ngram_fold_matches_python_reference(spark, texts, n):
+    """ngram_fold over arbitrary whitespace-ragged text equals the
+    Python reference on normalized tokens, INCLUDING sub-(n-1)-token
+    docs (empty array, never a slice error)."""
+    import re
+
+    from pyspark.sql import functions as F2
+
+    from bigdata_commerce_spark.operators.text import ngram_fold, tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", ngram_fold(tokens("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in rows:
+        toks = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.strip(" ").lower()).split(" ")
+        want = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        assert got[i] == want, (i, t)
+
+
+@_SETTINGS
+@given(
+    fracs=st.lists(st.floats(0.0, 1.0), min_size=2, max_size=4),
+    n_rows=st.integers(50, 300),
+)
+def test_mixture_sample_nesting_property(spark, fracs, n_rows):
+    """For ANY fraction ladder f1 <= f2 <= ... the samples are nested:
+    raising a source's weight only adds documents."""
+    from bigdata_commerce_spark.operators.mixing import mixture_sample
+
+    ladder = sorted(fracs)
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(n_rows)], "doc_id long, source string"
+    )
+    prev: set = set()
+    for j, f in enumerate(ladder):
+        cur = {r.doc_id for r in mixture_sample(df, {"s": f}).collect()}
+        assert prev <= cur, (j, ladder)
+        prev = cur
+    if ladder[-1] >= 1.0:
+        assert prev == set(range(n_rows))
