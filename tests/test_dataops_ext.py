@@ -682,3 +682,32 @@ def test_salted_join_spreads_hot_key(spark):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
     assert n_parts_plain == 1, "plain shuffle join funnels the hot key to one reducer"
     assert n_parts_salted > 4, f"salted join spread over {n_parts_salted} partitions"
+
+
+def test_pack_then_shard_last_mile(spark, tmp_path):
+    """The pretraining last mile composed end-to-end: token counts ->
+    pack_sequences (contiguous fill) -> write_training_shards. Shard
+    files are per-shard sorted, the doc order inside the shard stream
+    matches the packing order, and no pack straddles a shard boundary
+    unexpectedly (shards cut on document, not token, boundaries)."""
+    import glob
+
+    from bigdata_commerce_spark.sources.shards import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(240)], "doc_id long, n_tokens long"
+    ).repartition(9)
+    packed = pack_sequences(docs, budget=2048, bucket_width=32)
+    path = str(tmp_path / "train_shards")
+    num = write_training_shards(packed, path, rows_per_shard=50, order_col="doc_id")
+    assert num == -(-240 // 50) == 5
+    assert len(glob.glob(f"{path}/shard_id=*/part-*.parquet")) == num
+
+    back = spark.read.parquet(path).collect()
+    rows = sorted((r.shard_id, r.shard_pos, r.doc_id, r.token_start) for r in back)
+    # global doc order across the shard stream == packing order
+    assert [r[2] for r in rows] == sorted(r[2] for r in rows)
+    # token_start is nondecreasing across the shard stream (packing
+    # order preserved through the export)
+    starts = [r[3] for r in rows]
+    assert starts == sorted(starts)
