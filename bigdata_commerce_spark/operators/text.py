@@ -335,6 +335,69 @@ def curate(
     ).select(id_col, "quality", "n_tokens", "fp", "dup_count")
 
 
+def remove_frequent_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb
+    line-dedup family): split every document into lines, count how
+    many DISTINCT documents each normalized line appears in, and strip
+    lines whose document frequency reaches ``min_docs`` — navigation
+    chrome, cookie banners and license headers disappear while
+    document-unique prose survives. With ``delimiter=' '`` the same
+    machinery is IDF-style high-document-frequency token pruning.
+
+    Matching is on the normalized line (lower + trim); reassembly
+    keeps the ORIGINAL line text and order. Lines that are empty
+    after trimming never participate in frequency counting and are
+    always kept, so blank-line structure is preserved.
+
+    Scale shape: posexplode is map-side fan-out; the frequency table
+    is one hash aggregate on the line key (map-side partial combine);
+    membership is a shuffle equi-join on the same key (at 100 TB the
+    frequent-line set is the small side — AQE broadcasts it when it
+    fits); reassembly is one hash aggregate on doc_id with the order
+    restored by array_sort over (pos, line) structs — never a
+    per-document sort via window.
+
+    Returns (doc_id, clean_text, n_kept_lines, n_removed_lines).
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line")
+    ).withColumn("line_norm", F.lower(F.trim(F.col("line"))))
+    frequent = (
+        lines.where(F.col("line_norm") != "")
+        .groupBy("line_norm")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("line_norm", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(frequent, "line_norm", "left").withColumn(
+        "keep", F.col("is_boiler").isNull() | (F.col("line_norm") == "")
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed_lines"),
+        )
+        .select(
+            id_col,
+            F.array_join(F.transform("kept", lambda s: s.line), delimiter).alias(
+                "clean_text"
+            ),
+            F.size("kept").alias("n_kept_lines"),
+            F.col("n_removed_lines").cast("int").alias("n_removed_lines"),
+        )
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 2,

@@ -501,6 +501,52 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, n=2, k=50)
 
 
+# Document frequency threshold for the boilerplate twin: with the
+# testdata's small vocabulary, >=400 of 500 docs marks the truly
+# ubiquitous tokens — the documents corpus has no newlines, so the
+# twin exercises the operator in its delimiter=' ' IDF-pruning mode;
+# the multi-line CCNet mode is pytest-covered on a crafted fixture.
+_BOILER_MIN_DOCS = 400
+
+@twin_query(
+    "boilerplate_scrub",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS line,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), freq AS (
+      SELECT lower(trim(line)) AS line_norm, COUNT(DISTINCT doc_id) AS df
+      FROM lines WHERE lower(trim(line)) <> '' GROUP BY 1
+    ), boiler AS (SELECT line_norm FROM freq WHERE df >= {_BOILER_MIN_DOCS}),
+    marked AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (b.line_norm IS NULL OR lower(trim(l.line)) = '') AS keep
+      FROM lines l LEFT JOIN boiler b ON lower(trim(l.line)) = b.line_norm
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+               AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE keep) AS INT) AS n_kept_lines,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS INT) AS n_removed_lines
+    FROM marked GROUP BY doc_id
+    """,
+)
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-line removal (operators/text.py
+    remove_frequent_lines — the CCNet/RefinedWeb boilerplate family):
+    strip lines whose document frequency reaches the threshold,
+    preserving original order. posexplode fan-out, one hash agg for
+    the frequency table, one equi-join on the line key, one hash agg
+    to reassemble — no window, no per-doc sort. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.remove_frequent_lines(
+        docs, min_docs=_BOILER_MIN_DOCS, delimiter=" "
+    )
+
+
 @twin_query(
     "benchmark_contamination",
     oracle=f"""

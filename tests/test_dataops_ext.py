@@ -711,3 +711,46 @@ def test_pack_then_shard_last_mile(spark, tmp_path):
     # order preserved through the export)
     starts = [r[3] for r in rows]
     assert starts == sorted(starts)
+
+
+def test_remove_frequent_lines_multiline_boilerplate(spark):
+    """The CCNet mode: newline-delimited documents sharing a cookie
+    banner and a footer; boilerplate lines (df >= 2) disappear, unique
+    prose survives in original order, blank lines are always kept."""
+    from bigdata_commerce_spark.operators.text import remove_frequent_lines
+
+    banner = "Accept cookies to continue"
+    footer = "Copyright 2026 Example Corp"
+    rows = [
+        (1, f"{banner}\nalpha prose one\n\nbeta prose two\n{footer}"),
+        (2, f"{banner}\ngamma unique line\n{footer}"),
+        (3, "totally original document\nwith two lines"),
+        # whole doc is boilerplate -> empty clean_text, row preserved
+        (4, f"{banner}\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_frequent_lines(df, min_docs=2).collect()}
+    assert got[1].clean_text == "alpha prose one\n\nbeta prose two"
+    assert got[1].n_removed_lines == 2 and got[1].n_kept_lines == 3
+    assert got[2].clean_text == "gamma unique line"
+    assert got[3].clean_text == rows[2][1]
+    assert got[3].n_removed_lines == 0
+    assert got[4].clean_text == "" and got[4].n_kept_lines == 0
+    assert got[4].n_removed_lines == 2
+
+
+def test_remove_frequent_lines_normalized_matching(spark):
+    """Line matching is on lower+trim — '  FOOTER ' and 'footer' are
+    the same line for frequency purposes, but reassembly keeps the
+    original spelling of surviving lines."""
+    from bigdata_commerce_spark.operators.text import remove_frequent_lines
+
+    rows = [
+        (1, "  FOOTER \nkeep me A"),
+        (2, "footer\nkeep me B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_frequent_lines(df, min_docs=2).collect()}
+    assert got[1].clean_text == "keep me A"
+    assert got[2].clean_text == "keep me B"
+    assert got[1].n_removed_lines == got[2].n_removed_lines == 1
