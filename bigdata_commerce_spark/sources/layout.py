@@ -62,14 +62,32 @@ def write_zordered(
     """Write ``df`` as ``n_files`` parquet files range-ordered by the
     Z-value of (col_a, col_b). Each file then covers a compact
     rectangle-ish region of the (a, b) plane, so its footer min/max
-    for BOTH columns is narrow — the property file skipping needs."""
+    for BOTH columns is narrow — the property file skipping needs.
+
+    The file boundaries come from repartitionByRange's reservoir
+    sample; at the default 100 rows/partition the boundary error
+    smears files across quad-block edges and the measured skipping
+    fluctuates run to run. A layout job runs once and is read many
+    times, so spend more on the sample: boundaries land near the
+    exact Z-quantiles and each file stays a tight power-of-two block.
+    (Restored after the write — it's a per-exchange planning knob.)"""
     z = zorder_value(col_a, col_b, bits)
-    (
-        df.repartitionByRange(n_files, z)
-        .sortWithinPartitions(z)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    spark = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "20000")
+    try:
+        (
+            df.repartitionByRange(n_files, z)
+            .sortWithinPartitions(z)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
