@@ -1,0 +1,144 @@
+"""Declarative data-quality validation (the Deequ/Great-Expectations
+family): a constraint set compiled into the fewest possible passes
+over the data, returning a tiny per-constraint violation report.
+
+Not present in the reference (it has no tests and no data-quality
+gates at all — SURVEY.md §5); at 100 TB a pipeline needs machine-
+checkable contracts on every ingest boundary, and the way to afford
+them is the compilation strategy here:
+
+- every ROW-LEVEL check (not_null / in_range / in_set / matches /
+  arbitrary boolean expression) becomes one conditional-sum column in
+  a SINGLE hash aggregate — one scan total, map-side combined,
+  whole-stage codegen, regardless of how many checks are declared;
+- each UNIQUENESS check needs its own shuffle on its key columns
+  (that is irreducible), computed as surplus rows over the grouped
+  counts — never a self-join, never a window;
+- the report is O(#checks) rows — nothing wide ever reaches the
+  driver.
+
+NULL semantics: a row where a check's condition evaluates to NULL
+counts as a VIOLATION (the condition did not hold). Callers who want
+"NULL is acceptable" say so in the condition (`col.isNull() | ...`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A per-row predicate that every row must satisfy."""
+
+    name: str
+    kind: str
+    condition: Column
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """Key columns that must identify rows uniquely."""
+
+    name: str
+    cols: tuple[str, ...]
+
+    kind: str = "unique"
+
+
+Check = RowCheck | UniqueCheck
+
+
+def not_null(col: str, name: str | None = None) -> RowCheck:
+    return RowCheck(name or f"not_null({col})", "not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> RowCheck:
+    return RowCheck(
+        name or f"in_range({col})", "in_range", F.col(col).between(F.lit(lo), F.lit(hi))
+    )
+
+
+def in_set(col: str, values, name: str | None = None) -> RowCheck:
+    return RowCheck(name or f"in_set({col})", "in_set", F.col(col).isin(*values))
+
+
+def matches(col: str, pattern: str, name: str | None = None) -> RowCheck:
+    return RowCheck(
+        name or f"matches({col})", "matches", F.col(col).rlike(pattern)
+    )
+
+
+def satisfies(name: str, condition: Column) -> RowCheck:
+    """An arbitrary boolean expression over the row (cross-column
+    invariants like ship_date <= receipt_date)."""
+    return RowCheck(name, "satisfies", condition)
+
+
+def unique(*cols: str, name: str | None = None) -> UniqueCheck:
+    return UniqueCheck(name or f"unique({','.join(cols)})", tuple(cols))
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every check, returning one report row per check:
+    (check_name, kind, n_rows, n_violations, passed).
+
+    Row checks share ONE aggregate; each unique check adds one
+    grouped aggregate on its key. n_rows is the full row count for
+    row checks and for unique checks alike (uniqueness violations =
+    surplus rows beyond one per key, so passed == every key occurs
+    once)."""
+    if not checks:
+        raise ValueError("validate() needs at least one check")
+    row_checks = [c for c in checks if isinstance(c, RowCheck)]
+    uniq_checks = [c for c in checks if isinstance(c, UniqueCheck)]
+    seen: set[str] = set()
+    for c in checks:
+        if c.name in seen:
+            raise ValueError(f"duplicate check name {c.name!r}")
+        seen.add(c.name)
+
+    reports: list[DataFrame] = []
+    if row_checks:
+        # NULL condition -> otherwise(1): evaluates-to-NULL is a violation.
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(c.condition, 0).otherwise(1)).alias(f"v{i}")
+            for i, c in enumerate(row_checks)
+        ]
+        wide = df.agg(*aggs)
+        melted = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check_name"),
+                            F.lit(c.kind).alias("kind"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"v{i}").cast("bigint").alias("n_violations"),
+                        )
+                        for i, c in enumerate(row_checks)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        reports.append(melted)
+    for c in uniq_checks:
+        grouped = df.groupBy(*c.cols).agg(F.count(F.lit(1)).alias("cnt"))
+        rep = grouped.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"),
+        ).select(
+            F.lit(c.name).alias("check_name"),
+            F.lit(c.kind).alias("kind"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+        reports.append(rep)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)

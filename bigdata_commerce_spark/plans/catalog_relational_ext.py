@@ -443,3 +443,58 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
     )
+
+
+@twin_query(
+    "data_quality_report",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4
+        FROM lineitem
+    ), uniq AS (
+        SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS v
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT 'not_null(l_orderkey)' AS check_name, 'not_null' AS kind,
+           n_rows, v0 AS n_violations, v0 = 0 AS passed FROM base
+    UNION ALL SELECT 'in_range(l_quantity)', 'in_range', n_rows, v1, v1 = 0 FROM base
+    UNION ALL SELECT 'in_range(l_discount)', 'in_range', n_rows, v2, v2 = 0 FROM base
+    UNION ALL SELECT 'in_set(l_returnflag)', 'in_set', n_rows, v3, v3 = 0 FROM base
+    UNION ALL SELECT 'net_price_nonnegative', 'satisfies', n_rows, v4, v4 = 0 FROM base
+    UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', 'unique', n_rows, v, v = 0 FROM uniq
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem
+    (operators/validate.py): five row-level constraints compiled into
+    ONE scan + ONE hash aggregate, plus a uniqueness constraint as one
+    grouped count on its key — the Deequ-style contract check a 100 TB
+    ingest boundary runs before publishing a partition. The discount
+    range is deliberately tighter than the data (and the synthetic
+    (l_orderkey, l_linenumber) key is deliberately non-unique), so the
+    report exercises both passing and failing constraints. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators import validate as V
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return V.validate(
+        li,
+        [
+            V.not_null("l_orderkey"),
+            V.in_range("l_quantity", 1, 50),
+            V.in_range("l_discount", 0, 0.06),
+            V.in_set("l_returnflag", ["A", "N", "R"]),
+            V.satisfies(
+                "net_price_nonnegative",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) >= 0,
+            ),
+            V.unique("l_orderkey", "l_linenumber"),
+        ],
+    )

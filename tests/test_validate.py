@@ -1,0 +1,82 @@
+"""Unit coverage for the declarative validation suite
+(operators/validate.py): NULL-is-a-violation semantics, uniqueness
+surplus arithmetic, plan shape (all row checks share one aggregate),
+and the contract errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators import validate as V
+
+
+def _report(df, checks):
+    return {r.check_name: r for r in V.validate(df, checks).collect()}
+
+
+def test_row_checks_null_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, None, "B"), (None, 70.0, "A"), (4, 9.0, None)],
+        "id long, qty double, flag string",
+    )
+    got = _report(
+        df,
+        [
+            V.not_null("id"),
+            V.in_range("qty", 0, 10),
+            V.in_set("flag", ["A", "B"]),
+            V.satisfies("qty_gt_id", F.col("qty") > F.col("id")),
+        ],
+    )
+    assert got["not_null(id)"].n_violations == 1
+    # qty: NULL row violates, 70.0 violates
+    assert got["in_range(qty)"].n_violations == 2
+    # flag: NULL isin(...) is NULL -> violation
+    assert got["in_set(flag)"].n_violations == 1
+    # qty > id: NULL qty and NULL id rows both violate; 70>NULL -> NULL
+    assert got["qty_gt_id"].n_violations == 2
+    assert all(r.n_rows == 4 for r in got.values())
+    assert not got["not_null(id)"].passed
+
+
+def test_unique_counts_surplus_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (None, "c"), (None, "c")],
+        "k long, v string",
+    )
+    got = _report(df, [V.unique("k", "v"), V.unique("v", name="v_alone")])
+    # (1,a) has 2 surplus rows; (None,c) has 1 — NULL keys group together
+    assert got["unique(k,v)"].n_violations == 3
+    assert got["unique(k,v)"].n_rows == 6
+    assert got["v_alone"].n_violations == 3
+    # passing case
+    ok = _report(df.limit(0), [V.unique("k")])
+    assert ok["unique(k)"].n_violations == 0 and ok["unique(k)"].passed
+
+
+def test_matches_and_passing_report(spark):
+    df = spark.createDataFrame([("ab12",), ("zz99",), ("bad",)], "code string")
+    got = _report(df, [V.matches("code", r"^[a-z]{2}[0-9]{2}$")])
+    assert got["matches(code)"].n_violations == 1
+    assert not got["matches(code)"].passed
+
+
+def test_row_checks_share_one_aggregate(spark):
+    """However many row checks are declared, the physical plan scans
+    once: exactly one aggregate pair (partial+final) and no join."""
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    rep = V.validate(
+        df, [V.not_null("a"), V.in_range("b", 0, 10), V.satisfies("x", F.col("b") > 0)]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2, plan
+    assert "Join" not in plan
+
+
+def test_contract_errors(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="at least one"):
+        V.validate(df, [])
+    with pytest.raises(ValueError, match="duplicate check name"):
+        V.validate(df, [V.not_null("a"), V.not_null("a")])
