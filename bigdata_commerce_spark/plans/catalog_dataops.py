@@ -1432,3 +1432,40 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return salted_count(ev, ["user_id"], F.col("event_id"), salt_buckets=16)
+
+
+@twin_query(
+    "incremental_dedup_novel",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), half1 AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+    batch AS (
+        SELECT fp, MIN(doc_id) AS doc_id
+        FROM fp WHERE doc_id >= 250 GROUP BY fp
+    )
+    SELECT b.doc_id, b.fp, substr(b.fp, 1, 2) AS fp_prefix
+    FROM batch b LEFT JOIN half1 h USING (fp)
+    WHERE h.fp IS NULL
+    """,
+)
+def incremental_dedup_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted fingerprint store
+    (operators/incremental_dedup.py): commit the first half of the
+    corpus, then ask which second-half documents are NOVEL relative to
+    the store — the ingest-loop question batch dedup can't answer
+    without rescanning history. Store reads are partition-pruned by
+    md5 prefix (asserted in tests/test_incremental_dedup.py); the
+    oracle is the equivalent one-shot set difference. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    import tempfile
+
+    from bigdata_commerce_spark.operators import incremental_dedup as inc
+
+    docs = load_table(spark, "documents", sf_dir)
+    store = tempfile.mkdtemp(prefix="fpstore_twin_") + "/store"
+    inc.init_store(spark, store)
+    inc.commit_batch(docs.where(F.col("doc_id") < 250), store)
+    return inc.novel_documents(docs.where(F.col("doc_id") >= 250), store)
