@@ -498,3 +498,51 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.unique("l_orderkey", "l_linenumber"),
         ],
     )
+
+
+@twin_query(
+    "events_agg_refresh",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental_agg.py):
+    a per-(day, type) rollup materialized over history, refreshed with
+    a delta slice — the result must equal the full-history aggregate
+    (the oracle), which is exactly the self-maintainability property.
+    Refresh cost is delta-sized, never history-sized. Sums are kept in
+    exact decimal partial state (functions.money_sum discipline) so
+    merge order can never drift the value hash. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators import incremental_agg as ia
+
+    keys = ["event_date", "event_type"]
+    measures: ia.MeasureSpec = {
+        "n_events": ("count", None),
+        "value_sum": ("sum", "value_dec"),
+        "value_min": ("min", "value"),
+        "value_max": ("max", "value"),
+    }
+    base = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("event_date", F.to_date("ts"))
+        .withColumn("value_dec", F.col("value").cast("decimal(30,8)"))
+    )
+    cutoff = F.lit("2024-01-20").cast("date")
+    existing = ia.partial_agg(base.where(F.col("event_date") < cutoff), keys, measures)
+    refreshed = ia.refresh_with_delta(
+        existing, base.where(F.col("event_date") >= cutoff), keys, measures
+    )
+    return refreshed.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 2).cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )
