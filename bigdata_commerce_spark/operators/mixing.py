@@ -111,3 +111,35 @@ def temperature_fractions(
         s: min(1.0, (budget_rows * w[s] / total) / counts[s]) if s in pos else 0.0
         for s in counts
     }
+
+
+def cap_per_source(
+    df: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-source quota cap: keep at most ``quota`` rows per
+    source, chosen deterministically by the salted id hash (then id as
+    total-order tiebreak) — the per-domain cap every crawl-curation
+    pipeline applies so no single domain dominates the corpus.
+
+    This is the exact-quota counterpart of ``mixture_sample``'s
+    binomial thresholding: one shuffle on source + a ranking window.
+    The window puts each SOURCE on one reducer — the right trade
+    while quota * row-width fits an executor (quotas are typically
+    1e4-1e6 rows); for a pathological giant source, pre-thin with
+    ``mixture_sample`` (keep ~2x quota/n_s) first and the exact rank
+    then runs on the thinned slice. Rank order is content- and
+    partitioning-independent, so reruns and engines agree row for
+    row (the DuckDB oracle runs the same expression).
+    """
+    from bigdata_commerce_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        df,
+        [source_col],
+        [hash_uniform(id_col).asc(), F.col(id_col).asc()],
+        quota,
+        rank_col="source_rank",
+    )

@@ -1469,3 +1469,31 @@ def incremental_dedup_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc.init_store(spark, store)
     inc.commit_batch(docs.where(F.col("doc_id") < 250), store)
     return inc.novel_documents(docs.where(F.col("doc_id") >= 250), store)
+
+
+@twin_query(
+    "source_capped_docs",
+    oracle="""
+    SELECT doc_id, source, CAST(rnk AS INT) AS source_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8),
+                            doc_id
+               ) AS rnk
+        FROM documents
+    ) WHERE rnk <= 20
+    """,
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota cap (operators/mixing.cap_per_source):
+    at most 20 documents per source, selected by the deterministic
+    salted-id hash rank — the per-domain cap of crawl curation. One
+    shuffle on source + a ranking window; order is partitioning-
+    independent so the DuckDB oracle reproduces it exactly. Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import cap_per_source
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cap_per_source(docs, quota=20).select("doc_id", "source", "source_rank")

@@ -754,3 +754,25 @@ def test_remove_frequent_lines_normalized_matching(spark):
     assert got[1].clean_text == "keep me A"
     assert got[2].clean_text == "keep me B"
     assert got[1].n_removed_lines == got[2].n_removed_lines == 1
+
+
+def test_cap_per_source_quota_and_determinism(spark):
+    """cap_per_source keeps exactly min(quota, n_s) rows per source,
+    picks a partitioning-independent subset, and nests: the quota-5
+    selection is a prefix of the quota-10 selection per source."""
+    from bigdata_commerce_spark.operators.mixing import cap_per_source
+
+    rows = [(i, f"src{i % 3}") for i in range(60)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got10 = cap_per_source(df, 10)
+    per_src = {r.source: r.n for r in got10.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src == {"src0": 10, "src1": 10, "src2": 10, "rare": 1}
+
+    got5 = {(r.source, r.doc_id) for r in cap_per_source(df, 5).collect()}
+    top10 = {(r.source, r.doc_id) for r in got10.where(F.col("source_rank") <= 5).collect()}
+    assert got5 == top10
+
+    # partitioning independence: same selection from a 1-partition copy
+    one = {(r.source, r.doc_id) for r in cap_per_source(df.coalesce(1), 5).collect()}
+    assert one == got5
