@@ -122,3 +122,18 @@ def commit_batch(
         .parquet(store_path)
     )
     return novel
+
+
+def dedup_commit_sink(store_path: str, text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch sink running one fingerprint-store commit per
+    micro-batch: each arriving shard is deduped against EVERYTHING
+    previously ingested (any earlier batch, any earlier run — the
+    store is durable) and only novel fingerprints are appended. The
+    streaming twin of ``commit_batch``; replay of a micro-batch after
+    a restart re-commits the same rows and appends nothing
+    (commit_batch is idempotent by construction)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_batch(batch_df, store_path, text_col, id_col)
+
+    return fn

@@ -73,3 +73,50 @@ def test_store_read_is_partition_pruned(spark, tmp_path):
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("fp_prefix" in l for l in pf_lines), plan[:2000]
     assert novel.count() == 0  # all three already committed
+
+
+def test_streamed_commits_match_one_shot_batch(spark, tmp_path):
+    """JSONL shards arriving as micro-batches, committed incrementally
+    to the fingerprint store, converge to exactly the store a single
+    batch commit over the whole corpus builds — and replaying the
+    stream from scratch against the SAME store appends nothing."""
+    import json as _json
+
+    from bigdata_commerce_spark.streaming import pipelines
+
+    docs = _docs(spark).limit(90).collect()
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i, part in enumerate((docs[:30], docs[30:60], docs[60:])):
+        with open(shard_dir / f"shard_{i}.jsonl", "w") as f:
+            for r in part:
+                f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    store = str(tmp_path / "fpstore")
+    inc.init_store(spark, store)
+    q = (
+        pipelines.jsonl_document_source(spark, str(shard_dir))
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(inc.dedup_commit_sink(store))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_store = str(tmp_path / "batch_store")
+    inc.init_store(spark, batch_store)
+    inc.commit_batch(_docs(spark).limit(90), batch_store)
+    streamed = {(r.doc_id, r.fp) for r in spark.read.parquet(store).collect()}
+    oneshot = {(r.doc_id, r.fp) for r in spark.read.parquet(batch_store).collect()}
+    assert streamed == oneshot and len(streamed) > 0
+
+    # replay from a fresh checkpoint: same shards, same store -> no growth
+    q2 = (
+        pipelines.jsonl_document_source(spark, str(shard_dir))
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .foreachBatch(inc.dedup_commit_sink(store))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(store).count() == len(streamed)
