@@ -546,3 +546,37 @@ def events_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+@twin_query(
+    "events_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), summ AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM counts
+    )
+    SELECT CAST(rnk AS INT) AS rank, user_id, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / total_rows, 6) AS share, total_rows, n_keys,
+           ROUND(max_cnt * n_keys * 1.0 / total_rows, 4) AS skew_factor
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+        FROM counts
+    ) CROSS JOIN summ
+    WHERE rnk <= 20
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/salted.key_skew_report): per-key
+    counts, hottest-20 keys with row share, and the max/mean skew
+    factor — the measurement that decides whether a key needs salting
+    or AQE skew handling before the expensive job runs. One hash agg +
+    one-row broadcast summary + TakeOrderedAndProject. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.salted import key_skew_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_report(ev, ["user_id"], k=20)

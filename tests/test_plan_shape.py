@@ -55,3 +55,44 @@ def test_cosine_topk_streams_corpus(spark):
     # exactly one non-broadcast Exchange: the final per-probe ranking
     n_shuffles = plan.count("+- Exchange ")
     assert n_shuffles <= 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At production scan sizes Catalyst injects a runtime Bloom
+    filter from a selective dim/filter side into the fact scan
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, default on) —
+    rows that can't join are dropped at the scan, before the shuffle.
+    The application-side threshold is 10 GiB, so local inputs never
+    qualify; this test lowers the thresholds to pin the behavior the
+    100 TB deployment gets for free: might_contain(...) over the fact
+    key, fed by a bloom_filter_agg subquery on the selective side."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ords = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+        F.col("o_totalprice") > 400000
+    )
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j = (
+            li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1500]
