@@ -253,6 +253,60 @@ def build_relational_corpus(spark, docs10: str, emb10: str, n_copies: int) -> st
     return str(out_dir)
 
 
+def round4_probes(spark, docs_path: str, ev_path: str):
+    """The round-4 shuffle-bearing additions: boilerplate line scrub
+    (3 shuffles on line/doc keys), incremental fingerprint-store
+    commit + novelty (store build and pruned anti-join), PageRank (2
+    shuffles x iterations), and the partial-state rollup refresh.
+    min_docs for the scrub scales with the corpus (0.8 * n_docs) so
+    'ubiquitous' means the same thing at both sizes."""
+    import tempfile
+
+    from bigdata_commerce_spark.operators import incremental_agg as ia
+    from bigdata_commerce_spark.operators import incremental_dedup as inc
+    from bigdata_commerce_spark.operators.graph import pagerank
+    from bigdata_commerce_spark.operators.text import remove_frequent_lines
+
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    ev = spark.read.parquet(ev_path)
+
+    def _boiler():
+        return remove_frequent_lines(
+            docs, min_docs=int(0.8 * n_docs), delimiter=" "
+        ).count()
+
+    def _inc_dedup():
+        store = tempfile.mkdtemp(dir=str(SCRATCH), prefix="fp_") + "/s"
+        inc.init_store(spark, store)
+        inc.commit_batch(docs.where(F.col("doc_id") % 10 != 0), store)
+        return inc.novel_documents(docs.where(F.col("doc_id") % 10 == 0), store).count()
+
+    def _pagerank():
+        edges = ev.select(
+            F.col("user_id").alias("src"),
+            (F.lit(10_000_000) + F.col("event_id") % 500).alias("dst"),
+        )
+        return pagerank(edges, iterations=5).count()
+
+    def _agg_refresh():
+        base = ev.withColumn("event_date", F.to_date("ts")).withColumn(
+            "value_dec", F.col("value").cast("decimal(30,8)")
+        )
+        keys = ["event_date", "event_type"]
+        m: ia.MeasureSpec = {"n": ("count", None), "s": ("sum", "value_dec")}
+        cut = F.col("user_id") % 5 == 0
+        existing = ia.partial_agg(base.where(~cut), keys, m)
+        return ia.refresh_with_delta(existing, base.where(cut), keys, m).count()
+
+    return {
+        "boilerplate_scrub": _boiler,
+        "incremental_dedup": _inc_dedup,
+        "pagerank_5it": _pagerank,
+        "agg_refresh": _agg_refresh,
+    }
+
+
 def run_probe(pairs: dict, headline: str) -> dict:
     out = {"metric": headline, "copies": COPIES, "ops": {}}
     for name, (fn1, fn10) in pairs.items():
@@ -296,6 +350,21 @@ def main() -> None:
             for name in RELATIONAL_PROBE
         }
         out = run_probe(pairs, "scale_probe_10x_ratio_relational")
+    elif suite == "round4":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        p1 = round4_probes(
+            spark,
+            os.path.join(sf1, "documents.parquet"),
+            os.path.join(sf1, "events.parquet"),
+        )
+        p10 = round4_probes(
+            spark,
+            os.path.join(sf10, "documents.parquet"),
+            os.path.join(sf10, "events.parquet"),
+        )
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round4")
     else:
         docs1 = os.path.join(SF_DIR, "documents.parquet")
         emb1 = os.path.join(SF_DIR, "embeddings.parquet")

@@ -176,3 +176,71 @@ def test_mixture_sample_nesting_property(spark, fracs, n_rows):
         prev = cur
     if ladder[-1] >= 1.0:
         assert prev == set(range(n_rows))
+
+
+@st.composite
+def line_corpora(draw):
+    """Documents built from a small shared line pool (so real
+    cross-document line frequency arises) plus unique lines."""
+    pool = [f"shared line {i}" for i in range(draw(st.integers(1, 4)))]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for d in range(n_docs):
+        lines = draw(
+            st.lists(
+                st.one_of(st.sampled_from(pool), st.just(f"unique {d}")),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        docs.append((d, "\n".join(lines)))
+    return docs
+
+
+@_SETTINGS
+@given(docs=line_corpora(), min_docs=st.integers(1, 6))
+def test_remove_frequent_lines_invariants(spark, docs, min_docs):
+    """(a) kept + removed == total lines per doc; (b) with min_docs
+    above the doc count nothing is ever removed and text round-trips;
+    (c) a removed line's doc frequency really reaches min_docs."""
+    from bigdata_commerce_spark.operators.text import remove_frequent_lines
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_lines(df, min_docs=min_docs).collect()}
+    freq: dict[str, set[int]] = {}
+    for d, text in docs:
+        for ln in text.split("\n"):
+            key = ln.strip().lower()
+            if key:
+                freq.setdefault(key, set()).add(d)
+    for d, text in docs:
+        lines = text.split("\n")
+        r = out[d]
+        assert r.n_kept_lines + r.n_removed_lines == len(lines)
+        expected_kept = [
+            ln
+            for ln in lines
+            if not ln.strip() or len(freq[ln.strip().lower()]) < min_docs
+        ]
+        assert r.clean_text == "\n".join(expected_kept)
+        if min_docs > len(docs):
+            assert r.clean_text == text
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=40
+    ),
+)
+def test_validate_unique_surplus_matches_reference(spark, rows):
+    """unique-check violations == n_rows - n_distinct_keys, NULL keys
+    grouping together like any value."""
+    from bigdata_commerce_spark.operators import validate as V
+
+    data = [(a if a else None, b) for a, b in rows]
+    df = spark.createDataFrame(data, "k long, v long")
+    got = V.validate(df, [V.unique("k", "v")]).collect()[0]
+    distinct = len({(a, b) for a, b in data})
+    assert got.n_violations == len(data) - distinct
+    assert got.n_rows == len(data)
