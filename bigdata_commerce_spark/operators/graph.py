@@ -18,9 +18,11 @@ Spark shape per iteration (the standard power-iteration layout):
   (a one-row aggregate) and redistributed uniformly, so total rank
   stays 1 and the result matches the textbook definition.
 
-Lineage is truncated with localCheckpoint every few iterations —
-without it the plan doubles per iteration and the driver dies in
-analysis long before the executors feel anything (the same measured
+Lineage is truncated with localCheckpoint every ``checkpoint_every``
+iterations: ranks_{i+1} references contribs_i twice (the node join
+and the dangling-mass broadcast), so the uncheckpointed plan grows
+2^k between checkpoints — the default cadence of 4 bounds that at
+16 subtrees, and the eager checkpoint resets it (the same measured
 lesson as the CC loop's per-round checkpoint).
 
 Float caveat: ranks are doubles and + is order-dependent, so results
@@ -55,6 +57,8 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
@@ -69,6 +73,12 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = e.join(out_deg, "src").repartition("src").persist()
     n_nodes = nodes.count()  # also materializes the node set
+    if n_nodes == 0:
+        # empty link graph (a crawl slice with no extracted edges is
+        # routine): empty result, not a ZeroDivisionError
+        e.unpersist()
+        # preserve the caller's node type (ids may be strings/URLs)
+        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
 
     nodes = nodes.repartition("node").persist()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
@@ -81,14 +91,13 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         # Dangling mass = 1 - what left through edges this round
-        # (nodes with no out-links hold the rest); one scalar row,
-        # broadcast back into the update.
-        sent = (
-            e.join(ranks, e.src == F.col("node"))
-            .select((F.col("rank") / F.col("deg")).alias("c"))
-            .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("sent"))
+        # (nodes with no out-links hold the rest). Derived from the
+        # SAME contribs aggregate — total received == total sent — so
+        # each iteration runs exactly one edges-x-ranks join; a
+        # second join here would double the per-iteration work.
+        dangling = contribs.agg(
+            (1.0 - F.coalesce(F.sum("in_sum"), F.lit(0.0))).alias("dm")
         )
-        dangling = sent.select((1.0 - F.col("sent")).alias("dm"))
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -104,4 +113,5 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
+    nodes.unpersist()
     return ranks

@@ -39,24 +39,47 @@ from bigdata_commerce_spark.operators.text import fingerprint
 
 PREFIX_LEN = 2  # 16^2 = 256 store partitions
 
-# Explicit store schema: a freshly-initialized store has zero data
-# files, so schema inference would fail; declared schema also keeps
-# the read stable as partitions appear over time.
-STORE_SCHEMA = "doc_id long, fp string, fp_prefix string"
+
+def store_schema(id_col: str = "doc_id") -> str:
+    """Explicit store schema (a freshly-initialized store has zero
+    data files, so inference would fail; the declaration also keeps
+    reads stable as partitions appear). The id is pinned to BIGINT:
+    a drifting id type would commit fine and then crash every later
+    read, so the contract is enforced at the write boundary instead
+    (see _fingerprints)."""
+    return f"{id_col} long, fp string, fp_prefix string"
 
 
 def _fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, LongType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (IntegerType, LongType)):
+        raise ValueError(
+            f"store id column {id_col!r} must be an integer type, got {dt}"
+        )
     fp = fingerprint(text_col)
     return df.select(
-        F.col(id_col),
+        F.col(id_col).cast("long").alias(id_col),
         fp.alias("fp"),
         F.substring(fp, 1, PREFIX_LEN).alias("fp_prefix"),
     )
 
 
-def init_store(spark: SparkSession, path: str) -> None:
-    """Create an empty fingerprint store (schema only)."""
-    empty = spark.createDataFrame([], STORE_SCHEMA)
+def init_store(
+    spark: SparkSession, path: str, id_col: str = "doc_id", overwrite: bool = False
+) -> None:
+    """Create an empty fingerprint store (schema only). Safe to call
+    at every job start: an EXISTING store is left untouched unless
+    ``overwrite=True`` — unconditional overwrite would wipe the
+    durable dedup history and re-admit every known duplicate, the
+    exact failure the store exists to prevent."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath) and not overwrite:
+        return
+    empty = spark.createDataFrame([], store_schema(id_col))
     empty.write.partitionBy("fp_prefix").mode("overwrite").parquet(path)
 
 
@@ -82,11 +105,18 @@ def novel_documents(
         .groupBy("fp", "fp_prefix")
         .agg(F.min(id_col).alias(id_col))
     )
+    # Materialize the batch aggregate ONCE (eager checkpoint): both
+    # the prefix collect below and the anti-join consume it, and
+    # without this the fingerprint projection + groupBy shuffle runs
+    # twice per ingest cycle. (Checkpoint rather than persist: the
+    # caller may append to the store and re-execute — see
+    # commit_batch's lineage note.)
+    batch = batch.localCheckpoint(eager=True)
     # Prefix pruning: the distinct prefixes of the batch are <= 256
     # rows by construction — a bounded driver-side collect that turns
     # the store read into a partition-pruned scan.
     prefixes = [r.fp_prefix for r in batch.select("fp_prefix").distinct().collect()]
-    store = spark.read.schema(STORE_SCHEMA).parquet(store_path).where(
+    store = spark.read.schema(store_schema(id_col)).parquet(store_path).where(
         F.col("fp_prefix").isin(prefixes)
     )
     return batch.join(store, "fp", "left_anti").select(id_col, "fp", "fp_prefix")
@@ -110,8 +140,9 @@ def commit_batch(
     # below refreshes the path's file index, and any later
     # re-execution of the plan (cache rebuild, a second action) sees
     # the newly-appended partition dirs under the frozen relation and
-    # dies in the parquet reader's partition-values assertion. An
-    # EAGER localCheckpoint materializes the result and TRUNCATES the
+    # dies in the parquet reader's partition-values assertion
+    # (measured; ParquetFileFormat partitionValues assert). An EAGER
+    # localCheckpoint materializes the result and TRUNCATES the
     # lineage, so neither the append nor the caller can ever re-scan
     # the mutated path. (A multi-session production loop would
     # checkpoint to reliable storage; same idea.)

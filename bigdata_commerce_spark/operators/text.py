@@ -353,7 +353,10 @@ def remove_frequent_lines(
     Matching is on the normalized line (lower + trim); reassembly
     keeps the ORIGINAL line text and order. Lines that are empty
     after trimming never participate in frequency counting and are
-    always kept, so blank-line structure is preserved.
+    always kept, so blank-line structure is preserved. ``delimiter``
+    is a LITERAL string (escaped before the regex split, so '.' or
+    '|' work); a NULL text is treated as '' — the document keeps its
+    output row instead of silently vanishing through the explode.
 
     Scale shape: posexplode is map-side fan-out; the frequency table
     is one hash aggregate on the line key (map-side partial combine);
@@ -365,8 +368,13 @@ def remove_frequent_lines(
 
     Returns (doc_id, clean_text, n_kept_lines, n_removed_lines).
     """
+    import re as _re
+
     lines = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line")
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delimiter))
+        ).alias("pos", "line"),
     ).withColumn("line_norm", F.lower(F.trim(F.col("line"))))
     frequent = (
         lines.where(F.col("line_norm") != "")

@@ -104,8 +104,13 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     reports: list[DataFrame] = []
     if row_checks:
         # NULL condition -> otherwise(1): evaluates-to-NULL is a violation.
+        # coalesce: sum over an EMPTY input is NULL, and an empty
+        # partition must report 0 violations / passed=True (vacuous
+        # truth), not a NULL that poisons `if not row.passed` gates.
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-            F.sum(F.when(c.condition, 0).otherwise(1)).alias(f"v{i}")
+            F.coalesce(F.sum(F.when(c.condition, 0).otherwise(1)), F.lit(0)).alias(
+                f"v{i}"
+            )
             for i, c in enumerate(row_checks)
         ]
         wide = df.agg(*aggs)

@@ -1460,12 +1460,21 @@ def incremental_dedup_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 prefix (asserted in tests/test_incremental_dedup.py); the
     oracle is the equivalent one-shot set difference. Twin slot:
     driver catalog is at its 50-entry cap."""
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from bigdata_commerce_spark.operators import incremental_dedup as inc
 
     docs = load_table(spark, "documents", sf_dir)
-    store = tempfile.mkdtemp(prefix="fpstore_twin_") + "/store"
+    # One deterministic store per sf_dir, REBUILT per call (cheap at
+    # twin scale) — not mkdtemp, which would leak a directory per
+    # invocation across harness runs.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path(tempfile.gettempdir()) / f"bcs_fpstore_twin_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = str(root / "store")
     inc.init_store(spark, store)
     inc.commit_batch(docs.where(F.col("doc_id") < 250), store)
     return inc.novel_documents(docs.where(F.col("doc_id") >= 250), store)

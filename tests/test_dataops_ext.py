@@ -776,3 +776,18 @@ def test_cap_per_source_quota_and_determinism(spark):
     # partitioning independence: same selection from a 1-partition copy
     one = {(r.source, r.doc_id) for r in cap_per_source(df.coalesce(1), 5).collect()}
     assert one == got5
+
+
+def test_remove_frequent_lines_null_text_and_literal_delimiter(spark):
+    """NULL text keeps its output row (as ''), and a regex-metachar
+    delimiter is treated literally."""
+    from bigdata_commerce_spark.operators.text import remove_frequent_lines
+
+    rows = [(1, "a.b.a"), (2, None), (3, "b.c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_frequent_lines(df, min_docs=2, delimiter=".").collect()}
+    assert set(got) == {1, 2, 3}
+    # 'b' appears in docs 1 and 3 -> boilerplate; 'a'/'c' survive
+    assert got[1].clean_text == "a.a" and got[1].n_removed_lines == 1
+    assert got[3].clean_text == "c"
+    assert got[2].clean_text == "" and got[2].n_removed_lines == 0

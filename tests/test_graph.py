@@ -79,3 +79,11 @@ def test_pagerank_contract_errors(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, iterations=3)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)

@@ -120,3 +120,25 @@ def test_streamed_commits_match_one_shot_batch(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(store).count() == len(streamed)
+
+
+def test_init_store_never_clobbers_existing(spark, tmp_path):
+    store = str(tmp_path / "fpstore")
+    inc.init_store(spark, store)
+    inc.commit_batch(_docs(spark).limit(20), store)
+    n = spark.read.parquet(store).count()
+    inc.init_store(spark, store)  # repeated init at job start: no-op
+    assert spark.read.parquet(store).count() == n
+    inc.init_store(spark, store, overwrite=True)
+    empty = spark.read.schema(inc.store_schema()).parquet(store)
+    assert empty.count() == 0
+
+
+def test_non_integer_id_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    store = str(tmp_path / "fpstore")
+    inc.init_store(spark, store)
+    bad = spark.createDataFrame([("u1", "t")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="integer type"):
+        inc.novel_documents(bad, store)

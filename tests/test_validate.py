@@ -80,3 +80,13 @@ def test_contract_errors(spark):
         V.validate(df, [])
     with pytest.raises(ValueError, match="duplicate check name"):
         V.validate(df, [V.not_null("a"), V.not_null("a")])
+
+
+def test_empty_input_reports_zero_violations(spark):
+    """An empty partition passes vacuously — no NULLs in the report."""
+    df = spark.createDataFrame([], "a long, b double")
+    got = {r.check_name: r for r in V.validate(
+        df, [V.not_null("a"), V.in_range("b", 0, 1), V.unique("a")]
+    ).collect()}
+    for r in got.values():
+        assert r.n_rows == 0 and r.n_violations == 0 and r.passed is True
