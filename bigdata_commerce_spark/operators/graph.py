@@ -18,12 +18,13 @@ Spark shape per iteration (the standard power-iteration layout):
   (a one-row aggregate) and redistributed uniformly, so total rank
   stays 1 and the result matches the textbook definition.
 
-Lineage is truncated with localCheckpoint every ``checkpoint_every``
-iterations: ranks_{i+1} references contribs_i twice (the node join
-and the dangling-mass broadcast), so the uncheckpointed plan grows
-2^k between checkpoints — the default cadence of 4 bounds that at
-16 subtrees, and the eager checkpoint resets it (the same measured
-lesson as the CC loop's per-round checkpoint).
+Each iteration's contribution aggregate is persisted (two consumers:
+the dangling scalar and the rank update) and materialized by the
+one-float dangling collect, so every round computes exactly its own
+join+agg and the logical plan stays LINEAR in iterations; an eager
+localCheckpoint every ``checkpoint_every`` rounds truncates the
+lineage and releases the segment's persisted aggregates (the same
+measured lesson as the CC loop's per-round checkpoint).
 
 Float caveat: ranks are doubles and + is order-dependent, so results
 are reproducible to ~1e-12, not bit-exact — verification is against
@@ -83,35 +84,42 @@ def pagerank(
     nodes = nodes.repartition("node").persist()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
+    live_contribs: list[DataFrame] = []
     for i in range(iterations):
+        # The ONE edges-x-ranks join + aggregate per iteration,
+        # persisted because TWO consumers need it (the dangling-mass
+        # scalar and the rank update) — unpersisted at the next
+        # checkpoint, once nothing can re-reference it.
         contribs = (
             e.join(ranks, e.src == F.col("node"))
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
+            .persist()
         )
+        live_contribs.append(contribs)
         # Dangling mass = 1 - what left through edges this round
-        # (nodes with no out-links hold the rest). Derived from the
-        # SAME contribs aggregate — total received == total sent — so
-        # each iteration runs exactly one edges-x-ranks join; a
-        # second join here would double the per-iteration work.
-        dangling = contribs.agg(
-            (1.0 - F.coalesce(F.sum("in_sum"), F.lit(0.0))).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dm") / n_nodes)
-                ).alias("rank"),
-            )
+        # (total received == total sent, so the SAME aggregate serves;
+        # a second join here measured ~2x per-iteration wall). The
+        # collect is ONE float and doubles as the materialization of
+        # the persisted aggregate — the Pregel-loop cadence: each
+        # iteration computes exactly its own join+agg, the plan stays
+        # linear in iterations.
+        sent = contribs.agg(F.coalesce(F.sum("in_sum"), F.lit(0.0))).collect()[0][0]
+        dm = 1.0 - sent
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dm / n_nodes))
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            for c in live_contribs:
+                c.unpersist()
+            live_contribs = []
     e.unpersist()
     nodes.unpersist()
     return ranks
