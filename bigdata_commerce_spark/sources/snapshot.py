@@ -1,0 +1,154 @@
+"""Snapshot-isolated table publish: atomic version swap + time travel
+over plain parquet.
+
+A curated corpus is republished every pipeline cycle; consumers must
+never read a half-written version (a plain overwrite exposes partial
+file sets for minutes at 100 TB). The lakehouse answer is manifest
+commits, built here from primitives the engine already has:
+
+- each publish writes its files under a fresh, version-private
+  directory (never touching prior versions' files);
+- a JSON manifest naming that directory is the COMMIT — it is
+  written to a temp name and moved into place with a filesystem
+  rename, the one atomic primitive object stores/HDFS/local all
+  provide. Readers resolve the newest manifest; a publish that
+  crashes mid-write leaves data files but no manifest, so it is
+  simply invisible (and reclaimable by vacuum);
+- old manifests stay: any historical version remains readable
+  (time travel) until vacuumed — reproducibility for "which corpus
+  version trained this model".
+
+Single-writer contract (the Delta/Iceberg no-lock-service posture):
+concurrent publishes race on the version number; the engine's
+streaming sinks own multi-writer coordination via their epoch
+ledgers (streaming/jdbc_state.py).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_PREFIX = "manifest-v"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _manifest_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    fs, jvm = _fs(spark, table_dir)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith(_MANIFEST_PREFIX) and name.endswith(".json"):
+            out.append(int(name[len(_MANIFEST_PREFIX) : -len(".json")]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    fs, jvm = _fs(spark, table_dir)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{version}.json"
+    )
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def publish_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next version of the table and commit it
+    atomically. Returns the published version number. Prior versions'
+    files are never modified — readers pinned to them are undisturbed
+    (snapshot isolation)."""
+    spark = df.sparkSession
+    versions = _manifest_versions(spark, table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"v{version}-{uuid.uuid4().hex[:8]}"
+    df.write.parquet(f"{table_dir}/{data_dir}")
+
+    manifest = {"version": version, "data_dir": data_dir}
+    fs, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    mdir = Path(f"{table_dir}/_manifests")
+    fs.mkdirs(mdir)
+    tmp = Path(f"{table_dir}/_manifests/.tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    final = Path(f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{version}.json")
+    # The COMMIT: one atomic rename. Before it, this version does not
+    # exist for any reader; after it, it is complete.
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"snapshot commit race on version {version} of {table_dir} "
+            "(single-writer contract violated)"
+        )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest (or a pinned historical) committed version.
+    Uncommitted data directories are invisible by construction."""
+    versions = _manifest_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    m = _read_manifest(spark, table_dir, version)
+    return spark.read.parquet(f"{table_dir}/{m['data_dir']}")
+
+
+def list_snapshots(spark: SparkSession, table_dir: str) -> list[int]:
+    """Committed versions, oldest first."""
+    return _manifest_versions(spark, table_dir)
+
+
+def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]:
+    """Delete data directories not referenced by the ``keep_last``
+    newest manifests — both expired versions and orphans from crashed
+    publishes — and drop the expired manifests. Returns the deleted
+    directory names. Readers of retained versions are unaffected
+    (their files are untouched)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _manifest_versions(spark, table_dir)
+    keep = set(versions[-keep_last:])
+    live_dirs = {
+        _read_manifest(spark, table_dir, v)["data_dir"] for v in keep
+    }
+    fs, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    deleted: list[str] = []
+    for st in fs.listStatus(Path(table_dir)):
+        name = st.getPath().getName()
+        if name == "_manifests" or not st.isDirectory():
+            continue
+        if name not in live_dirs:
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    for v in versions:
+        if v not in keep:
+            fs.delete(
+                Path(f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{v}.json"), False
+            )
+    return sorted(deleted)

@@ -1,0 +1,66 @@
+"""Snapshot publish (sources/snapshot.py): atomic commit visibility,
+snapshot isolation across republish, time travel, crashed-publish
+invisibility, and vacuum retention."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_commerce_spark.sources import snapshot as snap
+
+
+def _df(spark, tag):
+    return spark.createDataFrame([(i, tag) for i in range(5)], "id long, tag string")
+
+
+def test_publish_read_roundtrip_and_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert snap.publish_snapshot(_df(spark, "a"), t) == 1
+    assert snap.publish_snapshot(_df(spark, "b"), t) == 2
+    assert snap.list_snapshots(spark, t) == [1, 2]
+    assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"b"}
+    # time travel: the superseded version stays readable, bit for bit
+    assert {r.tag for r in snap.read_snapshot(spark, t, version=1).collect()} == {"a"}
+
+
+def test_pinned_reader_survives_republish(spark, tmp_path):
+    """Snapshot isolation: a DataFrame resolved against v1 returns v1
+    rows even after v2 is committed (v1 files are never touched)."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, "a"), t)
+    pinned = snap.read_snapshot(spark, t, version=1)
+    snap.publish_snapshot(_df(spark, "b"), t)
+    assert {r.tag for r in pinned.collect()} == {"a"}
+
+
+def test_crashed_publish_is_invisible(spark, tmp_path):
+    """Data files without a manifest (writer died before the rename)
+    must not be readable and must be reclaimed by vacuum."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, "a"), t)
+    # simulate the crash: data lands, manifest never does
+    _df(spark, "orphan").write.parquet(f"{t}/v99-deadbeef")
+    assert snap.list_snapshots(spark, t) == [1]
+    assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"a"}
+    deleted = snap.vacuum(spark, t, keep_last=1)
+    assert "v99-deadbeef" in deleted
+    assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"a"}
+
+
+def test_vacuum_retention(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for tag in ("a", "b", "c"):
+        snap.publish_snapshot(_df(spark, tag), t)
+    deleted = snap.vacuum(spark, t, keep_last=2)
+    assert len(deleted) == 1 and deleted[0].startswith("v1-")
+    assert snap.list_snapshots(spark, t) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, t, version=1)
+    assert {r.tag for r in snap.read_snapshot(spark, t, version=2).collect()} == {"b"}
+    with pytest.raises(ValueError):
+        snap.vacuum(spark, t, keep_last=0)
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        snap.read_snapshot(spark, str(tmp_path / "nope"))
