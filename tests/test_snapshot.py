@@ -64,3 +64,36 @@ def test_vacuum_retention(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         snap.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_curation_to_snapshot_pipeline_last_mile(spark, tmp_path):
+    """The publish step of a real cycle: curate the corpus, publish it
+    as the next table version, and register its fingerprints in the
+    incremental store — the next cycle's novelty check then excludes
+    everything this cycle published."""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators import incremental_dedup as inc
+    from bigdata_commerce_spark.operators.text import curate
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = curate(docs, min_quality=0.2)
+    t = str(tmp_path / "corpus")
+    v = snap.publish_snapshot(kept, t)
+    assert v == 1
+    published = snap.read_snapshot(spark, t)
+    assert published.count() == kept.count() > 0
+
+    store = str(tmp_path / "fpstore")
+    inc.init_store(spark, store)
+    surviving = docs.join(published.select("doc_id"), "doc_id", "left_semi")
+    inc.commit_batch(surviving, store)
+    # re-offering the same curated docs next cycle: zero novel
+    assert inc.novel_documents(surviving, store).count() == 0
+    # a genuinely new document is still admitted
+    fresh = spark.createDataFrame(
+        [(999_999, "a genuinely new never seen document xyzzy")],
+        "doc_id long, text string",
+    )
+    assert inc.novel_documents(fresh, store).count() == 1
