@@ -71,8 +71,6 @@ def test_curation_to_snapshot_pipeline_last_mile(spark, tmp_path):
     as the next table version, and register its fingerprints in the
     incremental store — the next cycle's novelty check then excludes
     everything this cycle published."""
-    from pyspark.sql import functions as F
-
     from bigdata_commerce_spark.operators import incremental_dedup as inc
     from bigdata_commerce_spark.operators.text import curate
     from tests.conftest import SF_SMOKE
@@ -97,3 +95,16 @@ def test_curation_to_snapshot_pipeline_last_mile(spark, tmp_path):
         "doc_id long, text string",
     )
     assert inc.novel_documents(fresh, store).count() == 1
+
+
+def test_snapshot_read_keeps_pushdown(spark, tmp_path):
+    """read_snapshot resolves to a plain parquet scan, so filter
+    pushdown and column pruning survive the manifest indirection."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(
+        spark.range(1000).selectExpr("id", "id * 2 AS a", "id * 3 AS b"), t
+    )
+    q = snap.read_snapshot(spark, t).where("a > 100").select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(a), GreaterThan(a,100)]" in plan, plan[:1200]
+    assert "ReadSchema: struct<id:bigint,a:bigint>" in plan
