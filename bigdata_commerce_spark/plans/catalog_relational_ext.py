@@ -580,3 +580,30 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return key_skew_report(ev, ["user_id"], k=20)
+
+
+@twin_query(
+    "lineitem_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshaping (DataFrame.unpivot / melt, the inverse
+    of events_pivot): the four lineitem measures as (measure, value)
+    rows. Map-side only — Catalyst expands unpivot to a generator
+    projection, no shuffle; the oracle is the portable UNION ALL
+    form. Twin slot: driver catalog is at its 50-entry cap."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
