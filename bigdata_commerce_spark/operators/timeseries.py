@@ -118,3 +118,64 @@ def similar_series(
         round_dp,
     )
     return cosine_topk(series, probes, k=k, id_col="series_id", vec_col="series")
+
+
+def fill_gaps_locf(
+    df: DataFrame,
+    bucket_seconds: int,
+    key_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Regularize a sparse per-key series: emit one row for EVERY
+    bucket between each key's first and last observation, carrying
+    the last observed value forward through gaps (LOCF) — the
+    standard densification before window features, similarity
+    vectors or charting.
+
+    Shape: per-key bounds ride one aggregate; the dense grid is a
+    map-side ``sequence`` + explode (never a driver loop); observed
+    values left-join back on (key, bucket); the carry-forward is a
+    single ``last(ignorenulls)`` over an unbounded-preceding window —
+    one shuffle on the key, the same partitioning the join already
+    produced. Grid cells are epoch-bucket indices so the contract is
+    engine-portable (the oracle reproduces it with generate_series).
+
+    Returns (key, bucket, bucket_ts, value, is_observed). A bucket
+    with multiple observations carries the LAST one by timestamp
+    (deterministic tiebreak on value for equal timestamps).
+    """
+    from pyspark.sql import Window
+
+    b = F.lit(bucket_seconds)
+    obs = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint").alias("bucket"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    # last observation per (key, bucket): max_by with a total order
+    per_bucket = obs.groupBy("key", "bucket").agg(
+        F.max_by("value", F.struct("ts", "value")).alias("value")
+    )
+    bounds = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            (F.col("bucket") * b).cast("timestamp").alias("bucket_ts"),
+            F.last("value", ignorenulls=True).over(w).alias("value"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )

@@ -607,3 +607,48 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@twin_query(
+    "user_daily_value_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id AS key, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+               ts, value
+        FROM events WHERE user_id < 200
+    ), per_bucket AS (
+        SELECT key, bucket, value FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY key, bucket ORDER BY ts DESC, value DESC
+            ) AS rn FROM obs
+        ) WHERE rn = 1
+    ), bounds AS (
+        SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM per_bucket GROUP BY 1
+    ), grid AS (
+        SELECT key, unnest(range(b0, b1 + 1)) AS bucket FROM bounds
+    )
+    SELECT g.key AS user_id, g.bucket,
+           TIMESTAMP '1970-01-01 00:00:00' + g.bucket * INTERVAL 86400 SECOND
+               AS bucket_ts,
+           last_value(p.value IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket ROWS UNBOUNDED PRECEDING
+           ) AS value,
+           p.value IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN per_bucket p USING (key, bucket)
+    """,
+)
+def user_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (operators/timeseries.fill_gaps_locf):
+    each user's sparse daily value observations densified onto every
+    day between their first and last event, gaps carrying the last
+    observation forward — the regularization step before window
+    features or the similarity grid. One aggregate for per-bucket
+    last-obs, a map-side sequence explode for the grid, one key
+    shuffle shared by the join and the carry-forward window. Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.timeseries import fill_gaps_locf
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 200)
+    return fill_gaps_locf(
+        ev, bucket_seconds=86400, key_col="user_id", ts_col="ts", value_col="value"
+    )

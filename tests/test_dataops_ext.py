@@ -791,3 +791,31 @@ def test_remove_frequent_lines_null_text_and_literal_delimiter(spark):
     assert got[1].clean_text == "a.a" and got[1].n_removed_lines == 1
     assert got[3].clean_text == "c"
     assert got[2].clean_text == "" and got[2].n_removed_lines == 0
+
+
+def test_fill_gaps_locf_crafted(spark):
+    """Gap semantics on a crafted series: carries through holes,
+    restarts per key, marks observed vs filled, last-obs-per-bucket
+    tiebreak."""
+    from bigdata_commerce_spark.operators.timeseries import fill_gaps_locf
+
+    rows = [
+        # key 1: buckets 10, 13 observed -> 11, 12 filled with 5.0
+        (1, 10 * 60, 5.0),
+        (1, 13 * 60, 9.0),
+        # same bucket twice: later ts wins
+        (1, 13 * 60 + 30, 7.0),
+        # key 2: single observation -> single grid row
+        (2, 40 * 60, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "k long, sec long, v double").select(
+        "k", F.col("sec").cast("timestamp").alias("ts"), "v"
+    )
+    out = fill_gaps_locf(df, bucket_seconds=60, key_col="k", ts_col="ts", value_col="v")
+    got = {(r.k, r.bucket): (r.value, r.is_observed) for r in out.collect()}
+    assert got[(1, 10)] == (5.0, True)
+    assert got[(1, 11)] == (5.0, False)
+    assert got[(1, 12)] == (5.0, False)
+    assert got[(1, 13)] == (7.0, True)  # later timestamp wins the bucket
+    assert got[(2, 40)] == (1.5, True)
+    assert len(got) == 5
