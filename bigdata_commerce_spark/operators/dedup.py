@@ -406,3 +406,52 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-TABLE fuzzy match (entity resolution): every
+    (left, right) pair whose texts have n-gram Jaccard >= threshold —
+    linking product titles, merchant names, near-identical documents
+    across two corpora.
+
+    Rides the ENTIRE self-join machinery above unchanged: tag each
+    side into one corpus via an id encoding (left ids -> 2*id, right
+    -> 2*id+1; ids must be non-negative integers), run jaccard_pairs
+    (prefix filter + exact verify), keep only cross-side pairs and
+    decode. Cost envelope is identical to the self-join on the union
+    — candidate generation still meets only on rare prefix shingles.
+    Same-side near-dups are computed but filtered; when both inputs
+    are also self-deduped the extra pairs are the price of sharing
+    one pipeline (and one shuffle set) instead of three.
+
+    Returns (left_id, right_id, jaccard).
+    """
+    from pyspark.sql.types import IntegerType, LongType
+
+    for side, df in (("left", left), ("right", right)):
+        dt = df.schema[id_col].dataType
+        if not isinstance(dt, (IntegerType, LongType)):
+            raise ValueError(f"{side} {id_col!r} must be an integer type, got {dt}")
+    tagged = left.select(
+        (F.col(id_col).cast("long") * 2).alias(id_col), F.col(text_col)
+    ).unionByName(
+        right.select(
+            (F.col(id_col).cast("long") * 2 + 1).alias(id_col), F.col(text_col)
+        )
+    )
+    pairs = jaccard_pairs(tagged, text_col, id_col, n, threshold)
+    cross = pairs.where(F.col("id1") % 2 != F.col("id2") % 2)
+    left_id = F.when(F.col("id1") % 2 == 0, F.col("id1")).otherwise(F.col("id2"))
+    right_id = F.when(F.col("id1") % 2 == 1, F.col("id1")).otherwise(F.col("id2"))
+    return cross.select(
+        (left_id / 2).cast("long").alias("left_id"),
+        ((right_id - 1) / 2).cast("long").alias("right_id"),
+        "jaccard",
+    )

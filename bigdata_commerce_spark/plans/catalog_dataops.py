@@ -1506,3 +1506,38 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return cap_per_source(docs, quota=20).select("doc_id", "source", "source_rank")
+
+
+@twin_query(
+    "cross_corpus_links",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    , l_ex AS (SELECT id AS lid, shingle FROM ex WHERE id < 250),
+    r_ex AS (SELECT id AS rid, shingle FROM ex WHERE id >= 250),
+    l_sz AS (SELECT id AS lid, n_shingles AS n1 FROM sizes WHERE id < 250),
+    r_sz AS (SELECT id AS rid, n_shingles AS n2 FROM sizes WHERE id >= 250),
+    common AS (
+        SELECT lid, rid, COUNT(*) AS c
+        FROM l_ex JOIN r_ex USING (shingle) GROUP BY 1, 2
+    )
+    SELECT lid AS left_id, rid AS right_id,
+           ROUND(c * 1.0 / (n1 + n2 - c), 4) AS jaccard
+    FROM common JOIN l_sz USING (lid) JOIN r_sz USING (rid)
+    WHERE 5 * c >= 4 * (n1 + n2 - c)
+    """,
+)
+def cross_corpus_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fuzzy match (operators/dedup.similarity_join):
+    which documents of the second half of the corpus near-duplicate a
+    first-half document at 3-gram Jaccard >= 0.8 — entity resolution
+    across two corpora riding the unchanged PPJoin prefix pipeline
+    via the side-tagged id encoding. Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.operators.dedup import similarity_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    return similarity_join(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        threshold=0.8,
+    )

@@ -819,3 +819,41 @@ def test_fill_gaps_locf_crafted(spark):
     assert got[(1, 13)] == (7.0, True)  # later timestamp wins the bucket
     assert got[(2, 40)] == (1.5, True)
     assert len(got) == 5
+
+
+def test_similarity_join_cross_table(spark):
+    """Cross-table fuzzy match equals the naive per-pair Jaccard, and
+    same-side near-dups never leak into the output."""
+    from bigdata_commerce_spark.operators.dedup import similarity_join
+
+    left = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six"),
+        (3, "alpha beta gamma delta epsilon zeta"),  # same-side dup of 1
+    ]
+    right = [
+        (10, "alpha beta gamma delta epsilon zeta eta"),  # near 1 and 3
+        (11, "totally different text with no overlap here"),
+        (12, "one two three four five six"),  # exact of 2
+    ]
+    ldf = spark.createDataFrame(left, "doc_id long, text string")
+    rdf = spark.createDataFrame(right, "doc_id long, text string")
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in similarity_join(ldf, rdf, threshold=0.5).collect()
+    }
+    # naive reference
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for li, lt in left:
+        for ri, rt in right:
+            a, b = sh(lt), sh(rt)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                want[(li, ri)] = round(j, 4)
+    assert got == want
+    assert (1, 10) in got and (2, 12) in got
+    assert all(k[0] in {1, 2, 3} and k[1] in {10, 11, 12} for k in got)
