@@ -1541,3 +1541,22 @@ def cross_corpus_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") >= 250),
         threshold=0.8,
     )
+
+
+@twin_query(
+    "documents_global_index",
+    oracle="""
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+)
+def documents_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global numbering by doc_id order
+    (sources/shards.with_global_index): two-level bucketed prefix sum,
+    never a one-partition global window — the distributed
+    zipWithIndex replacement that also addresses the shard exporter.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.sources.shards import with_global_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    return with_global_index(docs).select("doc_id", "idx")

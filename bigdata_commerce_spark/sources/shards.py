@@ -28,19 +28,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_shards(
+def with_global_index(
     df: DataFrame,
-    rows_per_shard: int,
     order_col: str = "doc_id",
+    index_col: str = "idx",
     bucket_width: int = 1 << 20,
 ) -> DataFrame:
-    """Add ``shard_id`` and ``shard_pos`` (0-based position within the
-    shard) by global ``order_col`` order, without a global window.
+    """Add a contiguous 0-based global index by ``order_col`` order
+    WITHOUT a global single-partition window — the distributed
+    replacement for zipWithIndex / monotonically_increasing_id when
+    ids must be dense and order-defined (training-example numbering,
+    stable row addressing).
 
     ``order_col`` must be unique (it defines the total order). Bucket
     prefix sums: rows bucket by order_col // bucket_width; per-bucket
     counts (tiny) get an exclusive running total on the driver-sized
-    frame; each row's global rank = bucket offset + rank within
+    frame; each row's global index = bucket offset + rank within
     bucket. The within-bucket window partitions by bucket — bounded
     memory, no single-reducer stage."""
     # integer `div`, not float `/`+cast: double rounding would misplace
@@ -55,14 +58,27 @@ def assign_shards(
         "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
     )
     w_in = Window.partitionBy("__bucket").orderBy(order_col)
-    ranked = (
+    return (
         rows.join(F.broadcast(offsets), "__bucket")
-        .withColumn("__rank", F.col("__offset") + F.row_number().over(w_in) - 1)
+        .withColumn(index_col, F.col("__offset") + F.row_number().over(w_in) - 1)
+        .drop("__bucket", "__n", "__offset")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    rows_per_shard: int,
+    order_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Add ``shard_id`` and ``shard_pos`` (0-based position within the
+    shard) by global ``order_col`` order — the shard address is the
+    global index (with_global_index) divided into fixed-size runs."""
+    ranked = with_global_index(df, order_col, "__rank", bucket_width)
     return (
         ranked.withColumn("shard_id", F.expr(f"CAST(__rank div {rows_per_shard} AS INT)"))
         .withColumn("shard_pos", F.pmod(F.col("__rank"), F.lit(rows_per_shard)).cast("int"))
-        .drop("__bucket", "__n", "__offset", "__rank")
+        .drop("__rank")
     )
 
 
