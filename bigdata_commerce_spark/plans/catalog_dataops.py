@@ -1560,3 +1560,28 @@ def documents_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return with_global_index(docs).select("doc_id", "idx")
+
+
+@twin_query(
+    "documents_shuffled_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(doc_id || ':shuf'), 1, 15))
+                        AS BIGINT),
+                        doc_id
+           ) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+)
+def documents_shuffled_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle order (shards.with_shuffled_index): a
+    reproducible pseudo-random permutation index — the
+    shuffle-before-sharding step, engine-portable (DuckDB reproduces
+    the md5 order key exactly) and free of rand()/partitioning
+    dependence. Same two-level prefix sum as the dense index. Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.sources.shards import with_shuffled_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    return with_shuffled_index(docs).select("doc_id", "idx")

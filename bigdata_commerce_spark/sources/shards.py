@@ -120,3 +120,48 @@ def write_training_shards(
         return num_shards
     finally:
         assigned.unpersist()
+
+
+def with_shuffled_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    index_col: str = "idx",
+    bucket_width: int = 1 << 44,
+) -> DataFrame:
+    """Deterministic global SHUFFLE order: a dense 0-based index over
+    a seeded pseudo-random permutation of the rows — the
+    shuffle-before-sharding step of training-data prep, reproducible
+    across runs/engines (no rand(), no partitioning dependence).
+
+    Order key = the first 15 hex chars of md5(id:salt) as a 60-bit
+    integer (ties broken by id, so the order is total even on hash
+    collisions); the index comes from the same two-level bucketed
+    prefix sum as with_global_index — key-space buckets of
+    ``bucket_width`` give ~2^16 count rows for the driver-sized
+    exclusive running total, and the within-bucket window stays
+    bounded. Changing ``salt`` draws a fresh permutation.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = df.withColumn("__k", key).withColumn(
+        "__bucket", F.expr(f"__k div {bucket_width}")
+    )
+    counts = rows.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.partitionBy().orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy("__k", id_col)
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .withColumn(index_col, F.col("__offset") + F.row_number().over(w_in) - 1)
+        .drop("__bucket", "__n", "__offset", "__k")
+    )

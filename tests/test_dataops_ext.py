@@ -857,3 +857,19 @@ def test_similarity_join_cross_table(spark):
     assert got == want
     assert (1, 10) in got and (2, 12) in got
     assert all(k[0] in {1, 2, 3} and k[1] in {10, 11, 12} for k in got)
+
+
+def test_shuffled_index_is_permutation_and_partition_independent(spark):
+    """The shuffled index is a dense permutation of 0..n-1, stable
+    across partitionings, different from the sorted order, and a new
+    salt draws a different permutation."""
+    from bigdata_commerce_spark.sources.shards import with_shuffled_index
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.idx for r in with_shuffled_index(df).collect()}
+    assert sorted(a.values()) == list(range(300))
+    b = {r.doc_id: r.idx for r in with_shuffled_index(df.repartition(7)).collect()}
+    assert a == b
+    assert [a[i] for i in range(300)] != list(range(300))  # actually shuffled
+    c = {r.doc_id: r.idx for r in with_shuffled_index(df, salt="other").collect()}
+    assert sorted(c.values()) == list(range(300)) and c != a
