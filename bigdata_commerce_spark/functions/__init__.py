@@ -119,3 +119,15 @@ def ratio(numer: Column, denom: Column, scale: int = 2) -> Column:
     """HALF_UP-style rounded ratio (reference ``Utils.formatDouble``,
     ``Utils.scala:156-168``); 0.0 when the denominator is empty."""
     return F.when(denom == 0, F.lit(0.0)).otherwise(F.round(numer / denom, scale))
+
+
+def require_integer_id(df, id_col: str, context: str = "id column") -> None:
+    """Shared precondition for operators whose id encodings assume an
+    integer key (fingerprint stores, side-tagged similarity joins):
+    fail loudly at plan-build time instead of corrupting silently or
+    crashing a later read."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (IntegerType, LongType)):
+        raise ValueError(f"{context} {id_col!r} must be an integer type, got {dt}")

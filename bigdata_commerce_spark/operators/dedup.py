@@ -431,27 +431,37 @@ def similarity_join(
     are also self-deduped the extra pairs are the price of sharing
     one pipeline (and one shuffle set) instead of three.
 
-    Returns (left_id, right_id, jaccard).
+    Returns (left_id, right_id, jaccard). Ids must be NON-NEGATIVE
+    integers (< 2^62): negatives would break the parity-based side
+    detection, so the encoding enforces the contract in-plan
+    (assert_true — a row with a negative id fails the job loudly);
+    2*id past int64 throws under Spark 4's default ANSI overflow
+    checking rather than wrapping.
     """
-    from pyspark.sql.types import IntegerType, LongType
+    from bigdata_commerce_spark.functions import require_integer_id
 
     for side, df in (("left", left), ("right", right)):
-        dt = df.schema[id_col].dataType
-        if not isinstance(dt, (IntegerType, LongType)):
-            raise ValueError(f"{side} {id_col!r} must be an integer type, got {dt}")
-    tagged = left.select(
-        (F.col(id_col).cast("long") * 2).alias(id_col), F.col(text_col)
-    ).unionByName(
-        right.select(
-            (F.col(id_col).cast("long") * 2 + 1).alias(id_col), F.col(text_col)
-        )
-    )
+        require_integer_id(df, id_col, context=f"{side} id column")
+
+    def _tag(df: DataFrame, offset: int) -> DataFrame:
+        i = F.col(id_col).cast("long")
+        # coalesce(assert_true, 0) rides the encoding expression so
+        # column pruning can never drop the guard
+        guard = F.coalesce(F.assert_true(i >= 0).cast("long"), F.lit(0))
+        return df.select((i * 2 + offset + guard).alias(id_col), F.col(text_col))
+
+    tagged = _tag(left, 0).unionByName(_tag(right, 1))
     pairs = jaccard_pairs(tagged, text_col, id_col, n, threshold)
-    cross = pairs.where(F.col("id1") % 2 != F.col("id2") % 2)
-    left_id = F.when(F.col("id1") % 2 == 0, F.col("id1")).otherwise(F.col("id2"))
-    right_id = F.when(F.col("id1") % 2 == 1, F.col("id1")).otherwise(F.col("id2"))
-    return cross.select(
-        (left_id / 2).cast("long").alias("left_id"),
-        ((right_id - 1) / 2).cast("long").alias("right_id"),
-        "jaccard",
+    cross = pairs.where(F.pmod("id1", F.lit(2)) != F.pmod("id2", F.lit(2)))
+    left_tag = F.when(F.pmod("id1", F.lit(2)) == 0, F.col("id1")).otherwise(F.col("id2"))
+    right_tag = F.when(F.pmod("id1", F.lit(2)) == 1, F.col("id1")).otherwise(F.col("id2"))
+    # integer div, not float /: double division loses ulps above 2^53
+    # and would decode large ids to the WRONG document
+    return (
+        cross.select(left_tag.alias("__lt"), right_tag.alias("__rt"), "jaccard")
+        .select(
+            F.expr("__lt div 2").alias("left_id"),
+            F.expr("(__rt - 1) div 2").alias("right_id"),
+            "jaccard",
+        )
     )

@@ -51,13 +51,9 @@ def store_schema(id_col: str = "doc_id") -> str:
 
 
 def _fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    from pyspark.sql.types import IntegerType, LongType
+    from bigdata_commerce_spark.functions import require_integer_id
 
-    dt = df.schema[id_col].dataType
-    if not isinstance(dt, (IntegerType, LongType)):
-        raise ValueError(
-            f"store id column {id_col!r} must be an integer type, got {dt}"
-        )
+    require_integer_id(df, id_col, context="store id column")
     fp = fingerprint(text_col)
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -74,9 +70,9 @@ def init_store(
     ``overwrite=True`` — unconditional overwrite would wipe the
     durable dedup history and re-admit every known duplicate, the
     exact failure the store exists to prevent."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    from bigdata_commerce_spark.sources.hadoopfs import fs_and_path
+
+    fs, hpath, _ = fs_and_path(spark, path)
     if fs.exists(hpath) and not overwrite:
         return
     empty = spark.createDataFrame([], store_schema(id_col))

@@ -120,8 +120,11 @@ def key_skew_report(
             F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
             "total_rows",
             "n_keys",
-            F.round(F.col("max_cnt") * F.col("n_keys") / F.col("total_rows"), 4).alias(
-                "skew_factor"
-            ),
+            # max/(total/keys), all double: the max_cnt * n_keys form
+            # overflows int64 at ~1e10 rows x 1e9 keys — exactly the
+            # scales this diagnostic exists for
+            F.round(
+                F.col("max_cnt") / (F.col("total_rows") / F.col("n_keys")), 4
+            ).alias("skew_factor"),
         )
     )

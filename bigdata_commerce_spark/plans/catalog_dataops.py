@@ -1461,6 +1461,7 @@ def incremental_dedup_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the equivalent one-shot set difference. Twin slot:
     driver catalog is at its 50-entry cap."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -1468,11 +1469,12 @@ def incremental_dedup_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_commerce_spark.operators import incremental_dedup as inc
 
     docs = load_table(spark, "documents", sf_dir)
-    # One deterministic store per sf_dir, REBUILT per call (cheap at
-    # twin scale) — not mkdtemp, which would leak a directory per
-    # invocation across harness runs.
+    # One deterministic store per (sf_dir, process), REBUILT per call
+    # (cheap at twin scale) — not mkdtemp (which would leak a dir per
+    # invocation), and pid-suffixed so two concurrent harness runs
+    # can never rmtree each other's live store mid-job.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = Path(tempfile.gettempdir()) / f"bcs_fpstore_twin_{tag}"
+    root = Path(tempfile.gettempdir()) / f"bcs_fpstore_twin_{tag}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     store = str(root / "store")
     inc.init_store(spark, store)

@@ -561,7 +561,7 @@ def events_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(rnk AS INT) AS rank, user_id, CAST(cnt AS BIGINT) AS cnt,
            ROUND(cnt * 1.0 / total_rows, 6) AS share, total_rows, n_keys,
-           ROUND(max_cnt * n_keys * 1.0 / total_rows, 4) AS skew_factor
+           ROUND(max_cnt / (total_rows * 1.0 / n_keys), 4) AS skew_factor
     FROM (
         SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
         FROM counts

@@ -134,9 +134,11 @@ def with_shuffled_index(
     shuffle-before-sharding step of training-data prep, reproducible
     across runs/engines (no rand(), no partitioning dependence).
 
-    Order key = the first 15 hex chars of md5(id:salt) as a 60-bit
-    integer (ties broken by id, so the order is total even on hash
-    collisions); the index comes from the same two-level bucketed
+    ``id_col`` must be unique (same contract as with_global_index —
+    duplicate ids share both the hash key and the tiebreak, making
+    their relative order partitioning-dependent). Order key = the
+    first 15 hex chars of md5(id:salt) as a 60-bit integer (ties
+    broken by id, so the order is total even on hash collisions); the index comes from the same two-level bucketed
     prefix sum as with_global_index — key-space buckets of
     ``bucket_width`` give ~2^16 count rows for the driver-sized
     exclusive running total, and the within-bucket window stays

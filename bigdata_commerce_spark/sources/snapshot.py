@@ -27,22 +27,19 @@ ledgers (streaming/jdbc_state.py).
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdata_commerce_spark.sources.hadoopfs import fs_and_path
+
 _MANIFEST_PREFIX = "manifest-v"
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
-
-
 def _manifest_versions(spark: SparkSession, table_dir: str) -> list[int]:
-    fs, jvm = _fs(spark, table_dir)
-    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests")
+    fs, _, Path = fs_and_path(spark, table_dir)
+    mdir = Path(f"{table_dir}/_manifests")
     if not fs.exists(mdir):
         return []
     out = []
@@ -54,10 +51,8 @@ def _manifest_versions(spark: SparkSession, table_dir: str) -> list[int]:
 
 
 def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
-    fs, jvm = _fs(spark, table_dir)
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{version}.json"
-    )
+    fs, _, Path = fs_and_path(spark, table_dir)
+    p = Path(f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{version}.json")
     stream = fs.open(p)
     try:
         data = bytes(
@@ -80,8 +75,7 @@ def publish_snapshot(df: DataFrame, table_dir: str) -> int:
     df.write.parquet(f"{table_dir}/{data_dir}")
 
     manifest = {"version": version, "data_dir": data_dir}
-    fs, jvm = _fs(spark, table_dir)
-    Path = jvm.org.apache.hadoop.fs.Path
+    fs, _, Path = fs_and_path(spark, table_dir)
     mdir = Path(f"{table_dir}/_manifests")
     fs.mkdirs(mdir)
     tmp = Path(f"{table_dir}/_manifests/.tmp-{uuid.uuid4().hex}")
@@ -123,12 +117,24 @@ def list_snapshots(spark: SparkSession, table_dir: str) -> list[int]:
     return _manifest_versions(spark, table_dir)
 
 
-def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    min_age_seconds: int = 86400,
+) -> list[str]:
     """Delete data directories not referenced by the ``keep_last``
-    newest manifests — both expired versions and orphans from crashed
-    publishes — and drop the expired manifests. Returns the deleted
-    directory names. Readers of retained versions are unaffected
-    (their files are untouched)."""
+    newest manifests — expired versions, orphans from crashed
+    publishes, and stale ``.tmp-`` manifest files — and drop the
+    expired manifests. Returns the deleted directory names. Readers
+    of retained versions are unaffected (their files are untouched).
+
+    ``min_age_seconds`` is the safety window (Delta/Iceberg's vacuum
+    retention): an unreferenced directory younger than it is left
+    alone, because a publish writes its data BEFORE its manifest — a
+    vacuum racing that window would delete a commit in flight and the
+    writer would then publish a manifest over missing files. Only
+    drop it to 0 when no publish can be running."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _manifest_versions(spark, table_dir)
@@ -136,16 +142,22 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
     live_dirs = {
         _read_manifest(spark, table_dir, v)["data_dir"] for v in keep
     }
-    fs, jvm = _fs(spark, table_dir)
-    Path = jvm.org.apache.hadoop.fs.Path
+    fs, _, Path = fs_and_path(spark, table_dir)
+    cutoff_ms = (time.time() - min_age_seconds) * 1000
     deleted: list[str] = []
     for st in fs.listStatus(Path(table_dir)):
         name = st.getPath().getName()
         if name == "_manifests" or not st.isDirectory():
             continue
-        if name not in live_dirs:
+        if name not in live_dirs and st.getModificationTime() <= cutoff_ms:
             fs.delete(st.getPath(), True)
             deleted.append(name)
+    mdir = Path(f"{table_dir}/_manifests")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith(".tmp-") and st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), False)
     for v in versions:
         if v not in keep:
             fs.delete(

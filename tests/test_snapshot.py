@@ -42,7 +42,7 @@ def test_crashed_publish_is_invisible(spark, tmp_path):
     _df(spark, "orphan").write.parquet(f"{t}/v99-deadbeef")
     assert snap.list_snapshots(spark, t) == [1]
     assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"a"}
-    deleted = snap.vacuum(spark, t, keep_last=1)
+    deleted = snap.vacuum(spark, t, keep_last=1, min_age_seconds=0)
     assert "v99-deadbeef" in deleted
     assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"a"}
 
@@ -51,7 +51,7 @@ def test_vacuum_retention(spark, tmp_path):
     t = str(tmp_path / "tbl")
     for tag in ("a", "b", "c"):
         snap.publish_snapshot(_df(spark, tag), t)
-    deleted = snap.vacuum(spark, t, keep_last=2)
+    deleted = snap.vacuum(spark, t, keep_last=2, min_age_seconds=0)
     assert len(deleted) == 1 and deleted[0].startswith("v1-")
     assert snap.list_snapshots(spark, t) == [2, 3]
     with pytest.raises(FileNotFoundError):
@@ -59,6 +59,17 @@ def test_vacuum_retention(spark, tmp_path):
     assert {r.tag for r in snap.read_snapshot(spark, t, version=2).collect()} == {"b"}
     with pytest.raises(ValueError):
         snap.vacuum(spark, t, keep_last=0)
+
+
+def test_vacuum_grace_period_protects_inflight_publish(spark, tmp_path):
+    """A fresh unreferenced data dir (a publish that has not committed
+    its manifest YET) survives a default-window vacuum — only the
+    explicit min_age_seconds=0 maintenance mode reclaims it."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, "a"), t)
+    _df(spark, "inflight").write.parquet(f"{t}/v2-inflight0")
+    assert snap.vacuum(spark, t, keep_last=1) == []  # default 24h window
+    assert snap.vacuum(spark, t, keep_last=1, min_age_seconds=0) == ["v2-inflight0"]
 
 
 def test_read_empty_table_raises(spark, tmp_path):
