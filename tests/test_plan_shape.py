@@ -96,3 +96,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1500]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (on in the session factory) splits a
+    pathologically hot join key into multiple tasks at runtime —
+    the executed plan marks the sort-merge join skew=true. Thresholds
+    are lowered to make the local toy skew qualify; at production
+    sizes the defaults (256MB/5x median) fire on real skew. This plus
+    operators/salted.py (aggregation-side) and key_skew_report (the
+    diagnostic) is the engine's complete skew story."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, 200_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(0, 2_000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("p2")
+    )
+    left = hot.unionByName(
+        spark.range(0, 2_000).select((F.col("id") % 50).alias("k"), F.col("id").alias("payload"))
+    )
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        # materialize the BARE join: a groupBy on the join key above
+        # it would require the join's output partitioning, and AQE
+        # refuses to split skewed partitions it must preserve — the
+        # skew fix applies to joins feeding partition-agnostic
+        # consumers (writes, maps, differently-keyed stages)
+        j = left.join(cold, "k")
+        j.foreach(lambda r: None)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
+    assert "coalesced and skewed" in plan
