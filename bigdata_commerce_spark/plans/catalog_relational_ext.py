@@ -652,3 +652,34 @@ def user_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_gaps_locf(
         ev, bucket_seconds=86400, key_col="user_id", ts_col="ts", value_col="value"
     )
+
+
+@twin_query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(GROUPING(event_type) AS TINYINT) AS g_type,
+           CAST(GROUPING(CAST(ts AS DATE)) AS TINYINT) AS g_date
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind the rollup /
+    cube twins (lineitem_rollup/lineitem_cube): per-type totals,
+    per-day totals and the grand total in ONE aggregate pass
+    (Catalyst expands the sets map-side; one shuffle), with
+    GROUPING() flags disambiguating real NULLs from subtotal rows.
+    SQL surface on the Spark side too — the temp-view path the
+    reference used for its area pipeline. Twin slot: driver catalog
+    is at its 50-entry cap."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events_gs")
+    return spark.sql("""
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS n_events,
+               CAST(grouping(event_type) AS TINYINT) AS g_type,
+               CAST(grouping(CAST(ts AS DATE)) AS TINYINT) AS g_date
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """)
