@@ -40,6 +40,18 @@ class RowCheck:
 
 
 @dataclass(frozen=True)
+class AggCheck:
+    """A constraint over an AGGREGATE of the table (mean/min/max/count
+    within bounds) — rides the same single aggregate pass as the row
+    checks; violations are 0 or 1 (the constraint holds or it
+    doesn't). Vacuously true on an empty table."""
+
+    name: str
+    kind: str
+    condition: Column
+
+
+@dataclass(frozen=True)
 class UniqueCheck:
     """Key columns that must identify rows uniquely."""
 
@@ -49,7 +61,7 @@ class UniqueCheck:
     kind: str = "unique"
 
 
-Check = RowCheck | UniqueCheck
+Check = RowCheck | AggCheck | UniqueCheck
 
 
 def not_null(col: str, name: str | None = None) -> RowCheck:
@@ -82,6 +94,20 @@ def unique(*cols: str, name: str | None = None) -> UniqueCheck:
     return UniqueCheck(name or f"unique({','.join(cols)})", tuple(cols))
 
 
+def mean_in_range(col: str, lo, hi, name: str | None = None) -> AggCheck:
+    return AggCheck(
+        name or f"mean_in_range({col})",
+        "mean_in_range",
+        F.avg(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def agg_satisfies(name: str, condition: Column) -> AggCheck:
+    """Arbitrary boolean over aggregate expressions (e.g.
+    ``F.max('ts') - F.min('ts') < lit(...)``)."""
+    return AggCheck(name, "agg_satisfies", condition)
+
+
 def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run every check, returning one report row per check:
     (check_name, kind, n_rows, n_violations, passed).
@@ -94,6 +120,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     if not checks:
         raise ValueError("validate() needs at least one check")
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
+    agg_checks = [c for c in checks if isinstance(c, AggCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniqueCheck)]
     seen: set[str] = set()
     for c in checks:
@@ -102,7 +129,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
         seen.add(c.name)
 
     reports: list[DataFrame] = []
-    if row_checks:
+    if row_checks or agg_checks:
         # NULL condition -> otherwise(1): evaluates-to-NULL is a violation.
         # coalesce: sum over an EMPTY input is NULL, and an empty
         # partition must report 0 violations / passed=True (vacuous
@@ -113,19 +140,39 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
             )
             for i, c in enumerate(row_checks)
         ]
+        # agg checks share the SAME pass: violated -> 1; empty table
+        # (count == 0) -> vacuously 0, matching the row-check contract
+        aggs += [
+            F.when(F.count(F.lit(1)) == 0, 0)
+            .when(c.condition, 0)
+            .otherwise(1)
+            .alias(f"a{i}")
+            for i, c in enumerate(agg_checks)
+        ]
         wide = df.agg(*aggs)
         melted = wide.select(
             F.explode(
                 F.array(
-                    *[
-                        F.struct(
-                            F.lit(c.name).alias("check_name"),
-                            F.lit(c.kind).alias("kind"),
-                            F.col("n_rows").alias("n_rows"),
-                            F.col(f"v{i}").cast("bigint").alias("n_violations"),
-                        )
-                        for i, c in enumerate(row_checks)
-                    ]
+                    *(
+                        [
+                            F.struct(
+                                F.lit(c.name).alias("check_name"),
+                                F.lit(c.kind).alias("kind"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"v{i}").cast("bigint").alias("n_violations"),
+                            )
+                            for i, c in enumerate(row_checks)
+                        ]
+                        + [
+                            F.struct(
+                                F.lit(c.name).alias("check_name"),
+                                F.lit(c.kind).alias("kind"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"a{i}").cast("bigint").alias("n_violations"),
+                            )
+                            for i, c in enumerate(agg_checks)
+                        ]
+                    )
                 )
             ).alias("r")
         ).select("r.*")

@@ -454,7 +454,8 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
                CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
                CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-               CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4
+               CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+               CAST(CASE WHEN AVG(l_quantity) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS v5
         FROM lineitem
     ), uniq AS (
         SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
@@ -468,6 +469,7 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'in_range(l_discount)', 'in_range', n_rows, v2, v2 = 0 FROM base
     UNION ALL SELECT 'in_set(l_returnflag)', 'in_set', n_rows, v3, v3 = 0 FROM base
     UNION ALL SELECT 'net_price_nonnegative', 'satisfies', n_rows, v4, v4 = 0 FROM base
+    UNION ALL SELECT 'mean_in_range(l_quantity)', 'mean_in_range', n_rows, v5, v5 = 0 FROM base
     UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', 'unique', n_rows, v, v = 0 FROM uniq
     """,
 )
@@ -495,6 +497,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "net_price_nonnegative",
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))) >= 0,
             ),
+            V.mean_in_range("l_quantity", 20, 30),
             V.unique("l_orderkey", "l_linenumber"),
         ],
     )

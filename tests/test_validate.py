@@ -90,3 +90,26 @@ def test_empty_input_reports_zero_violations(spark):
     ).collect()}
     for r in got.values():
         assert r.n_rows == 0 and r.n_violations == 0 and r.passed is True
+
+
+def test_agg_checks_share_the_pass(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 9.0)], "id long, x double")
+    got = _report(
+        df,
+        [
+            V.not_null("id"),
+            V.mean_in_range("x", 6, 8),
+            V.mean_in_range("x", 0, 1, name="too_low"),
+            V.agg_satisfies("spread_ok", (F.max("x") - F.min("x")) < 10),
+        ],
+    )
+    assert got["mean_in_range(x)"].n_violations == 0 and got["mean_in_range(x)"].passed
+    assert got["too_low"].n_violations == 1 and not got["too_low"].passed
+    assert got["spread_ok"].passed
+    # still one aggregate for everything
+    rep = V.validate(df, [V.not_null("id"), V.mean_in_range("x", 0, 10)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2
+    # vacuous truth on empty input
+    empty = _report(df.limit(0), [V.mean_in_range("x", 6, 8)])
+    assert empty["mean_in_range(x)"].n_violations == 0
