@@ -179,3 +179,41 @@ def fill_gaps_locf(
             F.col("value").isNotNull().alias("is_observed"),
         )
     )
+
+
+def flag_anomalies(
+    df: DataFrame,
+    key_col: str = "series_id",
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score anomaly flags over a (key, bucket, value)
+    series — the monitoring pass a rollup ladder feeds (volume spikes
+    per user/region/ad, quality-metric drift per source).
+
+    Two-aggregate shape, no self-join and no second scan of the base
+    table: per-key mean/stddev in one hash aggregate (the small
+    frame), broadcast back onto the series rows. A key with fewer
+    than 2 points (or zero variance) has no defined z-score — those
+    rows return z NULL, is_anomaly false, rather than dividing by
+    zero. Rounding (4 dp) pins the float to an engine-portable value.
+
+    Returns the input columns plus (z, is_anomaly).
+    """
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0,
+        F.round((F.col(value_col) - F.col("__mean")) / F.col("__sd"), 4),
+    )
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
+        )
+        .drop("__mean", "__sd")
+    )

@@ -686,3 +686,40 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_gs
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
     """)
+
+
+@twin_query(
+    "user_value_anomalies",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value
+        FROM events WHERE user_id < 300 GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, AVG(value) AS m, stddev_samp(value) AS sd
+        FROM series GROUP BY 1
+    )
+    SELECT s.user_id, s.bucket, s.value,
+           CASE WHEN sd > 0 THEN ROUND((s.value - m) / sd, 4) END AS z,
+           COALESCE(CASE WHEN sd > 0 THEN abs(ROUND((s.value - m) / sd, 4)) > 2.5 END,
+                    FALSE) AS is_anomaly
+    FROM series s JOIN stats USING (user_id)
+    """,
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly detection
+    (operators/timeseries.flag_anomalies) over each user's daily value
+    totals: two hash aggregates, stats broadcast back, no self-scan.
+    Daily totals use the decimal-exact money_sum discipline so the
+    z-score inputs are bit-identical across engines. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.functions import money_sum
+    from bigdata_commerce_spark.operators.timeseries import flag_anomalies
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 300)
+    series = (
+        ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(money_sum(F.col("value")).alias("value"))
+    )
+    return flag_anomalies(series, key_col="user_id", z_threshold=2.5)

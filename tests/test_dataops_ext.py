@@ -873,3 +873,24 @@ def test_shuffled_index_is_permutation_and_partition_independent(spark):
     assert [a[i] for i in range(300)] != list(range(300))  # actually shuffled
     c = {r.doc_id: r.idx for r in with_shuffled_index(df, salt="other").collect()}
     assert sorted(c.values()) == list(range(300)) and c != a
+
+
+def test_flag_anomalies_crafted(spark):
+    """Known z-scores: a 10-sigma-ish spike flags, normal points do
+    not, and degenerate keys (single point, zero variance) return
+    NULL z / false rather than dividing by zero."""
+    from bigdata_commerce_spark.operators.timeseries import flag_anomalies
+
+    rows = (
+        [(1, b, 10.0) for b in range(9)] + [(1, 9, 100.0)]  # spike
+        + [(2, 0, 5.0)]                                       # single point
+        + [(3, b, 7.0) for b in range(4)]                     # zero variance
+    )
+    df = spark.createDataFrame(rows, "series_id long, bucket long, value double")
+    # the spike's z is (100-19)/sd_samp = 2.846 — use a 2.5 threshold
+    got = {(r.series_id, r.bucket): r for r in flag_anomalies(df, z_threshold=2.5).collect()}
+    assert got[(1, 9)].is_anomaly and got[(1, 9)].z > 2.5
+    assert not got[(1, 0)].is_anomaly
+    assert got[(2, 0)].z is None and not got[(2, 0)].is_anomaly
+    assert got[(3, 2)].z is None and not got[(3, 2)].is_anomaly
+    assert len(got) == len(rows)
