@@ -1,0 +1,111 @@
+"""Distribution drift detection: equi-depth binning + population
+stability index (PSI).
+
+The monitoring counterpart of the validation suite: validate.py
+checks CONTRACTS (bounds, nulls, uniqueness), this module checks
+SHAPE — has the distribution of a column moved between a reference
+corpus (last week's snapshot, the training distribution) and the
+current one? The standard industrial metric is PSI over equi-depth
+bins of the REFERENCE distribution: PSI < 0.1 stable, 0.1-0.25
+moderate shift, > 0.25 investigate.
+
+Scale shape: bin boundaries are exact interpolated percentiles of
+the reference (one aggregate — the same `percentile` machinery the
+catalog's exact_price_percentiles uses, so the DuckDB oracle
+reproduces them bit for bit); bin assignment is a broadcast of the
+n-1 boundary values folded with a filter-count (no join explosion,
+no per-row UDF); each side's bin shares are one small hash
+aggregate. Nothing scales with more than the two scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Laplace-style smoothing for empty bins: PSI's log blows up on a
+# zero share; the conventional fix is flooring shares at a small
+# epsilon. Module constant so the oracle generates from the same
+# value.
+PSI_EPS = 1e-6
+
+
+def equi_depth_boundaries(df: DataFrame, col: str, n_bins: int) -> list[float]:
+    """The n_bins-1 interior boundaries of an equi-depth binning of
+    ``col`` (exact interpolated percentiles). Driver-side list — it
+    IS the model artifact a drift monitor persists alongside the
+    reference snapshot."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    row = df.agg(
+        F.expr(f"percentile(`{col}`, array({fracs}))").alias("b")
+    ).collect()[0]
+    if row.b is None:
+        raise ValueError(f"cannot bin an empty/all-NULL column {col!r}")
+    return [float(x) for x in row.b]
+
+
+def assign_bins(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
+    """Add ``bin`` = number of boundaries strictly below the value
+    (0..len(boundaries)); NULL values get NULL bins. Pure projection:
+    the boundary array is a literal folded with filter+size — no
+    join, no UDF, codegen end to end."""
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    bin_expr = F.when(
+        F.col(col).isNotNull(),
+        F.size(F.filter(arr, lambda b: F.col(col) > b)),
+    )
+    return df.withColumn("bin", bin_expr)
+
+
+def _bin_shares(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
+    n_bins = len(boundaries) + 1
+    counts = (
+        assign_bins(df, col, boundaries)
+        .where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    # left-join a literal 0..n_bins-1 frame so EMPTY bins appear with
+    # share 0 (smoothed later) instead of silently vanishing
+    spark = df.sparkSession
+    all_bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        all_bins.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.coalesce(F.col("n"), F.lit(0)) / F.col("t")).alias("share"),
+        )
+    )
+
+
+def psi_report(
+    reference: DataFrame, current: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Per-bin PSI contributions between the reference and current
+    distributions of ``col`` (bins = equi-depth on the REFERENCE), and
+    the total in every row for a single-read verdict.
+
+    Returns (bin, ref_share, cur_share, psi_term, psi_total), shares
+    and terms rounded to 6 dp for engine-portable comparison."""
+    bounds = equi_depth_boundaries(reference, col, n_bins)
+    ref = _bin_shares(reference, col, bounds).withColumnRenamed("share", "ref_share")
+    cur = _bin_shares(current, col, bounds).withColumnRenamed("share", "cur_share")
+    joined = ref.join(cur, "bin")
+    r = F.greatest(F.col("ref_share"), F.lit(PSI_EPS))
+    c = F.greatest(F.col("cur_share"), F.lit(PSI_EPS))
+    terms = joined.select(
+        "bin",
+        F.round("ref_share", 6).alias("ref_share"),
+        F.round("cur_share", 6).alias("cur_share"),
+        F.round((c - r) * F.log(c / r), 6).alias("psi_term"),
+    )
+    from pyspark.sql import Window
+
+    total = F.round(
+        F.sum("psi_term").over(Window.partitionBy()), 6
+    )
+    return terms.withColumn("psi_total", total)

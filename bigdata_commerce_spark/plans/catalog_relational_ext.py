@@ -723,3 +723,68 @@ def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money_sum(F.col("value")).alias("value"))
     )
     return flag_anomalies(series, key_col="user_id", z_threshold=2.5)
+
+
+# Drift twin config: bins + the fraction list and epsilon are generated
+# from the operator module's own constants so oracle and engine cannot
+# drift (the point of the module, after all).
+_PSI_BINS = 8
+
+
+def _psi_oracle() -> str:
+    from bigdata_commerce_spark.operators.drift import PSI_EPS
+
+    fracs = ", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))
+    return f"""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+    b AS (SELECT quantile_cont(v, [{fracs}]) AS bounds FROM ref),
+    ref_bins AS (
+        SELECT len(list_filter(b.bounds, x -> ref.v > x)) AS bin FROM ref, b
+    ),
+    cur_bins AS (
+        SELECT len(list_filter(b.bounds, x -> cur.v > x)) AS bin FROM cur, b
+    ),
+    bins AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+    ref_sh AS (
+        SELECT bins.bin,
+               COALESCE(cnt, 0) * 1.0 / (SELECT COUNT(*) FROM ref) AS ref_share
+        FROM bins LEFT JOIN (SELECT bin, COUNT(*) AS cnt FROM ref_bins GROUP BY 1)
+             USING (bin)
+    ),
+    cur_sh AS (
+        SELECT bins.bin,
+               COALESCE(cnt, 0) * 1.0 / (SELECT COUNT(*) FROM cur) AS cur_share
+        FROM bins LEFT JOIN (SELECT bin, COUNT(*) AS cnt FROM cur_bins GROUP BY 1)
+             USING (bin)
+    ),
+    terms AS (
+        SELECT CAST(bin AS INT) AS bin,
+               ROUND(ref_share, 6) AS ref_share,
+               ROUND(cur_share, 6) AS cur_share,
+               ROUND((greatest(cur_share, {PSI_EPS}) - greatest(ref_share, {PSI_EPS}))
+                     * ln(greatest(cur_share, {PSI_EPS}) / greatest(ref_share, {PSI_EPS})),
+                     6) AS psi_term
+        FROM ref_sh JOIN cur_sh USING (bin)
+    )
+    SELECT *, ROUND(SUM(psi_term) OVER (), 6) AS psi_total FROM terms
+    """
+
+
+@twin_query("price_distribution_psi", oracle=_psi_oracle())
+def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift report (operators/drift.py): PSI of
+    o_totalprice between the even-orderkey half (reference) and the
+    odd half (current), over equi-depth bins of the reference — the
+    standard ML-ops shape-shift metric next to validate.py's contract
+    checks. Exact-percentile boundaries (engine-portable), broadcast
+    literal fold for assignment, two tiny share aggregates. The two
+    halves are drawn from one distribution, so the PSI also
+    demonstrates the stable (< 0.1) verdict. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.drift import psi_report
+
+    orders = load_table(spark, "orders", sf_dir)
+    ref = orders.where(F.col("o_orderkey") % 2 == 0)
+    cur = orders.where(F.col("o_orderkey") % 2 == 1)
+    return psi_report(ref, cur, "o_totalprice", n_bins=_PSI_BINS)

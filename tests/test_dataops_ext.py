@@ -894,3 +894,32 @@ def test_flag_anomalies_crafted(spark):
     assert got[(2, 0)].z is None and not got[(2, 0)].is_anomaly
     assert got[(3, 2)].z is None and not got[(3, 2)].is_anomaly
     assert len(got) == len(rows)
+
+
+def test_psi_detects_planted_shift(spark):
+    """PSI verdicts behave: identical distributions ~0, a hard shift
+    large; bins are equi-depth on the reference; empty bins survive
+    via the epsilon floor instead of NaN/inf."""
+    from bigdata_commerce_spark.operators import drift
+
+    ref = spark.range(0, 4000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = drift.psi_report(ref, ref, "v", n_bins=10)
+    rows = same.collect()
+    assert rows[0].psi_total == 0.0
+    assert len(rows) == 10
+    # shifted: all current mass in the top decile
+    cur = spark.range(0, 1000).select((F.lit(99.0)).alias("v"))
+    shifted = drift.psi_report(ref, cur, "v", n_bins=10).collect()
+    assert shifted[0].psi_total > 1.0
+    terms = {r.bin: r for r in shifted}
+    assert all(t.psi_term is not None for t in terms.values())  # eps floor worked
+    assert terms[9].cur_share == 1.0
+
+    bounds = drift.equi_depth_boundaries(ref, "v", 4)
+    assert len(bounds) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        drift.equi_depth_boundaries(ref, "v", 1)
+    with _pytest.raises(ValueError, match="empty"):
+        drift.equi_depth_boundaries(ref.limit(0), "v", 4)
