@@ -143,3 +143,32 @@ def cap_per_source(
         quota,
         rank_col="source_rank",
     )
+
+
+def rate_cap_per_key_bucket(
+    df: DataFrame,
+    max_rows: int,
+    bucket_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per (key, time bucket), earliest
+    first — burst limiting at ingest (bot storms, duplicate event
+    floods, scraper loops) before the expensive operators run.
+
+    One shuffle on (key, bucket) + a ranking window; order is
+    (ts, then every remaining column via a deterministic struct) so
+    ties cannot make reruns disagree. Fully incremental: a new time
+    bucket never touches old ones, so it composes with the
+    partition-append ingest layout.
+    """
+    from bigdata_commerce_spark.operators.topk import top_k_per_group
+
+    b = F.lit(bucket_seconds)
+    bucketed = df.withColumn(
+        "__tb", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint")
+    )
+    order = [F.col(ts_col).asc(), F.struct(*[F.col(c) for c in df.columns]).asc()]
+    return top_k_per_group(
+        bucketed, [key_col, "__tb"], order, max_rows, rank_col="__r", keep_rank=False
+    ).drop("__tb")

@@ -217,3 +217,37 @@ def flag_anomalies(
         )
         .drop("__mean", "__sd")
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    bucket_seconds: int,
+    key_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Downsample a value series to per-bucket OHLC bars
+    (open/high/low/close + count) — the lossy inverse of
+    fill_gaps_locf, and the standard reduction before charting or
+    long-horizon features. ONE hash aggregate: open/close are
+    min_by/max_by on a (ts, value) total order (deterministic under
+    equal timestamps), high/low plain min/max — no window, no sort.
+    """
+    b = F.lit(bucket_seconds)
+    key = F.struct(F.col(ts_col), F.col(value_col))
+    return (
+        df.select(
+            F.col(key_col),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint").alias("bucket"),
+            F.col(ts_col),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min_by(value_col, key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, key).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

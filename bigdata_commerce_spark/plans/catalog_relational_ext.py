@@ -788,3 +788,66 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.where(F.col("o_orderkey") % 2 == 0)
     cur = orders.where(F.col("o_orderkey") % 2 == 1)
     return psi_report(ref, cur, "o_totalprice", n_bins=_PSI_BINS)
+
+
+@twin_query(
+    "user_hourly_ohlc",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, ts, value
+        FROM events WHERE user_id < 100
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts ASC, value ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, value DESC) AS rl
+        FROM obs
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def user_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (operators/timeseries.ohlc_resample): each
+    user's hourly open/high/low/close value bars in ONE hash
+    aggregate — min_by/max_by on the (ts, value) total order replaces
+    the two ranking windows the naive form needs (the oracle spells
+    out that naive form). Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.timeseries import ohlc_resample
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 100)
+    return ohlc_resample(ev, 3600, key_col="user_id")
+
+
+@twin_query(
+    "rate_capped_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT e.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                   ORDER BY ts ASC, (event_id, ts, user_id, event_type, value, props) ASC
+               ) AS rn
+        FROM events e
+    ) WHERE rn <= 3
+    """,
+)
+def rate_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest burst limiting (operators/mixing.rate_cap_per_key_bucket):
+    at most 3 events per user per hour, earliest kept — one shuffle on
+    (user, hour) + a ranking window with a total tie order, so reruns
+    and engines agree exactly. Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import rate_cap_per_key_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    return rate_cap_per_key_bucket(ev, max_rows=3, bucket_seconds=3600).select(
+        "event_id", "user_id", "event_type"
+    )

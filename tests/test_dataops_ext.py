@@ -923,3 +923,16 @@ def test_psi_detects_planted_shift(spark):
         drift.equi_depth_boundaries(ref, "v", 1)
     with _pytest.raises(ValueError, match="empty"):
         drift.equi_depth_boundaries(ref.limit(0), "v", 4)
+
+
+def test_rate_cap_keeps_earliest_per_bucket(spark):
+    from bigdata_commerce_spark.operators.mixing import rate_cap_per_key_bucket
+
+    rows = [(i, 1, float(3600 * (i // 5) + i)) for i in range(10)]  # 2 hours x 5
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec double").select(
+        "event_id", "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        r.event_id for r in rate_cap_per_key_bucket(df, 2, 3600).collect()
+    )
+    assert got == [0, 1, 5, 6]  # earliest 2 of each hour bucket
