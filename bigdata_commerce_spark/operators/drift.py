@@ -46,17 +46,22 @@ def equi_depth_boundaries(df: DataFrame, col: str, n_bins: int) -> list[float]:
     return [float(x) for x in row.b]
 
 
-def assign_bins(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
-    """Add ``bin`` = number of boundaries strictly below the value
+def assign_bins(
+    df: DataFrame, col: str, boundaries: list[float], bin_col: str = "bin"
+) -> DataFrame:
+    """Add ``bin_col`` = number of boundaries strictly below the value
     (0..len(boundaries)); NULL values get NULL bins. Pure projection:
     the boundary array is a literal folded with filter+size — no
-    join, no UDF, codegen end to end."""
+    join, no UDF, codegen end to end. Refuses to overwrite an
+    existing column rather than silently clobbering it."""
+    if bin_col in df.columns:
+        raise ValueError(f"column {bin_col!r} already exists; pass bin_col=...")
     arr = F.array(*[F.lit(b) for b in boundaries])
     bin_expr = F.when(
         F.col(col).isNotNull(),
         F.size(F.filter(arr, lambda b: F.col(col) > b)),
     )
-    return df.withColumn("bin", bin_expr)
+    return df.withColumn(bin_col, bin_expr)
 
 
 def _bin_shares(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
@@ -67,7 +72,10 @@ def _bin_shares(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = counts.agg(F.sum("n").alias("t"))
+    # coalesce: a completely EMPTY side (broken upstream) must yield
+    # share 0 in every bin — the epsilon floor then drives PSI loud —
+    # not NULL shares that contradict the psi_term next to them
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
     # left-join a literal 0..n_bins-1 frame so EMPTY bins appear with
     # share 0 (smoothed later) instead of silently vanishing
     spark = df.sparkSession
@@ -77,7 +85,9 @@ def _bin_shares(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "bin",
-            (F.coalesce(F.col("n"), F.lit(0)) / F.col("t")).alias("share"),
+            F.when(F.col("t") > 0, F.coalesce(F.col("n"), F.lit(0)) / F.col("t"))
+            .otherwise(0.0)
+            .alias("share"),
         )
     )
 

@@ -157,18 +157,31 @@ def rate_cap_per_key_bucket(
     floods, scraper loops) before the expensive operators run.
 
     One shuffle on (key, bucket) + a ranking window; order is
-    (ts, then every remaining column via a deterministic struct) so
-    ties cannot make reruns disagree. Fully incremental: a new time
-    bucket never touches old ones, so it composes with the
+    (ts, then every ORDERABLE remaining column via a deterministic
+    struct — map-typed columns can't sort and are excluded from the
+    tiebreak) so ties cannot make reruns disagree. Fully incremental:
+    a new time bucket never touches old ones, so it composes with the
     partition-append ingest layout.
     """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     from bigdata_commerce_spark.operators.topk import top_k_per_group
 
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tie_cols = [f.name for f in df.schema.fields if _orderable(f.dataType)]
     b = F.lit(bucket_seconds)
     bucketed = df.withColumn(
         "__tb", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint")
     )
-    order = [F.col(ts_col).asc(), F.struct(*[F.col(c) for c in df.columns]).asc()]
+    order = [F.col(ts_col).asc(), F.struct(*[F.col(c) for c in tie_cols]).asc()]
     return top_k_per_group(
         bucketed, [key_col, "__tb"], order, max_rows, rank_col="__r", keep_rank=False
     ).drop("__tb")

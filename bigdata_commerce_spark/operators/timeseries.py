@@ -184,38 +184,59 @@ def fill_gaps_locf(
 def flag_anomalies(
     df: DataFrame,
     key_col: str = "series_id",
-    bucket_col: str = "bucket",
     value_col: str = "value",
     z_threshold: float = 3.0,
 ) -> DataFrame:
-    """Per-key z-score anomaly flags over a (key, bucket, value)
-    series — the monitoring pass a rollup ladder feeds (volume spikes
-    per user/region/ad, quality-metric drift per source).
+    """Per-key z-score anomaly flags over a (key, ..., value) series —
+    the monitoring pass a rollup ladder feeds (volume spikes per
+    user/region/ad, quality-metric drift per source).
 
     Two-aggregate shape, no self-join and no second scan of the base
-    table: per-key mean/stddev in one hash aggregate (the small
-    frame), broadcast back onto the series rows. A key with fewer
-    than 2 points (or zero variance) has no defined z-score — those
-    rows return z NULL, is_anomaly false, rather than dividing by
-    zero. Rounding (4 dp) pins the float to an engine-portable value.
+    table: per-key sum / sum-of-squares in one hash aggregate (exact
+    DECIMAL(18,6) arithmetic — mean and stddev are then derived in
+    double from EXACT sums, so results are bit-stable across
+    partitionings and engines; inputs are assumed to carry <= 6
+    decimal places and |value| < 1e12, the money_sum discipline),
+    broadcast back onto the series rows with a LEFT join so NULL-key
+    rows keep their output row (z NULL) instead of silently
+    vanishing. A key with fewer than 2 points or zero variance has no
+    defined z-score — z NULL, is_anomaly false, never a divide by
+    zero. The textbook sum-of-squares form trades a little precision
+    on near-constant series for the single-pass exactness; those
+    series flag nothing either way.
 
     Returns the input columns plus (z, is_anomaly).
     """
+    v = F.col(value_col).cast("decimal(18,6)")
     stats = df.groupBy(key_col).agg(
-        F.avg(value_col).alias("__mean"),
-        F.stddev_samp(value_col).alias("__sd"),
+        F.count(value_col).alias("__n"),
+        F.sum(v).cast("double").alias("__s"),
+        F.sum(v * v).cast("double").alias("__s2"),
     )
+    n = F.col("__n")
+    mean = F.col("__s") / n
+    # greatest(...,0): catastrophic cancellation on a near-constant
+    # series can drive the exact-sums variance a hair negative; clamp
+    # deterministically (both engines) instead of sqrt(NaN)
+    var = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("__s2") - F.col("__s") * F.col("__s") / n) / (n - 1), F.lit(0.0)
+        ),
+    )
+    sd = F.sqrt(var)
+    stats = stats.withColumn("__mean", mean).withColumn("__sd", sd)
     z = F.when(
         F.col("__sd") > 0,
         F.round((F.col(value_col) - F.col("__mean")) / F.col("__sd"), 4),
     )
     return (
-        df.join(F.broadcast(stats), key_col)
+        df.join(F.broadcast(stats), key_col, "left")
         .withColumn("z", z)
         .withColumn(
             "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
         )
-        .drop("__mean", "__sd")
+        .drop("__n", "__s", "__s2", "__mean", "__sd")
     )
 
 
@@ -235,8 +256,11 @@ def ohlc_resample(
     """
     b = F.lit(bucket_seconds)
     key = F.struct(F.col(ts_col), F.col(value_col))
+    # NULL values are NOT observations: without the filter min_by's
+    # struct key still admits them (structs with NULL fields sort
+    # first) and a bar could carry open=NULL next to a real high/low
     return (
-        df.select(
+        df.where(F.col(value_col).isNotNull()).select(
             F.col(key_col),
             F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint").alias("bucket"),
             F.col(ts_col),

@@ -130,49 +130,35 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     reports: list[DataFrame] = []
     if row_checks or agg_checks:
-        # NULL condition -> otherwise(1): evaluates-to-NULL is a violation.
-        # coalesce: sum over an EMPTY input is NULL, and an empty
-        # partition must report 0 violations / passed=True (vacuous
-        # truth), not a NULL that poisons `if not row.passed` gates.
-        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-            F.coalesce(F.sum(F.when(c.condition, 0).otherwise(1)), F.lit(0)).alias(
-                f"v{i}"
+        def _violations(c: RowCheck | AggCheck) -> Column:
+            if isinstance(c, RowCheck):
+                # NULL condition -> otherwise(1): evaluates-to-NULL is
+                # a violation; coalesce handles the empty-input sum
+                return F.coalesce(
+                    F.sum(F.when(c.condition, 0).otherwise(1)), F.lit(0)
+                )
+            # agg check: violated -> 1; empty table -> vacuously 0
+            return (
+                F.when(F.count(F.lit(1)) == 0, 0).when(c.condition, 0).otherwise(1)
             )
-            for i, c in enumerate(row_checks)
-        ]
-        # agg checks share the SAME pass: violated -> 1; empty table
-        # (count == 0) -> vacuously 0, matching the row-check contract
-        aggs += [
-            F.when(F.count(F.lit(1)) == 0, 0)
-            .when(c.condition, 0)
-            .otherwise(1)
-            .alias(f"a{i}")
-            for i, c in enumerate(agg_checks)
-        ]
-        wide = df.agg(*aggs)
+
+        linear = row_checks + agg_checks
+        wide = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[_violations(c).alias(f"v{i}") for i, c in enumerate(linear)],
+        )
         melted = wide.select(
             F.explode(
                 F.array(
-                    *(
-                        [
-                            F.struct(
-                                F.lit(c.name).alias("check_name"),
-                                F.lit(c.kind).alias("kind"),
-                                F.col("n_rows").alias("n_rows"),
-                                F.col(f"v{i}").cast("bigint").alias("n_violations"),
-                            )
-                            for i, c in enumerate(row_checks)
-                        ]
-                        + [
-                            F.struct(
-                                F.lit(c.name).alias("check_name"),
-                                F.lit(c.kind).alias("kind"),
-                                F.col("n_rows").alias("n_rows"),
-                                F.col(f"a{i}").cast("bigint").alias("n_violations"),
-                            )
-                            for i, c in enumerate(agg_checks)
-                        ]
-                    )
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check_name"),
+                            F.lit(c.kind).alias("kind"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"v{i}").cast("bigint").alias("n_violations"),
+                        )
+                        for i, c in enumerate(linear)
+                    ]
                 )
             ).alias("r")
         ).select("r.*")

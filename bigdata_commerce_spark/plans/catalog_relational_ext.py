@@ -695,9 +695,17 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value
         FROM events WHERE user_id < 300 GROUP BY 1, 2
-    ), stats AS (
-        SELECT user_id, AVG(value) AS m, stddev_samp(value) AS sd
+    ), sums AS (
+        SELECT user_id, COUNT(value) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    AS DOUBLE) AS s2
         FROM series GROUP BY 1
+    ), stats AS (
+        SELECT user_id, s / n AS m,
+               CASE WHEN n > 1
+                    THEN sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0)) END AS sd
+        FROM sums
     )
     SELECT s.user_id, s.bucket, s.value,
            CASE WHEN sd > 0 THEN ROUND((s.value - m) / sd, 4) END AS z,
@@ -710,8 +718,11 @@ def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key z-score anomaly detection
     (operators/timeseries.flag_anomalies) over each user's daily value
     totals: two hash aggregates, stats broadcast back, no self-scan.
-    Daily totals use the decimal-exact money_sum discipline so the
-    z-score inputs are bit-identical across engines. Twin slot:
+    Daily totals use the decimal-exact money_sum discipline AND the
+    per-key mean/stddev come from exact decimal sums, so every float
+    in the z computation is bit-identical across engines and
+    partitionings — no order-dependent avg/stddev in an
+    exact-equality oracle. Twin slot:
     driver catalog is at its 50-entry cap."""
     from bigdata_commerce_spark.functions import money_sum
     from bigdata_commerce_spark.operators.timeseries import flag_anomalies

@@ -936,3 +936,46 @@ def test_rate_cap_keeps_earliest_per_bucket(spark):
         r.event_id for r in rate_cap_per_key_bucket(df, 2, 3600).collect()
     )
     assert got == [0, 1, 5, 6]  # earliest 2 of each hour bucket
+
+
+def test_flag_anomalies_null_key_rows_survive(spark):
+    from bigdata_commerce_spark.operators.timeseries import flag_anomalies
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (None, 0, 9.0)],
+        "series_id long, bucket long, value double",
+    )
+    got = flag_anomalies(df).collect()
+    assert len(got) == 3  # NULL-key row kept, not dropped by the join
+    nk = [r for r in got if r.series_id is None][0]
+    assert nk.z is None and nk.is_anomaly is False
+
+
+def test_rate_cap_tolerates_map_columns(spark):
+    from bigdata_commerce_spark.operators.mixing import rate_cap_per_key_bucket
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, {"a": "b"}), (2, 1, 20.0, {"c": "d"})],
+        "event_id long, user_id long, sec double, props map<string,string>",
+    ).select("event_id", "user_id", F.col("sec").cast("timestamp").alias("ts"), "props")
+    got = rate_cap_per_key_bucket(df, 1, 3600)
+    assert [r.event_id for r in got.collect()] == [1]  # earliest kept, no crash
+
+
+def test_assign_bins_refuses_collision(spark):
+    from bigdata_commerce_spark.operators import drift
+
+    df = spark.createDataFrame([(1.0, 5)], "v double, bin int")
+    with pytest.raises(ValueError, match="already exists"):
+        drift.assign_bins(df, "v", [0.5])
+    out = drift.assign_bins(df, "v", [0.5], bin_col="vbin")
+    assert out.collect()[0].vbin == 1
+
+
+def test_psi_empty_current_is_loud_not_null(spark):
+    from bigdata_commerce_spark.operators import drift
+
+    ref = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    rows = drift.psi_report(ref, ref.limit(0), "v", n_bins=4).collect()
+    assert all(r.cur_share == 0.0 for r in rows)
+    assert rows[0].psi_total > 1.0  # epsilon floor drives the verdict loud
