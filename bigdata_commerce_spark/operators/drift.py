@@ -100,9 +100,30 @@ def psi_report(
     the total in every row for a single-read verdict.
 
     Returns (bin, ref_share, cur_share, psi_term, psi_total), shares
-    and terms rounded to 6 dp for engine-portable comparison."""
-    bounds = equi_depth_boundaries(reference, col, n_bins)
-    ref = _bin_shares(reference, col, bounds).withColumnRenamed("share", "ref_share")
+    and terms rounded to 6 dp for engine-portable comparison.
+
+    The reference is consumed twice (percentile boundaries, then bin
+    shares); to avoid two full scans of what is typically the largest
+    input (last cycle's snapshot), the projected column is persisted —
+    the boundary collect materializes the cache and the share
+    aggregate reads it back. The cache is one column of the reference;
+    it is unpersisted as soon as the share aggregate has run."""
+    # Project to the one needed column BEFORE caching: the cache then
+    # costs O(column), not O(row), and both passes read it.
+    ref_proj = reference.select(col).persist()
+    try:
+        bounds = equi_depth_boundaries(ref_proj, col, n_bins)
+        # _bin_shares ends in a tiny (n_bins-row) aggregate; collect it
+        # through a localCheckpoint-free eager materialization so the
+        # cache can be released before the (lazy) result is consumed.
+        ref = (
+            ref_proj.sparkSession.createDataFrame(
+                _bin_shares(ref_proj, col, bounds).collect()
+            )
+            .withColumnRenamed("share", "ref_share")
+        )
+    finally:
+        ref_proj.unpersist()
     cur = _bin_shares(current, col, bounds).withColumnRenamed("share", "cur_share")
     joined = ref.join(cur, "bin")
     r = F.greatest(F.col("ref_share"), F.lit(PSI_EPS))

@@ -151,37 +151,47 @@ def rate_cap_per_key_bucket(
     bucket_seconds: int,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per (key, time bucket), earliest
     first — burst limiting at ingest (bot storms, duplicate event
     floods, scraper loops) before the expensive operators run.
 
-    One shuffle on (key, bucket) + a ranking window; order is
-    (ts, then every ORDERABLE remaining column via a deterministic
-    struct — map-typed columns can't sort and are excluded from the
-    tiebreak) so ties cannot make reruns disagree. Fully incremental:
-    a new time bucket never touches old ones, so it composes with the
-    partition-append ingest layout.
+    One shuffle on (key, bucket) + a ranking window. Order is ts then
+    a tiebreak so equal timestamps cannot make reruns disagree: pass
+    ``tiebreak_col`` (a unique id) and the shuffle sort key stays
+    narrow — (ts, id) — regardless of row width. Without it, the
+    fallback tiebreak is a struct of every ORDERABLE remaining column
+    (map-typed columns can't sort and are excluded), which is still
+    deterministic but drags the full row width (text/array payloads
+    included) through the window sort — fine for narrow tables, pass
+    the id column for wide ones. Fully incremental: a new time bucket
+    never touches old ones, so it composes with the partition-append
+    ingest layout.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from bigdata_commerce_spark.operators.topk import top_k_per_group
 
-    def _orderable(dt) -> bool:
-        if isinstance(dt, MapType):
-            return False
-        if isinstance(dt, ArrayType):
-            return _orderable(dt.elementType)
-        if isinstance(dt, StructType):
-            return all(_orderable(f.dataType) for f in dt.fields)
-        return True
+    if tiebreak_col is not None:
+        tie = F.col(tiebreak_col).asc()
+    else:
+        def _orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
 
-    tie_cols = [f.name for f in df.schema.fields if _orderable(f.dataType)]
+        tie_cols = [f.name for f in df.schema.fields if _orderable(f.dataType)]
+        tie = F.struct(*[F.col(c) for c in tie_cols]).asc()
     b = F.lit(bucket_seconds)
     bucketed = df.withColumn(
         "__tb", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint")
     )
-    order = [F.col(ts_col).asc(), F.struct(*[F.col(c) for c in tie_cols]).asc()]
+    order = [F.col(ts_col).asc(), tie]
     return top_k_per_group(
         bucketed, [key_col, "__tb"], order, max_rows, rank_col="__r", keep_rank=False
     ).drop("__tb")

@@ -197,9 +197,14 @@ def flag_anomalies(
     double from EXACT sums, so results are bit-stable across
     partitionings and engines; inputs are assumed to carry <= 6
     decimal places and |value| < 1e12, the money_sum discipline),
-    broadcast back onto the series rows with a LEFT join so NULL-key
+    joined back onto the series rows with a LEFT join so NULL-key
     rows keep their output row (z NULL) instead of silently
-    vanishing. A key with fewer than 2 points or zero variance has no
+    vanishing. The stats side is one row per key, but key cardinality
+    is unbounded (per-user / per-ad series), so no broadcast hint is
+    forced: AQE's size-based planning picks broadcast when the stats
+    table is actually small and a shuffle join when it is not —
+    forcing the hint would blow the 8 GB broadcast limit at high
+    cardinality. A key with fewer than 2 points or zero variance has no
     defined z-score — z NULL, is_anomaly false, never a divide by
     zero. The textbook sum-of-squares form trades a little precision
     on near-constant series for the single-pass exactness; those
@@ -231,7 +236,7 @@ def flag_anomalies(
         F.round((F.col(value_col) - F.col("__mean")) / F.col("__sd"), 4),
     )
     return (
-        df.join(F.broadcast(stats), key_col, "left")
+        df.join(stats, key_col, "left")
         .withColumn("z", z)
         .withColumn(
             "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))

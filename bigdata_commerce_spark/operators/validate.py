@@ -95,10 +95,19 @@ def unique(*cols: str, name: str | None = None) -> UniqueCheck:
 
 
 def mean_in_range(col: str, lo, hi, name: str | None = None) -> AggCheck:
+    # Mean from EXACT decimal sum / count (the money_sum discipline),
+    # not F.avg over doubles: a double avg is partitioning-order
+    # dependent, so a mean sitting exactly on a bound could flip
+    # pass/fail between runs. Exact partials keep the verdict
+    # deterministic (inputs assumed <= 6 decimal places, |v| < 1e12).
+    exact_mean = (
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+        / F.count(col)
+    )
     return AggCheck(
         name or f"mean_in_range({col})",
         "mean_in_range",
-        F.avg(col).between(F.lit(lo), F.lit(hi)),
+        exact_mean.between(F.lit(lo), F.lit(hi)),
     )
 
 

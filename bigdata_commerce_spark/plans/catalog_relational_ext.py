@@ -7,6 +7,7 @@ engine exposes them with oracle-checked semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,22 +281,21 @@ def group_concat_distinct_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     story the way chunk_documents_udtf does for UDTFs — and unlike the
     reference's UDAF, the merge step cannot forget cross-partition
     dedup (SURVEY §2.12/7): the set is built per assembled group."""
-    from pyspark.sql.functions import PandasUDFType
-
     li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey")
     sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
     nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
     reg = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
 
-    # hint-free + explicit GROUPED_AGG: string type annotations don't
-    # resolve under `from __future__ import annotations` (same issue
-    # bench.py's warmup documents)
-    @F.pandas_udf("string", PandasUDFType.GROUPED_AGG)
-    def concat_distinct(s):
+    # Signature-typed form (pd.Series -> scalar infers GROUPED_AGG):
+    # the legacy PandasUDFType enum is deprecated. get_type_hints
+    # resolves the stringified annotations (future-annotations mode)
+    # against module globals, where pd is imported.
+    @F.pandas_udf("string")
+    def concat_distinct(s: pd.Series) -> str:
         return ",".join(sorted(set(s.dropna())))
 
-    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def count_rows(s):
+    @F.pandas_udf("long")
+    def count_rows(s: pd.Series) -> int:
         return len(s)
 
     basic = (

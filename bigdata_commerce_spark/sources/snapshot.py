@@ -10,10 +10,17 @@ commits, built here from primitives the engine already has:
   directory (never touching prior versions' files);
 - a JSON manifest naming that directory is the COMMIT — it is
   written to a temp name and moved into place with a filesystem
-  rename, the one atomic primitive object stores/HDFS/local all
-  provide. Readers resolve the newest manifest; a publish that
+  rename. Readers resolve the newest manifest; a publish that
   crashes mid-write leaves data files but no manifest, so it is
   simply invisible (and reclaimable by vacuum);
+
+ATOMICITY SCOPE: the rename commit (and its dest-exists race
+detection) is guaranteed only on filesystems with atomic rename —
+HDFS and local. S3A rename is a non-atomic copy+delete and its
+destination-exists semantics vary by store, so on raw object stores
+this module's single-writer race detection can miss; an object-store
+deployment should commit via a conditional PUT (S3 If-None-Match) or
+an external commit log (the Delta/Iceberg catalog answer) instead.
 - old manifests stay: any historical version remains readable
   (time travel) until vacuumed — reproducibility for "which corpus
   version trained this model".
