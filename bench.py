@@ -76,11 +76,25 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     jaccard_pairs(docs_sample, threshold=0.8).count()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-    # Python-worker startup (pandas UDF / Arrow) warmup. (Hint-free
-    # form: string annotations don't resolve under
-    # `from __future__ import annotations`.)
-    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
-    spark.range(100).select(_warm(F.col("id").cast("double"))).count()
+    # Python-worker startup (pandas UDF / Arrow) warmup. One partition
+    # per core so EVERY reusable python worker forks and imports numpy
+    # — a 100-row single-partition warmup leaves ~30 of 32 workers
+    # cold, and the first UDF-bearing query (embedding_neardup, which
+    # fans its matmul kernel across all cores) then absorbs 32 × the
+    # (fork + numpy import) cost: measured 1.65x single-shot vs 1.09x
+    # steady on an identical plan. (Hint-free pandas_udf form: string
+    # annotations don't resolve under `from __future__ import
+    # annotations`.)
+    def _warm_kernel(s):
+        import numpy as np  # the heavy per-worker import the kernels pay
+
+        return s * np.float64(1.0)
+
+    _warm = F.pandas_udf(_warm_kernel, "double")
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(0, cpus * 4, 1, cpus).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     # Per-query error isolation: one broken query must never zero out
     # the whole round's bench signal — record null and keep going.
