@@ -3,12 +3,20 @@
 Design for 100 TB media pipelines: media travel as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` operators so bytes
-never round-trip through Python row-at-a-time. The actual codec calls
-(PIL/ffmpeg/torchaudio) are NOT available in this container, so the
-decode kernel is stubbed: ``decode=deterministic`` produces a seeded
-fake feature vector from the content hash (plumbing fully exercised,
-batch shapes real), ``decode=real`` raises NotImplementedError where
-the codec call belongs.
+never round-trip through Python row-at-a-time. Two decode modes, one
+contract (identical schemas and batch shapes):
+
+- ``decode="deterministic"``: a seeded fake derived from the content
+  hash — exercises the plumbing on arbitrary bytes (the text-adapter
+  fixtures) with no codec at all;
+- ``decode="real"``: actually decodes the payload with the
+  dependency-free BMP / P6-PPM codecs in operators/codecs.py
+  (concatenated P6 = the frame-addressable video container, exactly
+  ffmpeg's ``-c:v ppm`` output). A PIL/libvips/ffmpeg-backed kernel
+  satisfies the same bytes->(h,w,3)->resample->re-encode contract, so
+  swapping in heavyweight codecs later cannot change schemas. Real
+  mode raises ``CodecError`` on undecodable content — pre-filter
+  corrupt media (a cheap magic-byte check) before the expensive pass.
 """
 
 from __future__ import annotations
@@ -71,29 +79,55 @@ def _fake_features(digest: bytes) -> list[float]:
     ]
 
 
+def _real_features(raw: bytes) -> list[float]:
+    """FEATURE_DIM floats from an actually-decoded image, all in
+    [0, 1]: normalized dimensions, per-channel means, and gray-level
+    spread — the classic cheap image descriptor, and the slot a CNN
+    embedding would fill in a GPU-equipped deployment."""
+    from bigdata_commerce_spark.operators.codecs import decode_image
+
+    rgb = decode_image(raw)
+    h, w = rgb.shape[:2]
+    px = rgb.reshape(-1, 3).astype("float64")
+    means = px.mean(axis=0) / 255.0
+    gray = px.mean(axis=1)
+    return [
+        min(w / 65535.0, 1.0),
+        min(h / 65535.0, 1.0),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(gray.std() / 255.0),
+        float(gray.min() / 255.0),
+        float(gray.max() / 255.0),
+    ]
+
+
 def extract_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
     """Arrow-batched feature extraction over a binary media column.
 
-    ``decode="real"`` marks where the codec (image decode, resize,
-    frame sampling) plugs in; unavailable in this environment.
+    ``decode="real"`` decodes BMP/PPM payloads (operators/codecs.py)
+    and emits actual image statistics; the deterministic mode hashes
+    the bytes. Same schema either way — FEATURE_DIM floats in [0,1].
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) not available in this environment; "
-                    "plug the real decode here"
-                )
             digests = pdf["content"].map(
                 lambda b: hashlib.sha256(bytes(b) if b is not None else b"").digest()
             )
+            if decode == "real":
+                features = pdf["content"].map(
+                    lambda b: _real_features(bytes(b) if b is not None else b"")
+                )
+            else:
+                features = digests.map(_fake_features)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
                     "content_sha": digests.map(lambda d: d.hex()[:16]),
-                    "features": digests.map(_fake_features),
+                    "features": features,
                 }
             )
 
@@ -108,34 +142,48 @@ FRAMES_SCHEMA = "media_id long, frame_no int, offset_ms long, frame_sha string"
 def resize_media(
     df: DataFrame, width: int = 64, height: int = 64, decode: str = "deterministic"
 ) -> DataFrame:
-    """Arrow-batched media resize. The real kernel (PIL/libvips
-    decode -> resample -> re-encode) plugs in at ``decode="real"``;
-    the deterministic stub emits sha256(content || ':resize:WxH') so
-    the plumbing — schema, batch shape, partition-parallel execution —
-    is exercised and oracle-checkable without codecs.
+    """Arrow-batched media resize. ``decode="real"`` runs the full
+    decode -> nearest-neighbor resample -> re-encode (same container
+    as the input: BMP in, BMP out) and fingerprints the re-encoded
+    bytes; the deterministic stub emits sha256(content ||
+    ':resize:WxH') so the plumbing — schema, batch shape,
+    partition-parallel execution — is exercised on arbitrary bytes.
 
     One narrow pass, no shuffle; at 100 TB this is the map stage of a
     media-preprocessing pipeline and parallelism = input splits.
     """
     tag = f":resize:{width}x{height}".encode()
 
+    def _real_resize_sha(raw: bytes) -> str:
+        from bigdata_commerce_spark.operators.codecs import (
+            decode_image,
+            encode_bmp,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        resized = resize_nearest(decode_image(raw), width, height)
+        encoded = encode_bmp(resized) if raw[:2] == b"BM" else encode_ppm(resized)
+        return hashlib.sha256(encoded).hexdigest()[:16]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError(
-                    "media codecs (PIL/libvips) not available in this environment; "
-                    "plug decode->resample->encode here"
+                shas = pdf["content"].map(
+                    lambda b: _real_resize_sha(bytes(b) if b is not None else b"")
+                )
+            else:
+                shas = pdf["content"].map(
+                    lambda b: hashlib.sha256(
+                        (bytes(b) if b is not None else b"") + tag
+                    ).hexdigest()[:16]
                 )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "resized_sha": pdf["content"].map(
-                        lambda b: hashlib.sha256(
-                            (bytes(b) if b is not None else b"") + tag
-                        ).hexdigest()[:16]
-                    ),
+                    "resized_sha": shas,
                 }
             )
 
@@ -146,11 +194,15 @@ def frame_sample(
     df: DataFrame, n_frames: int = 4, decode: str = "deterministic"
 ) -> DataFrame:
     """Arrow-batched frame sampling: each media row fans out to
-    ``n_frames`` evenly spaced frame rows. The real kernel (ffmpeg
-    seek + decode at each offset) plugs in at ``decode="real"``; the
-    stub derives offsets from ``meta.duration_ms`` (content length as
-    a stand-in when duration is null, as for the text adapter) and a
-    deterministic frame fingerprint sha256(content || ':frame:' || i).
+    ``n_frames`` evenly spaced frame rows. ``decode="real"`` decodes
+    the payload as a concatenated-P6 video stream (a single BMP/PPM
+    image counts as a one-frame video), samples ``n_frames`` evenly
+    spaced ACTUAL frames, and fingerprints each frame's re-encoded
+    pixels; offsets spread ``meta.duration_ms`` across the real frame
+    indices. The stub derives offsets from ``meta.duration_ms``
+    (content length as a stand-in when duration is null, as for the
+    text adapter) and a deterministic frame fingerprint
+    sha256(content || ':frame:' || i).
 
     The fan-out happens INSIDE the kernel (one input batch -> one
     n_frames-times-longer output batch), so there's no explode shuffle
@@ -158,13 +210,28 @@ def frame_sample(
     a 100 TB video corpus where frames dwarf the source rows.
     """
 
+    def _real_frames(raw: bytes, dur: int) -> list[tuple[int, int, str]]:
+        # (frame_no, offset_ms, frame_sha) for n evenly spaced frames
+        from bigdata_commerce_spark.operators.codecs import (
+            decode_image,
+            encode_ppm,
+            iter_ppm_frames,
+        )
+
+        if raw[:2] == b"P6":
+            frames = list(iter_ppm_frames(raw))
+        else:
+            frames = [decode_image(raw)]
+        total = len(frames)
+        out = []
+        for i in range(n_frames):
+            idx = i * total // n_frames
+            sha = hashlib.sha256(encode_ppm(frames[idx])).hexdigest()[:16]
+            out.append((i, int(dur) * idx // total, sha))
+        return out
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "media codecs (ffmpeg) not available in this environment; "
-                    "plug seek+decode here"
-                )
             out: dict[str, list] = {
                 "media_id": [],
                 "frame_no": [],
@@ -178,6 +245,13 @@ def frame_sample(
             ]
             for mid, content, dur in zip(pdf["media_id"], pdf["content"], durations):
                 raw = bytes(content) if content is not None else b""
+                if decode == "real":
+                    for i, off, sha in _real_frames(raw, dur):
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(i)
+                        out["offset_ms"].append(off)
+                        out["frame_sha"].append(sha)
+                    continue
                 for i in range(n_frames):
                     out["media_id"].append(mid)
                     out["frame_no"].append(i)

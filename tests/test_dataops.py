@@ -132,7 +132,10 @@ def test_multimodal_feature_shape(spark):
     assert all(0.0 <= f < 1.0 for f in r.features)
 
 
-def test_multimodal_real_decode_is_marked(spark):
+def test_multimodal_real_decode_rejects_non_media(spark):
+    """Real-decode mode fails LOUD on payloads that aren't BMP/PPM
+    (here: raw text bytes) instead of silently hashing garbage — the
+    documented pre-filter-corrupt-media contract."""
     docs = load_table(spark, "documents", SF_SMOKE).limit(2)
     media = multimodal.documents_as_media(docs)
     for op in (
@@ -140,7 +143,7 @@ def test_multimodal_real_decode_is_marked(spark):
         lambda m: multimodal.resize_media(m, decode="real"),
         lambda m: multimodal.frame_sample(m, decode="real"),
     ):
-        with pytest.raises(Exception, match="NotImplementedError|not available"):
+        with pytest.raises(Exception, match="CodecError|unrecognized media magic"):
             op(media).collect()
 
 
