@@ -140,8 +140,15 @@ def vacuum(
     retention): an unreferenced directory younger than it is left
     alone, because a publish writes its data BEFORE its manifest — a
     vacuum racing that window would delete a commit in flight and the
-    writer would then publish a manifest over missing files. Only
-    drop it to 0 when no publish can be running."""
+    writer would then publish a manifest over missing files. The same
+    window is what protects IN-FLIGHT PINNED READERS of expired
+    versions: age is measured from the data directory's publish mtime,
+    so a reader pinned to version V is guaranteed safe iff it finishes
+    within ``min_age_seconds`` of V's publish — size ``min_age`` to
+    (longest reader runtime + max version age at read start); the 24h
+    default covers same-day reads (contract pinned by
+    tests/test_snapshot.py::test_vacuum_race_with_inflight_pinned_reader).
+    Only drop it to 0 when no publish and no reader can be running."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _manifest_versions(spark, table_dir)

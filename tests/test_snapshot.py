@@ -72,6 +72,42 @@ def test_vacuum_grace_period_protects_inflight_publish(spark, tmp_path):
     assert snap.vacuum(spark, t, keep_last=1, min_age_seconds=0) == ["v2-inflight0"]
 
 
+def test_vacuum_race_with_inflight_pinned_reader(spark, tmp_path):
+    """The vacuum/reader race at the retention boundary, pinning the
+    grace-period contract: ``min_age_seconds`` is measured from the
+    data directory's PUBLISH mtime, so an in-flight reader pinned to
+    version V is guaranteed safe iff it finishes within ``min_age`` of
+    V's publish — even after V falls out of the ``keep_last`` window.
+    The minimum safe ``min_age`` is therefore (longest reader runtime
+    + max version age when a reader may still pin it); the 24h default
+    covers any same-day read. ``min_age=0`` revokes that guarantee and
+    is only safe with no readers in flight (the maintenance-window
+    mode), which the second half demonstrates by racing it."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, "a"), t)
+    pinned = snap.read_snapshot(spark, t, version=1)  # reader now in flight
+    snap.publish_snapshot(_df(spark, "b"), t)
+    snap.publish_snapshot(_df(spark, "c"), t)
+
+    # v1 is EXPIRED (keep_last=1 retains only v3) but younger than
+    # min_age: vacuum must leave its files alone, and the in-flight
+    # reader completes correctly mid-interleave.
+    assert snap.vacuum(spark, t, keep_last=1, min_age_seconds=3600) == []
+    assert {r.tag for r in pinned.collect()} == {"a"}
+    # ...and the reader can even KEEP reading (a multi-action job)
+    assert pinned.count() == 5
+
+    # Maintenance mode (min_age=0) breaks the contract by design: the
+    # expired version's files go away and the still-pinned reader's
+    # next action fails loudly rather than returning partial rows.
+    deleted = snap.vacuum(spark, t, keep_last=1, min_age_seconds=0)
+    assert any(d.startswith("v1-") for d in deleted)
+    with pytest.raises(Exception, match="(?i)not exist|notfound|path"):
+        pinned.collect()
+    # the retained head version is untouched throughout
+    assert {r.tag for r in snap.read_snapshot(spark, t).collect()} == {"c"}
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         snap.read_snapshot(spark, str(tmp_path / "nope"))
