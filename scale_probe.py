@@ -26,6 +26,14 @@ a candidate-generation design that is secretly all-pairs goes ~100x;
 the banded/bucketed designs should stay near ~10x (plus constant
 overhead). Prints one JSON line; run ad-hoc, results recorded in
 SCALE.md.
+
+Suites (argv[1]): ``dedup`` (default), ``relational``, ``round4``,
+and ``skew`` — the skew suite measures wall(skewed)/wall(uniform) on
+twin corpora differing ONLY in key distribution (one planted hot key
+owning ~30% of rows), across the execution shapes key skew can land
+on: hash agg, salted agg, rank-limit window, running-frame window,
+composite-key window, sort-merge join with AQE skew-split on/off, and
+the salted join.
 """
 
 from __future__ import annotations
@@ -307,12 +315,13 @@ def round4_probes(spark, docs_path: str, ev_path: str):
     }
 
 
-def run_probe(pairs: dict, headline: str) -> dict:
+def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
+    a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
     for name, (fn1, fn10) in pairs.items():
         # symmetric warm-up: both sides pay one run before timing, so
-        # one-time reader/codegen cost doesn't inflate only the 10x
-        # number (the headline ratio)
+        # one-time reader/codegen cost doesn't inflate only the
+        # second-side number (the headline ratio)
         fn1()
         fn10()
         t0 = time.perf_counter()
@@ -322,14 +331,177 @@ def run_probe(pairs: dict, headline: str) -> dict:
         n10 = fn10()
         w10 = time.perf_counter() - t0
         out["ops"][name] = {
-            "wall_1x": round(w1, 2),
-            "wall_10x": round(w10, 2),
-            "ratio": round(w10 / w1, 1),
-            "rows_1x": n1,
-            "rows_10x": n10,
+            f"wall_{a}": round(w1, 2),
+            f"wall_{b}": round(w10, 2),
+            "ratio": round(w10 / w1, 2),
+            f"rows_{a}": n1,
+            f"rows_{b}": n10,
         }
-        print(f"# {name}: {w1:.2f}s -> {w10:.2f}s ({w10 / w1:.1f}x)", file=sys.stderr)
+        print(f"# {name}: {w1:.2f}s -> {w10:.2f}s ({w10 / w1:.2f}x)", file=sys.stderr)
     return out
+
+
+# ------------------------------------------------- skew-stress suite
+
+HOT_USER = -777  # outside the real user_id domain
+
+
+def build_skew_corpus(spark, sf10: str) -> tuple[str, str, str]:
+    """Uniform/skewed twins of the 10x events table + a user dim,
+    all landed through the same 32-file writer so walls compare data
+    distribution, not layout.
+
+    The base is the 10x events fanned ANOTHER 10x (id-remapped copies,
+    10M rows, 150k users): at 1M rows the hot partition sorts in
+    ~0.1 s and per-task overhead swamps the skew term — a first probe
+    run measured every ratio at 0.93-1.15x, i.e. noise. At 10M rows
+    the hot key is ~3M rows on one reducer and the skew term dominates
+    where it really would.
+
+    The skewed twin plants one Zipfian-style hot key: every row with
+    event_id % 10 < 3 (~30% of all rows) is reassigned to HOT_USER —
+    the one-user-owns-a-third-of-traffic shape (bot account, default
+    id, null-substitute) that breaks naive key-partitioned stages at
+    100 TB. The uniform twin runs the SAME projection with a
+    never-true condition, so both sides' files come from identical
+    plans. The dim carries every user of either side plus a sha256
+    payload column, and broadcast is disabled in the join probes so
+    the sort-merge reducer path (where key skew actually lands) is
+    what gets measured."""
+    out = SCRATCH / "skew"
+    done = out / "_BUILT"
+    ev_unif = str(out / "events_unif.parquet")
+    ev_skew = str(out / "events_skew.parquet")
+    user_dim = str(out / "user_dim.parquet")
+    if done.exists():
+        return ev_unif, ev_skew, user_dim
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    base = spark.read.parquet(os.path.join(sf10, "events.parquet"))
+    strides = {
+        c: int(base.agg(F.max(c)).collect()[0][0]) + 1
+        for c in ("event_id", "user_id")
+    }
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    ev = base.crossJoin(F.broadcast(copies))
+    for c, stride in strides.items():
+        ev = ev.withColumn(c, F.col(c) + F.col("copy") * F.lit(stride))
+    ev = ev.drop("copy")
+
+    def land(df, path):
+        df.repartition(32).write.parquet(path)
+
+    def reassign(threshold: int):
+        return ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < threshold, F.lit(HOT_USER)).otherwise(
+                F.col("user_id")
+            ),
+        )
+
+    land(reassign(-1), ev_unif)  # never-true: uniform, identical plan
+    land(reassign(3), ev_skew)  # ~30% of rows on one key
+    users = (
+        spark.read.parquet(ev_unif)
+        .select("user_id")
+        .union(spark.read.parquet(ev_skew).select("user_id"))
+        .distinct()
+    )
+    land(
+        users.withColumn("segment", F.pmod("user_id", F.lit(100)).cast("int"))
+        .withColumn("profile", F.sha2(F.col("user_id").cast("string"), 256)),
+        user_dim,
+    )
+    done.touch()
+    return ev_unif, ev_skew, user_dim
+
+
+def skew_probes(spark, ev_path: str, dim_path: str):
+    """One entry per skew-relevant execution shape. Thresholds inside
+    the join probes are lowered so AQE's skew split fires at the local
+    toy scale (the hot partition here is ~10 MB; production defaults —
+    256 MB / 5x median — fire on real skew without tuning)."""
+    from pyspark.sql import Window
+
+    from bigdata_commerce_spark.operators.mixing import rate_cap_per_key_bucket
+    from bigdata_commerce_spark.operators.salted import salted_count, salted_join
+
+    ev = spark.read.parquet(ev_path)
+    dim = spark.read.parquet(dim_path)
+
+    def with_conf(conf: dict, fn):
+        def wrapped():
+            old = {k: spark.conf.get(k) for k in conf}
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                return fn()
+            finally:
+                for k, v in old.items():
+                    spark.conf.set(k, v)
+
+        return wrapped
+
+    smj = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    aqe_tuned = {
+        **smj,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+    }
+    aqe_off = {**aqe_tuned, "spark.sql.adaptive.skewJoin.enabled": "false"}
+
+    def join_fn():
+        # payload columns on both sides so the join moves real bytes
+        # (count() alone would let column pruning empty the shuffle)
+        return (
+            ev.join(dim, "user_id")
+            .agg(F.sum(F.length("profile")) + F.sum(F.length("props")))
+            .collect()[0][0]
+        )
+
+    def window_fn():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("r", F.row_number().over(w)).where("r <= 5").count()
+        )
+
+    def cumsum_fn():
+        # the REAL single-key-window anti-pattern: a running frame
+        # cannot be saved by WindowGroupLimit (unlike rank<=k, which
+        # Spark 4 pushes below the shuffle as a per-map-partition
+        # top-k), so the hot key's 3M rows sort and scan on ONE task
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            ev.withColumn("rt", F.sum("value").over(w))
+            .agg(F.sum("rt"))
+            .collect()[0][0]
+        )
+
+    return {
+        "groupby_count": lambda: ev.groupBy("user_id").count().count(),
+        "salted_count_16": lambda: salted_count(
+            ev, ["user_id"], F.col("event_id"), 16
+        ).count(),
+        "window_per_key_top5": window_fn,
+        "window_cumsum_per_key": cumsum_fn,
+        "rate_cap_bucketed": lambda: rate_cap_per_key_bucket(
+            ev, 5, 3600, tiebreak_col="event_id"
+        ).count(),
+        "smj_aqe_skew_on": with_conf(aqe_tuned, join_fn),
+        "smj_aqe_skew_off": with_conf(aqe_off, join_fn),
+        "salted_join_16": with_conf(
+            smj,
+            lambda: salted_join(
+                ev, dim, ["user_id"], F.col("event_id"), salt_buckets=16
+            )
+            .agg(F.sum(F.length("profile")) + F.sum(F.length("props")))
+            .collect()[0][0],
+        ),
+    }
 
 
 def main() -> None:
@@ -365,6 +537,25 @@ def main() -> None:
         )
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round4")
+    elif suite == "skew":
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        ev_unif, ev_skew, user_dim = build_skew_corpus(spark, sf10)
+        p_unif = skew_probes(spark, ev_unif, user_dim)
+        p_skew = skew_probes(spark, ev_skew, user_dim)
+        pairs = {name: (p_unif[name], p_skew[name]) for name in p_unif}
+        out = run_probe(pairs, "scale_probe_skew_ratio", labels=("unif", "skew"))
+        # context for the SCALE.md table: how hot is the planted key
+        from bigdata_commerce_spark.operators.salted import key_skew_report
+
+        rep = key_skew_report(
+            spark.read.parquet(ev_skew), ["user_id"], k=1
+        ).collect()[0]
+        out["planted_skew"] = {
+            "hot_share": float(rep.share),
+            "skew_factor": float(rep.skew_factor),
+            "n_keys": int(rep.n_keys),
+            "total_rows": int(rep.total_rows),
+        }
     else:
         docs1 = os.path.join(SF_DIR, "documents.parquet")
         emb1 = os.path.join(SF_DIR, "embeddings.parquet")
