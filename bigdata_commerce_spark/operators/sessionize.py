@@ -40,6 +40,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     session_col: str = "session_id",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Assign gap-based session ids: a new session starts when the gap
     since the user's previous event exceeds ``gap_minutes``.
@@ -47,26 +48,123 @@ def sessionize(
     session_id = (user_id, running count of gap-breaks) — stable,
     deterministic, and computable identically in ANSI SQL (lag +
     sum-over) for oracle checking.
+
+    The per-user running sum is the execution shape the round-5 skew
+    probe measured super-linear under a planted hot key (a bot user
+    owning 30% of events serializes onto one task). ``bucket_seconds``
+    selects a skew-bounded path with IDENTICAL output (tested
+    row-for-row): gap-breaks run within (user, time-bucket) windows —
+    the hot user spreads across its time buckets — and buckets stitch
+    through per-(user, bucket) summaries (first/last ts + local break
+    count, ONE row per non-empty bucket, so the remaining per-user
+    window is bounded by time range / bucket_seconds, not by traffic).
+    The stitch costs one extra small shuffle and a join back on
+    (user, bucket); keep the default for uniform keys.
     """
-    w_user = Window.partitionBy(user_col).orderBy(ts_col)
     # Exact microsecond arithmetic (unix_timestamp truncates to seconds,
     # which would disagree with an interval-based oracle on sub-second
     # boundary gaps). unix_micros only accepts TIMESTAMP, so cast:
     # TIMESTAMP_NTZ inputs (Spark >=3.5 reads timezone-less parquet
     # timestamp[us] as NTZ) are value-preserving under the pinned UTC
     # session timezone.
+    gap_us = gap_minutes * 60 * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev_us = F.unix_micros(F.lag(ts_col).over(w_user).cast("timestamp"))
-    gap_break = (
+    if bucket_seconds is None:
+        w_user = Window.partitionBy(user_col).orderBy(ts_col)
+        prev_us = F.unix_micros(F.lag(ts_col).over(w_user).cast("timestamp"))
+        gap_break = (
+            F.when(
+                F.lag(ts_col).over(w_user).isNull() | (ts_us - prev_us > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        seq = F.sum(gap_break).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+        return df.withColumn(
+            session_col,
+            F.concat_ws("_", F.col(user_col).cast("string"), seq.cast("string")),
+        )
+
+    # ---- skew-bounded two-phase path ----
+    # Phase 1: local breaks within (user, bucket). The bucket's FIRST
+    # row gets local_break 0 — whether it starts a new session is the
+    # boundary question, answered on the bucket spine. NULL ts maps to
+    # a sentinel bucket far below any real one (a real bucket bottoms
+    # out around -6e10 at 1-second buckets): it sorts first like the
+    # exact path's NULLS FIRST, and unlike a NULL bucket it survives
+    # the phase-4 equi-join (NULL = NULL never matches).
+    rows = df.withColumn(
+        "__sb",
+        F.coalesce(
+            F.floor(ts_us / F.lit(int(bucket_seconds) * 1_000_000)),
+            F.lit(-(2**62)),
+        ),
+    )
+    w_local = Window.partitionBy(user_col, "__sb").orderBy(ts_col)
+    prev_local = F.lag(ts_col).over(w_local)
+    # lag over a literal distinguishes "first row in bucket" from
+    # "previous row's ts is NULL" — the exact path breaks on the
+    # latter (NULL prev ts means an undefined gap, i.e. a new
+    # session), so this path must too
+    is_first_local = F.lag(F.lit(1)).over(w_local).isNull()
+    local_break = F.when(is_first_local, F.lit(0)).otherwise(
         F.when(
-            F.lag(ts_col).over(w_user).isNull()
-            | (ts_us - prev_us > gap_minutes * 60 * 1_000_000),
+            prev_local.isNull()
+            | (ts_us - F.unix_micros(prev_local.cast("timestamp")) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0))
     )
-    seq = F.sum(gap_break).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn(
-        session_col, F.concat_ws("_", F.col(user_col).cast("string"), seq.cast("string"))
+    rows = rows.withColumn(
+        "__local_seq",
+        F.sum(local_break).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    # Phase 2: one summary row per non-empty (user, bucket)
+    summary = rows.groupBy(user_col, "__sb").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        F.max("__local_seq").alias("__local_breaks"),
+    )
+
+    # Phase 3: stitch on the spine. boundary_break = does this
+    # bucket's first row start a new session (no previous bucket, a
+    # NULL-ts bucket boundary, or the cross-bucket gap exceeds the
+    # threshold). The row's global seq = breaks in all earlier buckets
+    # + this bucket's boundary break + its local running breaks.
+    w_spine = Window.partitionBy(user_col).orderBy("__sb")
+    prev_last = F.lag("__last_ts").over(w_spine)
+    boundary_break = F.when(
+        prev_last.isNull()
+        | (
+            F.unix_micros(F.col("__first_ts").cast("timestamp"))
+            - F.unix_micros(prev_last.cast("timestamp"))
+            > gap_us
+        )
+        | F.col("__first_ts").isNull(),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    stitched = summary.withColumn("__bb", boundary_break).withColumn(
+        "__base",
+        F.coalesce(
+            F.sum(F.col("__local_breaks") + F.col("__bb")).over(
+                w_spine.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        + F.col("__bb"),
+    )
+
+    # Phase 4: join the per-bucket base back (shuffle on the composite
+    # key — skew-spread) and emit the identical session id.
+    seq = F.col("__base") + F.col("__local_seq")
+    return (
+        rows.join(
+            stitched.select(user_col, "__sb", "__base"), [user_col, "__sb"]
+        )
+        .withColumn(
+            session_col,
+            F.concat_ws("_", F.col(user_col).cast("string"), seq.cast("string")),
+        )
+        .drop("__sb", "__local_seq", "__base")
     )
 
 

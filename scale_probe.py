@@ -481,8 +481,50 @@ def skew_probes(spark, ev_path: str, dim_path: str):
             .collect()[0][0]
         )
 
+    from bigdata_commerce_spark.operators.asof import asof_join
+    from bigdata_commerce_spark.operators.sessionize import sessionize
+
+    def asof_fn(bucket_seconds):
+        # probe side = ALL events (the hot key then owns 3M window
+        # rows — a click/purchase-only probe leaves walls too small
+        # for the skew term to dominate at this scale)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        probes_side = ev.select("event_id", "user_id", "ts")
+        # count the MATCHED payloads, not the rows: a bare count()
+        # lets Catalyst prune the running-last window away entirely
+        # (the side filter doesn't depend on it) and the probe then
+        # times an empty plan — measured 0.36s flat for 10M rows
+        return (
+            asof_join(
+                probes_side,
+                clicks,
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                payload_cols=["value"],
+                bucket_seconds=bucket_seconds,
+            )
+            .agg(F.count("asof_value"))
+            .collect()[0][0]
+        )
+
+    def sessionize_fn(bucket_seconds):
+        # max() forces session-id computation for every row without a
+        # second big shuffle on top
+        return (
+            sessionize(ev, gap_minutes=30, bucket_seconds=bucket_seconds)
+            .agg(F.max("session_id"))
+            .collect()[0][0]
+        )
+
     return {
         "groupby_count": lambda: ev.groupBy("user_id").count().count(),
+        "asof_exact": lambda: asof_fn(None),
+        "asof_bucketed_1h": lambda: asof_fn(3600),
+        "sessionize_exact": lambda: sessionize_fn(None),
+        "sessionize_bucketed_1h": lambda: sessionize_fn(3600),
         "salted_count_16": lambda: salted_count(
             ev, ["user_id"], F.col("event_id"), 16
         ).count(),

@@ -275,6 +275,73 @@ def test_asof_join_ignores_null_right_ts(spark):
     assert out == {10: (None, None), 20: ("good", 15)}
 
 
+def test_asof_join_bucketed_equals_exact(spark):
+    """The skew-bounded (time-bucketized) as-of path must be
+    row-identical to the exact per-key window path — on real event
+    data (purchase->click attribution) and across bucket widths,
+    including buckets far narrower than the gap between right rows
+    (carry-forward across many empty buckets)."""
+    from bigdata_commerce_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def run(bucket_seconds):
+        return sorted(
+            asof_join(
+                purch,
+                clicks,
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                payload_cols=["value"],
+                bucket_seconds=bucket_seconds,
+            ).collect(),
+            key=lambda r: r.event_id,
+        )
+
+    exact = run(None)
+    assert exact
+    for b in (60, 3600, 7 * 86400):
+        assert run(b) == exact, f"bucket_seconds={b} diverged"
+
+
+def test_asof_join_bucketed_null_and_tie_edges(spark):
+    """Crafted edges through the bucketized path: NULL left ts (no
+    match), NULL right ts (ignored), right row exactly on a bucket
+    boundary, inclusive ts tie, and a left bucket with no right rows
+    (pure carry-in)."""
+    from bigdata_commerce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", None), ("k", 5), ("k", 60), ("k", 61), ("k", 3600), ("z", 50)],
+        "key string, lts long",
+    )
+    right = spark.createDataFrame(
+        [("k", None, "poison"), ("k", 5, "a"), ("k", 60, "b")],
+        "key string, rts long, payload string",
+    )
+    for b in (None, 60):
+        out = {
+            (r.key, r.lts): (r.asof_payload, r.asof_ts)
+            for r in asof_join(
+                left, right, on="key", left_ts="lts", right_ts="rts",
+                payload_cols=["payload"], bucket_seconds=b,
+            ).collect()
+        }
+        assert out == {
+            ("k", None): (None, None),
+            ("k", 5): ("a", 5),  # inclusive tie
+            ("k", 60): ("b", 60),  # right row on the bucket boundary
+            ("k", 61): ("b", 60),
+            ("k", 3600): ("b", 60),  # carry across 58 empty buckets
+            ("z", 50): (None, None),  # key with no right rows at all
+        }, f"bucket_seconds={b}"
+
+
 def test_connected_components_long_chain(spark):
     """Path halving converges in O(log diameter): a 200-node chain
     must finish well inside 12 rounds (one-hop propagation would need

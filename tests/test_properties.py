@@ -49,6 +49,56 @@ def test_sessionize_partitions_events(spark, seed):
             assert b.start_time > a.end_time
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sessionize_bucketed_equals_exact(spark, seed):
+    """The skew-bounded (time-bucketized) sessionizer must emit the
+    IDENTICAL session id for every row, across bucket widths narrower
+    than, equal to, and wider than the gap threshold."""
+    ev = _random_events(spark, seed)
+    exact = sorted(
+        sessionize(ev, gap_minutes=30).collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    for b in (300, 1800, 6 * 3600):
+        got = sorted(
+            sessionize(ev, gap_minutes=30, bucket_seconds=b).collect(),
+            key=lambda r: (r.user_id, r.ts),
+        )
+        assert got == exact, f"bucket_seconds={b} diverged"
+
+
+def test_sessionize_bucketed_null_ts_rows(spark):
+    """NULL-ts rows each start their own session (undefined gap) in
+    both paths, and the first real-ts row after them breaks again."""
+    from datetime import datetime
+
+    rows = [
+        (1, None),
+        (1, None),
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 5)),
+        (2, datetime(2024, 1, 1, 9, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    exact = sessionize(ev, gap_minutes=30).collect()
+    bucketed = sessionize(ev, gap_minutes=30, bucket_seconds=3600).collect()
+
+    def sig(out):
+        # None ts is not orderable against datetime — sort NULLs first
+        return sorted(
+            (r.user_id, r.ts is not None, r.ts or datetime.min, r.session_id)
+            for r in out
+        )
+
+    assert sig(exact) == sig(bucketed)
+    # the two real-ts rows of user 1 share one session; the NULL rows
+    # hold two other session ids
+    u1 = [r.session_id for r in exact if r.user_id == 1 and r.ts is not None]
+    assert len(set(u1)) == 1
+    nulls = {r.session_id for r in exact if r.ts is None}
+    assert len(nulls) == 2 and not nulls & set(u1)
+
+
 @pytest.mark.parametrize("seed", [3, 4])
 def test_stratified_sample_quotas(spark, seed):
     """Per-(day, hour) extraction count <= max(floor share, 1) and the
