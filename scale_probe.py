@@ -315,6 +315,96 @@ def round4_probes(spark, docs_path: str, ev_path: str):
     }
 
 
+# ------------------------------------------- streaming throughput
+
+
+def streaming_probe(spark, n_chunks: int = 20, files_per_trigger: int = 1) -> dict:
+    """Sustained-throughput probe of the four-sink reqs 7-10 topology
+    (the soak test proves restart correctness; this measures rate):
+    sf0.1's ~20k click events (~95x the soak volume; the reference's
+    mock feed is 102 events/s, MockRealTimeData.scala:30,72) land as
+    ``n_chunks`` files -> one micro-batch each, through
+    run_ad_pipeline with the parquet epoch backend. Records rows/sec
+    and the per-batch latency TREND from the query's own progress
+    telemetry — the trend is the point: every accumulate sink
+    re-merges full state per epoch, so per-batch cost grows with
+    state size and the slope says when the parquet stand-in stops
+    being a stand-in (the JDBC MERGE backend is the per-batch-I/O
+    production path)."""
+    import tempfile
+
+    from bigdata_commerce_spark.streaming import pipelines
+
+    work = tempfile.mkdtemp(dir=str(SCRATCH), prefix="stream_probe_")
+    src = Path(work) / "src"
+    src.mkdir()
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ad = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("ts").cast("timestamp").alias("event_time"),
+            F.to_date(F.col("ts").cast("timestamp")).alias("event_date"),
+            F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")).alias(
+                "province"
+            ),
+            F.concat(F.lit("c"), (F.col("user_id") % 100).cast("string")).alias(
+                "city"
+            ),
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("ad_id"),
+        )
+        .orderBy("event_time")
+    )
+    rows = ad.collect()
+    step = len(rows) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * step :] if i == n_chunks - 1 else rows[i * step : (i + 1) * step]
+        chunk_dir = Path(work) / f"chunk_{i}"
+        spark.createDataFrame(chunk, ad.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(chunk_dir))
+        shutil.copy(
+            next(chunk_dir.glob("part-*.parquet")), src / f"{i:03d}.parquet"
+        )
+
+    handles = pipelines.run_ad_pipeline(
+        pipelines.file_event_source(
+            spark, str(src), max_files_per_trigger=files_per_trigger
+        ),
+        os.path.join(work, "state"),
+        blacklist_threshold=10**9,  # organic data: measure rate, not feedback
+    )
+    t0 = time.perf_counter()
+    handles.process_all()
+    wall = time.perf_counter() - t0
+    progress = [
+        {
+            "batch": p.batchId,
+            "rows": int(p.numInputRows),
+            "trigger_ms": int(p.durationMs.get("triggerExecution", -1)),
+        }
+        for p in handles.queries[0].recentProgress
+        if p.numInputRows > 0
+    ]
+    handles.stop()
+    total = sum(p["rows"] for p in progress)
+    first3 = [p["trigger_ms"] for p in progress[:3]]
+    last3 = [p["trigger_ms"] for p in progress[-3:]]
+    return {
+        "metric": "streaming_four_sink_throughput",
+        "total_rows": total,
+        "n_batches": len(progress),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(total / wall, 1),
+        "batch_ms_first3": first3,
+        "batch_ms_last3": last3,
+        "growth_factor": round(
+            (sum(last3) / len(last3)) / (sum(first3) / len(first3)), 2
+        ),
+        "batches": progress,
+    }
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -597,6 +687,15 @@ def main() -> None:
             "skew_factor": float(rep.skew_factor),
             "n_keys": int(rep.n_keys),
             "total_rows": int(rep.total_rows),
+        }
+    elif suite == "streaming":
+        # per-file batches (the soak cadence) vs one big batch: the
+        # spread between the two rates is the per-batch FIXED cost
+        # (sink merges + state reads), not per-row work
+        out = {
+            "metric": "streaming_four_sink_throughput",
+            "per_file_batches": streaming_probe(spark, files_per_trigger=1),
+            "single_batch": streaming_probe(spark, files_per_trigger=20),
         }
     else:
         docs1 = os.path.join(SF_DIR, "documents.parquet")
