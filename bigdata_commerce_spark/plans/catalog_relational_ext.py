@@ -55,6 +55,45 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@twin_query(
+    "asof_skew_bounded",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE},
+    clicks AS (
+        SELECT user_id, ts, MAX(ad_id) AS ad_id
+        FROM events_n WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), purch AS (
+        SELECT event_id, user_id, ts FROM events_n WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ad_id AS attributed_ad, c.ts AS click_ts
+    FROM purch p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_skew_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_click_attribution through the time-bucketized
+    (skew-bounded) as-of path, against the same native ASOF JOIN
+    oracle — the bucket-spine stitch must be invisible in the result
+    (round-5 skew probe: exact 3.2x under a 30%-hot key, bucketized
+    0.9x). Twin slot: driver catalog is at its 50-entry cap."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "ad_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["ad_id"], bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ad_id").alias("attributed_ad"),
+        F.col("asof_ts").alias("click_ts"),
+    )
+
+
 @query(
     "lineitem_rollup",
     oracle="""
