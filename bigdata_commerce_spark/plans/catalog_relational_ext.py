@@ -94,6 +94,45 @@ def asof_skew_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@twin_query(
+    "events_running_value",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS running_value
+    FROM events_n
+    """,
+)
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value (running spend) through the
+    SKEW-BOUNDED two-level prefix-sum path (operators/running.py,
+    bucket_seconds=3600) against the plain running-SUM-window oracle —
+    the bucket-spine arithmetic must be invisible in the result.
+    Exact DECIMAL internals make the two addition orders (and DuckDB)
+    bit-identical. Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.running import running_sum_per_key
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = running_sum_per_key(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        out_col="__rs",
+        bucket_seconds=3600,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("__rs", 4).cast("double").alias("running_value"),
+    )
+
+
 @query(
     "lineitem_rollup",
     oracle="""

@@ -571,6 +571,20 @@ def skew_probes(spark, ev_path: str, dim_path: str):
             .collect()[0][0]
         )
 
+    def running_sum_fn(bucket_seconds):
+        # the operator form of the same cumulative sum (exact decimal,
+        # two-level prefix path when bucketed)
+        from bigdata_commerce_spark.operators.running import running_sum_per_key
+
+        return float(
+            running_sum_per_key(
+                ev, "user_id", "ts", "value", "rt",
+                bucket_seconds=bucket_seconds, tiebreak_col="event_id",
+            )
+            .agg(F.sum("rt"))
+            .collect()[0][0]
+        )
+
     from bigdata_commerce_spark.operators.asof import asof_join
     from bigdata_commerce_spark.operators.sessionize import sessionize
 
@@ -620,6 +634,8 @@ def skew_probes(spark, ev_path: str, dim_path: str):
         ).count(),
         "window_per_key_top5": window_fn,
         "window_cumsum_per_key": cumsum_fn,
+        "running_sum_exact": lambda: running_sum_fn(None),
+        "running_sum_bucketed_1h": lambda: running_sum_fn(3600),
         "rate_cap_bucketed": lambda: rate_cap_per_key_bucket(
             ev, 5, 3600, tiebreak_col="event_id"
         ).count(),

@@ -979,3 +979,50 @@ def test_psi_empty_current_is_loud_not_null(spark):
     rows = drift.psi_report(ref, ref.limit(0), "v", n_bins=4).collect()
     assert all(r.cur_share == 0.0 for r in rows)
     assert rows[0].psi_total > 1.0  # epsilon floor drives the verdict loud
+
+
+def test_running_sum_bucketed_equals_exact(spark):
+    """The skew-bounded two-level prefix-sum running sum must be
+    bit-identical to the exact window across bucket widths, including
+    NULL values mid-stream, leading NULLs, NULL timestamps, and
+    tied timestamps broken by the id column."""
+    from datetime import datetime, timedelta
+
+    from bigdata_commerce_spark.operators.running import running_sum_per_key
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        # user 1: leading NULL value, a mid-stream NULL, a ts tie
+        (1, 1, t(0), None),
+        (2, 1, t(10), 5.0),
+        (3, 1, t(10), 2.0),  # tie with event 2 -> tiebreak on id
+        (4, 1, t(200), None),
+        (5, 1, t(400), 1.5),
+        # user 2: NULL ts first (runs before everything, stays NULL)
+        (6, 2, None, 9.0),
+        (7, 2, t(5), 1.0),
+        # user 3: all-NULL values -> running sum NULL throughout
+        (8, 3, t(1), None),
+        (9, 3, t(2), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    def run(bucket):
+        out = running_sum_per_key(
+            df, "user_id", "ts", "value", "rs",
+            bucket_seconds=bucket, tiebreak_col="event_id",
+        )
+        return sorted(
+            (r.event_id, None if r.rs is None else float(r.rs))
+            for r in out.collect()
+        )
+
+    exact = run(None)
+    assert exact == [
+        (1, None), (2, 5.0), (3, 7.0), (4, 7.0), (5, 8.5),
+        (6, 9.0), (7, 10.0), (8, None), (9, None),
+    ]
+    for b in (60, 3600, 86400):
+        assert run(b) == exact, f"bucket_seconds={b} diverged"
