@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.packing import pack_sequences
 from bigdata_commerce_spark.operators.text import chunk_documents
@@ -300,3 +301,101 @@ def test_interval_overlap_join_equals_naive_theta(spark, data, bucket):
         (a, b, ts(c), ts(d)) for a, b, c, d in want
     )
     assert len(got) == len(set(got))  # exactly-once, no distinct pass
+
+
+@st.composite
+def keyed_event_streams(draw):
+    """(key, ts_seconds, value) triples with deliberately clumpy
+    timestamps: duplicates (ties), bucket-boundary-exact values, long
+    empty stretches, and NULL values — the shapes the bucket-spine
+    stitch has to get right."""
+    n_keys = draw(st.integers(1, 4))
+    rows = []
+    rid = 0
+    for k in range(n_keys):
+        n = draw(st.integers(1, 25))
+        ts = draw(
+            st.lists(
+                st.integers(0, 20_000).map(lambda s: s * 10), min_size=n, max_size=n
+            )
+        )
+        for t in ts:
+            rid += 1
+            v = draw(st.one_of(st.none(), st.integers(-100, 100)))
+            rows.append((rid, k, t, None if v is None else float(v)))
+    return rows
+
+
+@_SETTINGS
+@given(rows=keyed_event_streams(), bucket=st.sampled_from([60, 1800, 86400]))
+def test_sessionize_bucketed_equivalence_hypothesis(spark, rows, bucket):
+    """Generated clumpy streams: the time-bucketized sessionizer's ids
+    must equal the exact path's for every row."""
+    from bigdata_commerce_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(rid, k, t) for rid, k, t, _ in rows],
+        "event_id long, user_id long, sec long",
+    ).select("event_id", "user_id", F.col("sec").cast("timestamp").alias("ts"))
+    exact = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap_minutes=30, bucket_seconds=bucket).collect()
+    }
+    assert got == exact
+
+
+@_SETTINGS
+@given(rows=keyed_event_streams(), bucket=st.sampled_from([60, 1800, 86400]))
+def test_running_sum_bucketed_equivalence_hypothesis(spark, rows, bucket):
+    """Generated clumpy streams with NULL values: the two-level
+    prefix-sum running sum must be bit-identical to the exact window
+    (ties broken by event_id on both paths)."""
+    from bigdata_commerce_spark.operators.running import running_sum_per_key
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).select(
+        "event_id", "user_id", F.col("sec").cast("timestamp").alias("ts"), "value"
+    )
+
+    def run(b):
+        return {
+            r.event_id: r.rs
+            for r in running_sum_per_key(
+                df, "user_id", "ts", "value", "rs",
+                bucket_seconds=b, tiebreak_col="event_id",
+            ).collect()
+        }
+
+    assert run(bucket) == run(None)
+
+
+@_SETTINGS
+@given(rows=keyed_event_streams(), bucket=st.sampled_from([60, 1800, 86400]))
+def test_asof_bucketed_equivalence_hypothesis(spark, rows, bucket):
+    """Generated clumpy streams split into probe/quote sides: the
+    bucketized as-of join must match the exact path row-for-row."""
+    from bigdata_commerce_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).select(
+        "event_id", "user_id", F.col("sec").cast("timestamp").alias("ts"), "value"
+    )
+    left = df.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+    right = df.where(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
+
+    def run(b):
+        return sorted(
+            (r.event_id, r.asof_value, r.asof_ts)
+            for r in asof_join(
+                left, right, on="user_id", left_ts="ts", right_ts="ts",
+                payload_cols=["value"], bucket_seconds=b,
+            ).collect()
+        )
+
+    assert run(bucket) == run(None)
