@@ -1587,3 +1587,47 @@ def documents_shuffled_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return with_shuffled_index(docs).select("doc_id", "idx")
+
+
+@twin_query(
+    "bm25_doc_scores",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl, toks FROM tok
+    ), stats AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), m AS (
+        SELECT doc_id, dl, unnest(toks) AS term FROM dl
+    ), tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM m WHERE term IN ('spark', 'shuffle', 'join')
+        GROUP BY 1, 2, 3
+    ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(ROUND(SUM(CAST(ROUND(
+               ln(1 + (n - df + 0.5) / (df + 0.5)) *
+               tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           , 8) AS DECIMAL(20,8))), 6) AS DOUBLE) AS bm25
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every matching document against a
+    3-term query (operators/bm25.py) — query-driven quality filtering
+    for training corpora. The oracle replays the exact formulation
+    (same k1/b constants, per-term contributions rounded to 8 dp then
+    decimal-summed, so libm 1-ulp ln() differences and float sum
+    order cannot drift the hash). Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_scores(docs, ["spark", "shuffle", "join"])

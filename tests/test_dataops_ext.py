@@ -1026,3 +1026,33 @@ def test_running_sum_bucketed_equals_exact(spark):
     ]
     for b in (60, 3600, 86400):
         assert run(b) == exact, f"bucket_seconds={b} diverged"
+
+
+def test_bm25_ranking_properties(spark):
+    """Crafted corpus pins the ranking laws: higher tf wins at equal
+    length, rarer terms out-score common ones (idf), longer documents
+    are penalized at equal tf (length normalization), and documents
+    with no query term are absent."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad"),   # tf=3
+            (2, "spark pad pad pad"),       # tf=1, same length as 1
+            (3, "rare pad pad pad"),        # rare term, same shape as 2
+            (4, "spark " + "pad " * 99),    # tf=1, much longer
+            (5, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, ["spark", "rare"]).collect()
+    }
+    assert set(scores) == {1, 2, 3, 4}
+    assert scores[1] > scores[2]          # tf monotonicity
+    assert scores[3] > scores[2]          # rarer term -> higher idf
+    assert scores[2] > scores[4]          # length normalization
+    assert all(v > 0 for v in scores.values())
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_scores(docs, [])
