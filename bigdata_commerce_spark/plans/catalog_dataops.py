@@ -1631,3 +1631,37 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bm25_scores(docs, ["spark", "shuffle", "join"])
+
+
+@twin_query(
+    "embeddings_quantized",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(ROUND(sc, 8) AS DOUBLE) AS qscale_r,
+           CASE WHEN sc > 0
+                THEN list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS TINYINT))
+                ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+           END AS qvec
+    FROM s
+    """,
+)
+def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus
+    (operators/quantize.py) — codes must be BIT-identical to the
+    oracle's double-precision replay (float->double casts before any
+    arithmetic, round-half-away in both engines). Twin slot: driver
+    catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", F.round("qscale", 8).alias("qscale_r"), "qvec"
+    )

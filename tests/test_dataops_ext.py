@@ -1056,3 +1056,57 @@ def test_bm25_ranking_properties(spark):
     assert all(v > 0 for v in scores.values())
     with pytest.raises(ValueError, match="at least one query term"):
         bm25_scores(docs, [])
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized components differ from the originals by at most
+    scale/2 (+ float eps); the zero vector round-trips to zeros."""
+    import random
+
+    from bigdata_commerce_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(40)
+    ] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = {r.vec_id: r.embedding for r in df.collect()}  # post-float32 values
+    q = quantize_embeddings(df)
+    scales = {r.vec_id: r.qscale for r in q.select("vec_id", "qscale").collect()}
+    back = {r.vec_id: r.embedding for r in dequantize_embeddings(q).collect()}
+    for vid, vec in orig.items():
+        s = scales[vid]
+        for a, b in zip(vec, back[vid]):
+            assert abs(a - b) <= s / 2 + 1e-5, (vid, a, b, s)
+    assert back[99] == [0.0] * 16 and scales[99] == 0.0
+
+
+def test_quantized_search_preserves_topk_recall(spark):
+    """Exact cosine top-10 over the DEQUANTIZED corpus must recover
+    most of the true top-10 — int8 with per-vector scaling loses
+    little ranking fidelity (the property that makes the 4x-smaller
+    store usable for search)."""
+    from bigdata_commerce_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from bigdata_commerce_spark.operators.similarity import cosine_topk
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+
+    def topk(corpus):
+        return {
+            (r.probe_id, r.corpus_id)
+            for r in cosine_topk(corpus, probes, k=10).collect()
+        }
+
+    exact, quant = topk(emb), topk(deq)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"recall = {recall}"
