@@ -144,3 +144,44 @@ def test_aqe_splits_skewed_join_partitions(spark):
             spark.conf.set(k, v)
     assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
     assert "coalesced and skewed" in plan
+
+
+def test_bm25_term_filter_runs_map_side(spark):
+    """The query-term membership filter must sit directly above the
+    explode — BELOW the first exchange — so only matching (doc, term)
+    pairs shuffle; document frequencies and corpus stats must arrive
+    by broadcast. This is what keeps a few-term query over a 100 TB
+    corpus shuffling megabytes."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    plan = (
+        bm25_scores(docs, ["spark", "join"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    f = plan.index("Filter __term")
+    # plan prints top-down: the exchange appearing BEFORE the filter
+    # in the text means the filter executes below (before) it
+    assert plan.index("Exchange hashpartitioning(doc_id") < f, plan[:1500]
+    assert plan.index("Generate explode") > f
+    assert "BroadcastHashJoin [__term" in plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan  # 1-row stats
+
+
+def test_quantize_is_pure_projection(spark):
+    """int8 quantization must compile to a shuffle-free projection —
+    no Exchange anywhere — so it runs at scan speed on any corpus."""
+    from bigdata_commerce_spark.operators.quantize import quantize_embeddings
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    plan = (
+        quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Project" in plan
