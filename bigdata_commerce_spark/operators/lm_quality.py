@@ -1,0 +1,105 @@
+"""Language-model quality scoring: per-document pseudo-perplexity
+under a character-bigram model trained on a reference corpus.
+
+The CCNet pipeline (Wenzek et al., 2020) ranks crawl documents by
+KenLM perplexity against a clean reference (Wikipedia) and keeps the
+low-perplexity head. This module is the same pipeline seam with a
+dependency-free model: a Laplace-smoothed character-bigram LM —
+strong enough to separate gibberish/boilerplate from prose, and fully
+replayable in ANSI SQL so the score is oracle-checked. A KenLM-backed
+kernel would slot into the same (train on reference) -> (score corpus)
+contract via mapInPandas if the dependency ever lands.
+
+Model: over lowercased text, ``p(bg) = (c(bg) + 1) / (T + V + 1)``
+with one catch-all unseen bucket (``p_unseen = 1 / (T + V + 1)``);
+document score = mean negative log-likelihood over its bigrams (low =
+reference-like, high = alien). The model is a (bigram, logp) frame —
+at most alphabet² rows, broadcast at scoring time.
+
+Scale shape: training is one explode + one hash aggregate over the
+REFERENCE (typically the small clean corpus); scoring is one explode
+of the target corpus + a broadcast join + one per-doc aggregate —
+no shuffle grows with the corpus beyond the (doc, bigram) aggregate.
+Determinism across engines: per-bigram log-probs are rounded to 8 dp
+at train time and summed as DECIMAL at score time (the same
+discipline as BM25), so libm ln() ulps and float sum order cannot
+drift the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"
+)
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bg) — one row per character bigram of the lowercased text.
+    Documents shorter than 2 chars (or NULL) emit no rows; the guard
+    matters because Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    not empty."""
+    return (
+        docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+        .where(F.length("__t") > 1)
+        .select(id_col, F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    )
+
+
+def train_char_bigram_lm(
+    reference: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bg, logp, unseen_logp) — the model frame. ``unseen_logp`` is
+    carried on every row so scoring needs no second artifact."""
+    counts = _doc_bigrams(reference, id_col, text_col).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = counts.agg(
+        F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    denom = F.col("__T") + F.col("__V") + F.lit(1)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bg",
+        F.round(F.log((F.col("__c") + F.lit(1)) / denom), 8).alias("logp"),
+        F.round(F.log(F.lit(1) / denom), 8).alias("unseen_logp"),
+    )
+
+
+def char_bigram_nll(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, nll): mean negative log-likelihood of each
+    document's char bigrams under the model trained on ``reference``
+    (default: the corpus itself — self-perplexity, the no-clean-corpus
+    mode). Documents with fewer than 2 characters are absent (no
+    bigrams, no defined score). Rank ascending and keep the head, or
+    feed the nll column to ``validate`` / ``drift`` as a monitored
+    quality metric."""
+    lm = train_char_bigram_lm(
+        reference if reference is not None else docs, id_col, text_col
+    )
+    bg = _doc_bigrams(docs, id_col, text_col)
+    # unseen_logp is a model constant (same on every lm row); a
+    # one-row broadcast supplies it to the rows the left join misses
+    const = lm.select("unseen_logp").limit(1)
+    scored = (
+        bg.join(F.broadcast(lm.select("bg", "logp")), "bg", "left")
+        .crossJoin(F.broadcast(const))
+    )
+    lp = F.coalesce(F.col("logp"), F.col("unseen_logp"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(lp.cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )

@@ -1665,3 +1665,42 @@ def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.round("qscale", 8).alias("qscale_r"), "qvec"
     )
+
+
+@twin_query(
+    "doc_char_bigram_nll",
+    oracle="""
+    WITH low AS (
+        SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) > 1
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(t) - 1),
+                                     i -> substr(t, i, 2))) AS bg
+        FROM low
+    ), counts AS (
+        SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1
+    ), tot AS (
+        SELECT SUM(c) AS T, COUNT(*) AS V FROM counts
+    ), lm AS (
+        SELECT bg, ROUND(ln((c + 1) / (T + V + 1)), 8) AS lp
+        FROM counts CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(ROUND(
+               -CAST(SUM(CAST(COALESCE(lp, ROUND(ln(1 / (T + V + 1)), 8))
+                              AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+           AS DOUBLE) AS nll
+    FROM bg LEFT JOIN lm USING (bg) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (operators/lm_quality.py):
+    self-perplexity of every document under the corpus's own
+    Laplace-smoothed char-bigram model, replayed exactly by the
+    oracle (8dp-rounded log-probs, decimal sums). Twin slot: driver
+    catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.lm_quality import char_bigram_nll
+
+    docs = load_table(spark, "documents", sf_dir)
+    return char_bigram_nll(docs)

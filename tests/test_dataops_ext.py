@@ -1110,3 +1110,29 @@ def test_quantized_search_preserves_topk_recall(spark):
     exact, quant = topk(emb), topk(deq)
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"recall = {recall}"
+
+
+def test_lm_quality_separates_gibberish_from_prose(spark):
+    """Trained on clean prose, reference-like documents must score a
+    lower mean NLL than alphabet-soup gibberish; unseen bigrams route
+    through the catch-all bucket (not NULL); sub-2-char docs are
+    absent (no bigrams, no defined score)."""
+    from bigdata_commerce_spark.operators.lm_quality import char_bigram_nll
+
+    prose = "the quick brown fox jumps over the lazy dog and then the "
+    reference = spark.createDataFrame(
+        [(i, prose * 3) for i in range(10)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the brown dog jumps over the fox"),   # reference-like
+            (2, "zq xv jj qq wz vx kk zz qx vj"),      # gibberish, unseen bigrams
+            (3, "x"),                                   # too short: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_bigram_nll(docs, reference=reference).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].nll < out[2].nll
+    assert out[1].nll is not None and out[2].nll is not None
+    assert out[1].n_bigrams == len("the brown dog jumps over the fox") - 1
