@@ -405,6 +405,36 @@ def streaming_probe(spark, n_chunks: int = 20, files_per_trigger: int = 1) -> di
     }
 
 
+def round5_probes(spark, docs_path: str, emb_path: str):
+    """The round-5 corpus operators: BM25 (explode + map-side term
+    filter), char-bigram LM scoring (train + score, two explodes),
+    int8 quantization (pure projection). Each consumed through an
+    aggregate over its OUTPUT columns so Catalyst can't prune the
+    scored expression out of the timed plan (the trap the asof probe
+    documented)."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.operators.lm_quality import char_bigram_nll
+    from bigdata_commerce_spark.operators.quantize import quantize_embeddings
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    return {
+        "bm25": lambda: float(
+            bm25_scores(docs, ["spark", "shuffle", "join", "window"])
+            .agg(F.sum("bm25"))
+            .collect()[0][0]
+        ),
+        "lm_nll": lambda: float(
+            char_bigram_nll(docs).agg(F.sum("nll")).collect()[0][0]
+        ),
+        "quantize": lambda: float(
+            quantize_embeddings(emb)
+            .agg(F.sum("qscale") + F.sum(F.element_at("qvec", 1).cast("long")))
+            .collect()[0][0]
+        ),
+    }
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -704,6 +734,16 @@ def main() -> None:
             "n_keys": int(rep.n_keys),
             "total_rows": int(rep.total_rows),
         }
+    elif suite == "round5":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        p1 = round5_probes(
+            spark,
+            os.path.join(sf1, "documents.parquet"),
+            os.path.join(sf1, "embeddings.parquet"),
+        )
+        p10 = round5_probes(spark, docs10, emb10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5")
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost
