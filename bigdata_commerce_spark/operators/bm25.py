@@ -8,7 +8,7 @@ Okapi BM25 (Robertson/Sparck Jones; the Lucene-default formulation):
     score(D, Q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|D|/avgdl))
     idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
 
-Scale shape (one corpus scan, in-plan end to end):
+Scale shape (in-plan end to end):
 - tokenize + doc length as array expressions (no UDF);
 - ONE explode, with the query-term membership filter applied to the
   exploded term map-side — only (doc, matching-term) pairs ever reach
@@ -17,6 +17,11 @@ Scale shape (one corpus scan, in-plan end to end):
   frequencies ride a second aggregate over that (already tiny)
   result; N/avgdl are a one-row aggregate — both broadcast;
 - per-document score = one aggregate over <= |Q| rows per doc.
+
+The corpus tokenizes twice by default (the N/avgdl stats pass and the
+match pass). At 100 TB, pass ``n_docs``/``avgdl`` explicitly — corpus
+stats are computed once per snapshot and reused across every query —
+and the stats scan disappears, leaving ONE corpus pass per query.
 
 Determinism across engines: each term's contribution is rounded to
 8 dp and summed as DECIMAL (the money_sum discipline) — ln() may
@@ -41,15 +46,23 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_col: str = "bm25",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """(id, score) for every document matching at least one query
     term (docs with no match are absent — join-filter semantics, the
     useful shape when the corpus dwarfs the match set). Tokenization
     is lowercase whitespace split; pre-normalize the text column for
     anything fancier. Scores are rounded to 6 dp.
+
+    Pass ``n_docs`` AND ``avgdl`` (precomputed corpus stats) to skip
+    the stats scan — the production path when many queries score the
+    same snapshot (module docstring).
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
+    if (n_docs is None) != (avgdl is None):
+        raise ValueError("pass both n_docs and avgdl, or neither")
     terms = sorted({t.lower() for t in query_terms})
 
     toks = docs.select(
@@ -59,9 +72,16 @@ def bm25_scores(
         ).alias("__toks"),
     ).withColumn("__dl", F.size("__toks"))
 
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
-    )
+    if n_docs is not None:
+        spark = docs.sparkSession
+        stats = spark.range(1).select(
+            F.lit(int(n_docs)).alias("__n"),
+            F.lit(float(avgdl)).alias("__avgdl"),
+        )
+    else:
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+        )
 
     # membership filter on the exploded term evaluates map-side,
     # before any shuffle — the load-bearing line at corpus scale

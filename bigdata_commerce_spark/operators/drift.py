@@ -116,9 +116,13 @@ def psi_report(
         # _bin_shares ends in a tiny (n_bins-row) aggregate; collect it
         # through a localCheckpoint-free eager materialization so the
         # cache can be released before the (lazy) result is consumed.
+        # The ORIGINAL schema is passed explicitly: inference from the
+        # collected python ints would silently widen `bin` from int to
+        # bigint in the public report.
+        shares = _bin_shares(ref_proj, col, bounds)
         ref = (
             ref_proj.sparkSession.createDataFrame(
-                _bin_shares(ref_proj, col, bounds).collect()
+                shares.collect(), shares.schema
             )
             .withColumnRenamed("share", "ref_share")
         )

@@ -20,6 +20,8 @@ Scale shape: training is one explode + one hash aggregate over the
 REFERENCE (typically the small clean corpus); scoring is one explode
 of the target corpus + a broadcast join + one per-doc aggregate —
 no shuffle grows with the corpus beyond the (doc, bigram) aggregate.
+In self-perplexity mode (no reference) train and score share ONE
+persisted bigram explode, so the corpus still tokenizes once.
 Determinism across engines: per-bigram log-probs are rounded to 8 dp
 at train time and summed as DECIMAL at score time (the same
 discipline as BM25), so libm ln() ulps and float sum order cannot
@@ -53,9 +55,12 @@ def train_char_bigram_lm(
 ) -> DataFrame:
     """(bg, logp, unseen_logp) — the model frame. ``unseen_logp`` is
     carried on every row so scoring needs no second artifact."""
-    counts = _doc_bigrams(reference, id_col, text_col).groupBy("bg").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    bg = _doc_bigrams(reference, id_col, text_col)
+    return _train_from_bigrams(bg)
+
+
+def _train_from_bigrams(bg: DataFrame) -> DataFrame:
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c"))
     tot = counts.agg(
         F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
@@ -80,13 +85,25 @@ def char_bigram_nll(
     bigrams, no defined score). Rank ascending and keep the head, or
     feed the nll column to ``validate`` / ``drift`` as a monitored
     quality metric."""
-    lm = train_char_bigram_lm(
-        reference if reference is not None else docs, id_col, text_col
-    )
     bg = _doc_bigrams(docs, id_col, text_col)
-    # unseen_logp is a model constant (same on every lm row); a
-    # one-row broadcast supplies it to the rows the left join misses
-    const = lm.select("unseen_logp").limit(1)
+    if reference is None:
+        # self-perplexity: train and score consume the SAME exploded
+        # bigrams — persist so the corpus tokenizes once, not twice
+        # (the module's heaviest work; documented multi-consumer
+        # cache, the repo norm)
+        bg = bg.persist()
+        lm = _train_from_bigrams(bg)
+    else:
+        lm = train_char_bigram_lm(reference, id_col, text_col)
+    # unseen_logp is a model constant (same on every lm row). Recover
+    # it through an aggregate, NOT limit(1): an aggregate always
+    # yields one row, so a degenerate EMPTY model (reference with no
+    # 2+-char text) scores every bigram through the catch-all bucket
+    # (logp 0 — the 1-outcome model) instead of a limit(1)-empty
+    # crossJoin silently annihilating the whole output.
+    const = lm.agg(
+        F.coalesce(F.max("unseen_logp"), F.lit(0.0)).alias("unseen_logp")
+    )
     scored = (
         bg.join(F.broadcast(lm.select("bg", "logp")), "bg", "left")
         .crossJoin(F.broadcast(const))

@@ -17,6 +17,10 @@ contract (identical schemas and batch shapes):
   swapping in heavyweight codecs later cannot change schemas. Real
   mode raises ``CodecError`` on undecodable content — pre-filter
   corrupt media (a cheap magic-byte check) before the expensive pass.
+  NULL content is ABSENT media, not corrupt media: real mode emits
+  NULL features / NULL resize fingerprint / zero frame rows for it
+  (the failed-fetch row must not kill a 100 TB batch), while the
+  deterministic stub hashes the empty payload as before.
 """
 
 from __future__ import annotations
@@ -117,8 +121,9 @@ def extract_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
                 lambda b: hashlib.sha256(bytes(b) if b is not None else b"").digest()
             )
             if decode == "real":
+                # None = absent media -> NULL features, not a decode crash
                 features = pdf["content"].map(
-                    lambda b: _real_features(bytes(b) if b is not None else b"")
+                    lambda b: None if b is None else _real_features(bytes(b))
                 )
             else:
                 features = digests.map(_fake_features)
@@ -169,8 +174,9 @@ def resize_media(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
+                # None = absent media -> NULL fingerprint, not a crash
                 shas = pdf["content"].map(
-                    lambda b: _real_resize_sha(bytes(b) if b is not None else b"")
+                    lambda b: None if b is None else _real_resize_sha(bytes(b))
                 )
             else:
                 shas = pdf["content"].map(
@@ -246,6 +252,8 @@ def frame_sample(
             for mid, content, dur in zip(pdf["media_id"], pdf["content"], durations):
                 raw = bytes(content) if content is not None else b""
                 if decode == "real":
+                    if content is None:
+                        continue  # absent media has no frames
                     for i, off, sha in _real_frames(raw, dur):
                         out["media_id"].append(mid)
                         out["frame_no"].append(i)

@@ -98,12 +98,15 @@ def mean_in_range(col: str, lo, hi, name: str | None = None) -> AggCheck:
     # Mean from EXACT decimal sum / count (the money_sum discipline),
     # not F.avg over doubles: a double avg is partitioning-order
     # dependent, so a mean sitting exactly on a bound could flip
-    # pass/fail between runs. Exact partials keep the verdict
-    # deterministic (inputs assumed <= 6 decimal places, |v| < 1e12).
-    exact_mean = (
-        F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
-        / F.count(col)
-    )
+    # pass/fail between runs. try_cast keeps the check total over any
+    # numeric column: a value decimal(38,6) can't hold (|v| >= 1e32,
+    # NaN, infinity) becomes NULL and is excluded from BOTH the sum
+    # and the count — deterministic, and it cannot crash the shared
+    # aggregate under ANSI the way a plain cast would. Values are
+    # pinned to 6 decimal places by the cast; that is the comparison
+    # precision.
+    d = F.col(col).try_cast("decimal(38,6)")
+    exact_mean = F.sum(d).cast("double") / F.count(d)
     return AggCheck(
         name or f"mean_in_range({col})",
         "mean_in_range",

@@ -317,11 +317,13 @@ def test_asof_join_bucketed_null_and_tie_edges(spark):
     from bigdata_commerce_spark.operators.asof import asof_join
 
     left = spark.createDataFrame(
-        [("k", None), ("k", 5), ("k", 60), ("k", 61), ("k", 3600), ("z", 50)],
+        [("k", None), ("k", 5), ("k", 60), ("k", 61), ("k", 3600), ("z", 50),
+         (None, 7200)],
         "key string, lts long",
     )
     right = spark.createDataFrame(
-        [("k", None, "poison"), ("k", 5, "a"), ("k", 60, "b")],
+        [("k", None, "poison"), ("k", 5, "a"), ("k", 60, "b"),
+         (None, 100, "nullkey")],
         "key string, rts long, payload string",
     )
     for b in (None, 60):
@@ -339,6 +341,9 @@ def test_asof_join_bucketed_null_and_tie_edges(spark):
             ("k", 61): ("b", 60),
             ("k", 3600): ("b", 60),  # carry across 58 empty buckets
             ("z", 50): (None, None),  # key with no right rows at all
+            # NULL keys window together (exact path) and the
+            # bucketized carry must be null-safe to agree
+            (None, 7200): ("nullkey", 100),
         }, f"bucket_seconds={b}"
 
 

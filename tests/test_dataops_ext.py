@@ -1004,6 +1004,10 @@ def test_running_sum_bucketed_equals_exact(spark):
         # user 3: all-NULL values -> running sum NULL throughout
         (8, 3, t(1), None),
         (9, 3, t(2), None),
+        # NULL user: exact path windows it like any key; bucketized
+        # join-back must be null-safe to keep (and sum) these rows
+        (10, None, t(0), 2.0),
+        (11, None, t(90), 3.0),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, value double"
@@ -1023,9 +1027,40 @@ def test_running_sum_bucketed_equals_exact(spark):
     assert exact == [
         (1, None), (2, 5.0), (3, 7.0), (4, 7.0), (5, 8.5),
         (6, 9.0), (7, 10.0), (8, None), (9, None),
+        (10, 2.0), (11, 5.0),
     ]
     for b in (60, 3600, 86400):
         assert run(b) == exact, f"bucket_seconds={b} diverged"
+
+
+def test_running_sum_keeps_8dp_precision(spark):
+    """The bucketized add must not demote decimal scale: 8-dp inputs
+    (3e-8 + 4e-8) sum to exactly 7e-8 on BOTH paths, with identical
+    decimal(38,8) output types — the (38,8)+(38,8) -> (38,7) Spark
+    demotion the narrowed partials exist to avoid."""
+    from datetime import datetime, timedelta
+
+    from bigdata_commerce_spark.operators.running import running_sum_per_key
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, 3e-8), (2, 1, t0 + timedelta(hours=2), 4e-8)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+    def run(bucket):
+        out = running_sum_per_key(
+            df, "user_id", "ts", "value", "rs",
+            bucket_seconds=bucket, tiebreak_col="event_id",
+        )
+        return out.schema["rs"].dataType.simpleString(), {
+            r.event_id: float(r.rs) for r in out.collect()
+        }
+
+    exact_type, exact_vals = run(None)
+    buck_type, buck_vals = run(3600)  # rows land in different buckets
+    assert exact_type == buck_type == "decimal(38,8)"
+    assert exact_vals == buck_vals == {1: 3e-8, 2: 7e-8}
 
 
 def test_bm25_ranking_properties(spark):
@@ -1136,3 +1171,95 @@ def test_lm_quality_separates_gibberish_from_prose(spark):
     assert out[1].nll < out[2].nll
     assert out[1].nll is not None and out[2].nll is not None
     assert out[1].n_bigrams == len("the brown dog jumps over the fox") - 1
+
+
+def test_lm_quality_degenerate_reference_scores_not_empty(spark):
+    """A reference with no trainable text (all sub-2-char docs) yields
+    the 1-outcome model: every bigram scores through the catch-all
+    bucket (logp 0 -> nll 0.0) — NOT an empty output silently
+    dropping every document."""
+    from bigdata_commerce_spark.operators.lm_quality import char_bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "real text here")], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame(
+        [(9, "x"), (10, "")], "doc_id long, text string"
+    )
+    rows = char_bigram_nll(docs, reference=empty_ref).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1 and rows[0].nll == 0.0
+
+
+def test_validate_mean_in_range_survives_huge_and_nan(spark):
+    """mean_in_range must stay total over any numeric column: values
+    decimal(38,6) can't hold (>=1e32, NaN) are excluded from BOTH sum
+    and count instead of crashing the shared ANSI aggregate or
+    silently biasing the mean."""
+    from bigdata_commerce_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(2.0e12,), (4.0e12,), (float("nan"),), (1.0e33,)], "x double"
+    )
+    # mean over the two representable values = 3e12
+    rep = {r.check_name: r for r in V.validate(
+        df, [V.mean_in_range("x", 2.5e12, 3.5e12), V.not_null("x")]
+    ).collect()}
+    assert rep["mean_in_range(x)"].passed is True
+    assert rep["not_null(x)"].passed is True  # shared aggregate survived
+
+
+def test_multimodal_real_mode_null_content_is_absent_media(spark):
+    """NULL content (failed fetch) must yield NULL features / NULL
+    resize fingerprint / zero frames in real mode — never a CodecError
+    that kills the batch."""
+    import numpy as np
+
+    from bigdata_commerce_spark.operators import multimodal
+    from bigdata_commerce_spark.operators.codecs import encode_bmp
+
+    img = encode_bmp(np.full((2, 2, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(0, bytearray(img), None), (1, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in multimodal.extract_features(media, decode="real").collect()}
+    assert feats[0].features is not None and feats[1].features is None
+    assert feats[1].n_bytes == 0
+    rs = {r.media_id: r for r in multimodal.resize_media(media, 2, 2, decode="real").collect()}
+    assert rs[0].resized_sha is not None and rs[1].resized_sha is None
+    frames = multimodal.frame_sample(media, n_frames=3, decode="real").collect()
+    assert {r.media_id for r in frames} == {0} and len(frames) == 3
+
+
+def test_bm25_precomputed_stats_matches_inline(spark):
+    """Passing snapshot-level n_docs/avgdl (the one-scan production
+    path) must reproduce the inline two-pass scores exactly."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    toks = docs.select(
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("dl")
+    )
+    n, avgdl = toks.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
+    inline = sorted(map(tuple, bm25_scores(docs, ["spark", "join"]).collect()))
+    precomp = sorted(map(tuple, bm25_scores(
+        docs, ["spark", "join"], n_docs=n, avgdl=avgdl
+    ).collect()))
+    assert inline == precomp and inline
+    with pytest.raises(ValueError, match="both n_docs and avgdl"):
+        bm25_scores(docs, ["spark"], n_docs=10)
+
+
+def test_psi_report_bin_stays_int(spark):
+    """The eager ref-share materialization must preserve the public
+    report schema — bin is IntegerType, not inference-widened long."""
+    from pyspark.sql.types import IntegerType
+
+    from bigdata_commerce_spark.operators import drift
+
+    ref = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    rep = drift.psi_report(ref, ref, "v", n_bins=4)
+    assert rep.schema["bin"].dataType == IntegerType()

@@ -313,6 +313,11 @@ def keyed_event_streams(draw):
     rows = []
     rid = 0
     for k in range(n_keys):
+        # key 0 sometimes becomes NULL: the exact paths window
+        # NULL keys into one partition, and the bucketized paths'
+        # join-back must be null-safe to keep those rows (a plain
+        # equi-join silently dropped them — round-5 review finding)
+        key = None if (k == 0 and draw(st.booleans())) else k
         n = draw(st.integers(1, 25))
         ts = draw(
             st.lists(
@@ -322,7 +327,7 @@ def keyed_event_streams(draw):
         for t in ts:
             rid += 1
             v = draw(st.one_of(st.none(), st.integers(-100, 100)))
-            rows.append((rid, k, t, None if v is None else float(v)))
+            rows.append((rid, key, t, None if v is None else float(v)))
     return rows
 
 

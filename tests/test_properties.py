@@ -78,15 +78,25 @@ def test_sessionize_bucketed_null_ts_rows(spark):
         (1, datetime(2024, 1, 1, 10, 0)),
         (1, datetime(2024, 1, 1, 10, 5)),
         (2, datetime(2024, 1, 1, 9, 0)),
+        # NULL user: the exact path windows it like any other key;
+        # the bucketized join-back must be null-safe to keep the rows
+        (None, datetime(2024, 1, 1, 8, 0)),
+        (None, datetime(2024, 1, 1, 8, 10)),
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     exact = sessionize(ev, gap_minutes=30).collect()
     bucketed = sessionize(ev, gap_minutes=30, bucket_seconds=3600).collect()
 
     def sig(out):
-        # None ts is not orderable against datetime — sort NULLs first
+        # None (user or ts) is not orderable — sort NULLs first
         return sorted(
-            (r.user_id, r.ts is not None, r.ts or datetime.min, r.session_id)
+            (
+                r.user_id is not None,
+                r.user_id or 0,
+                r.ts is not None,
+                r.ts or datetime.min,
+                r.session_id,
+            )
             for r in out
         )
 
