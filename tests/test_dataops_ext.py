@@ -1263,3 +1263,52 @@ def test_psi_report_bin_stays_int(spark):
     ref = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
     rep = drift.psi_report(ref, ref, "v", n_bins=4)
     assert rep.schema["bin"].dataType == IntegerType()
+
+
+def test_retrieval_curation_pipeline_last_mile(spark, tmp_path):
+    """The round-5 operators composed end to end, one engine: LM
+    quality scoring + BM25 topical relevance gate the corpus, the
+    survivors' embeddings are int8-quantized and published as a
+    partition-pruned IVF index, and a search over the index returns
+    only curated documents with sane cosine scores."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.operators.ivf_index import (
+        search_ivf_index,
+        write_ivf_index,
+    )
+    from bigdata_commerce_spark.operators.lm_quality import char_bigram_nll
+    from bigdata_commerce_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+
+    # Gate 1: self-perplexity — drop the most alien half
+    nll = char_bigram_nll(docs)
+    cutoff = nll.agg(F.expr("percentile(nll, 0.5)")).collect()[0][0]
+    fluent = nll.where(F.col("nll") <= cutoff).select("doc_id")
+    # Gate 2: topical relevance — must match the query at all
+    relevant = bm25_scores(docs, ["spark", "shuffle", "join"]).select("doc_id")
+    kept = fluent.join(relevant, "doc_id", "inner")
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+
+    # Quantize the curated slice's embeddings, publish the IVF index
+    # over the DEQUANTIZED vectors (the 4x-smaller store)
+    curated_vecs = emb.join(
+        kept.withColumnRenamed("doc_id", "vec_id"), "vec_id", "inner"
+    )
+    deq = dequantize_embeddings(quantize_embeddings(curated_vecs))
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(deq.select("vec_id", "embedding"), idx, n_centroids=8)
+
+    probes = emb.where(F.col("vec_id") < 3)
+    hits = search_ivf_index(spark, idx, probes, k=5, nprobe=4).collect()
+    assert hits
+    kept_ids = {r.vec_id for r in curated_vecs.select("vec_id").collect()}
+    assert {r.corpus_id for r in hits} <= kept_ids  # only curated docs
+    assert all(-1.0001 <= r.score <= 1.0001 for r in hits)  # cosine range
