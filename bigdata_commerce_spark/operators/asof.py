@@ -125,27 +125,21 @@ def _bucketed_fill(both: DataFrame, bucket_seconds: int) -> DataFrame:
     rows = both.withColumn(
         "__b", F.floor(F.unix_micros(F.col("__ts").cast("timestamp")) / us)
     )
+    from bigdata_commerce_spark.operators.spine import null_safe_key_bucket_join
+
     closing = (
         rows.where(F.col("__side") == 0)
         .groupBy("__key", "__b")
         .agg(F.max(F.struct(F.col("__ts"), F.col("__payload"))).alias("__close"))
-        .withColumnRenamed("__key", "__ck")
-        .withColumnRenamed("__b", "__cb")
     )
     # bucket spine: every (key, bucket) either side touches, so a left
     # bucket with no right rows still receives its carry-in. The join
-    # is NULL-SAFE on the key: the exact path's window groups NULL
-    # keys into one partition (NULL-key probes match NULL-key quotes),
-    # and a plain equi-join would silently drop their carry.
-    spine = (
-        rows.select("__key", "__b")
-        .distinct()
-        .join(
-            closing,
-            F.col("__key").eqNullSafe(F.col("__ck")) & (F.col("__b") == F.col("__cb")),
-            "left",
-        )
-        .drop("__ck", "__cb")
+    # is NULL-SAFE on the key (operators/spine.py): the exact path's
+    # window groups NULL keys into one partition (NULL-key probes
+    # match NULL-key quotes), and a plain equi-join would silently
+    # drop their carry.
+    spine = null_safe_key_bucket_join(
+        rows.select("__key", "__b").distinct(), closing, "__key", "__b", "left"
     )
     w_spine = (
         Window.partitionBy("__key")

@@ -16,6 +16,12 @@ in both engines, so quantized codes are bit-identical.
 
 The all-zero vector has scale 0; its codes are defined as all-zero
 (guarded division), and dequantization returns the zero vector.
+A vector containing NaN/Infinity components (a bad upstream encoder),
+an empty vector, or a NULL vector quantizes to NULL codes + NULL
+scale — one corrupt row must not kill a 100 TB projection (under
+ANSI, an unguarded round(x/NaN) cast to tinyint would), and NULL is
+the honest output for an unrepresentable input. Dequantizing NULL
+codes returns a NULL vector.
 """
 
 from __future__ import annotations
@@ -33,13 +39,25 @@ def quantize_embeddings(
     """Replace ``vec_col`` with int8 codes + a per-vector scale.
     Output carries all other columns unchanged."""
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(as_double, F.abs))
-    scale = maxabs / F.lit(127.0)
-    q = F.transform(
+    # NaN compares GREATER than everything in Spark, so a NaN
+    # component would sail through `scale > 0` and the tinyint cast
+    # of round(x/NaN) would throw under ANSI — guard on finiteness
+    # explicitly and emit NULL codes for unrepresentable vectors
+    finite = F.forall(
         as_double,
-        lambda x: F.when(scale > 0, F.round(x / scale).cast("tinyint"))
-        .otherwise(F.lit(0).cast("tinyint")),
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
     )
+    maxabs = F.array_max(F.transform(as_double, F.abs))
+    scale = F.when(finite, maxabs / F.lit(127.0))
+    q = F.when(
+        scale > 0,
+        F.transform(as_double, lambda x: F.round(x / scale).cast("tinyint")),
+    ).when(
+        scale == 0,  # the all-zero vector
+        F.transform(as_double, lambda x: F.lit(0).cast("tinyint")),
+    )  # scale NULL (non-finite / empty / NULL vector) -> NULL codes
     return df.withColumn(scale_col, scale).withColumn(qvec_col, q).drop(vec_col)
 
 

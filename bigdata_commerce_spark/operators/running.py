@@ -23,8 +23,8 @@ No task ever sorts more than one bucket of the hot key.
 Sums run in DECIMAL (the money_sum discipline): the two paths add in
 different orders, and exact arithmetic is what makes them — and the
 DuckDB oracle — bit-identical. Inputs are assumed to carry <= 8
-decimal places; per-key running totals must stay below 1e21 (the
-bucketized path's decimal(29,8) partials — ANSI mode fails loud
+decimal places; per-key running totals must stay below 1e29 (the
+bucketized path's decimal(37,8) partials — ANSI mode fails loud
 beyond, never silently).
 """
 
@@ -95,30 +95,25 @@ def running_sum_per_key(
     )
     prefix = totals.withColumn("__prefix", F.sum("__tot").over(w_spine))
     zero = F.lit(0).cast("decimal(30,8)")
-    # NULL-SAFE key join: the exact path's window keeps NULL-key rows
-    # (one partition of them); a plain equi-join would drop them.
-    pfx = prefix.select(
-        F.col(key_col).alias("__pk"), F.col("__rb").alias("__rb2"), "__prefix"
-    )
-    # The operands are narrowed to decimal(29,8) before the add:
+    # The operands are narrowed to decimal(37,8) before the add:
     # (38,8)+(38,8) would need precision 39 and Spark demotes that to
     # (38,7), silently rounding away the 8th decimal place the module
-    # promises. (29,8)+(29,8) -> (30,8), then a widening cast back to
-    # the exact path's (38,8) so both paths agree in type and value.
-    # Per-key running totals must therefore fit decimal(29,8)
-    # (|total| < 1e21) — ANSI mode fails loud beyond that.
-    p29 = F.coalesce(F.col("__prefix"), zero).cast("decimal(29,8)")
-    l29 = F.col("__local").cast("decimal(29,8)")
+    # promises. (37,8)+(37,8) -> precision 38, scale 8 — no demotion —
+    # then a cast to the exact path's (38,8) so both paths agree in
+    # type and value. Per-key running totals must therefore fit
+    # decimal(37,8) (|total| < 1e29) — ANSI mode fails loud beyond.
+    p37 = F.coalesce(F.col("__prefix"), zero).cast("decimal(37,8)")
+    l37 = F.col("__local").cast("decimal(37,8)")
+    from bigdata_commerce_spark.operators.spine import null_safe_key_bucket_join
+
     return (
-        rows.join(
-            pfx,
-            F.col(key_col).eqNullSafe(F.col("__pk"))
-            & (F.col("__rb") == F.col("__rb2")),
+        null_safe_key_bucket_join(
+            rows, prefix.select(key_col, "__rb", "__prefix"), key_col, "__rb"
         )
         .withColumn(
             out_col,
-            F.when(F.col("__local").isNotNull(), (p29 + l29).cast("decimal(38,8)"))
+            F.when(F.col("__local").isNotNull(), (p37 + l37).cast("decimal(38,8)"))
             .otherwise(F.col("__prefix").cast("decimal(38,8)")),
         )
-        .drop("__rb", "__rb2", "__pk", "__local", "__prefix")
+        .drop("__rb", "__local", "__prefix")
     )

@@ -154,25 +154,21 @@ def sessionize(
     )
 
     # Phase 4: join the per-bucket base back (shuffle on the composite
-    # key — skew-spread) and emit the identical session id. NULL-SAFE
-    # on the user key: the exact path's window keeps NULL-user rows
-    # (one partition of them), so a plain equi-join would silently
-    # drop anonymous traffic here.
+    # key — skew-spread; NULL-safe on the user key so anonymous
+    # traffic survives, operators/spine.py) and emit the identical
+    # session id.
+    from bigdata_commerce_spark.operators.spine import null_safe_key_bucket_join
+
     seq = F.col("__base") + F.col("__local_seq")
-    base = stitched.select(
-        F.col(user_col).alias("__su"), F.col("__sb").alias("__sb2"), "__base"
-    )
     return (
-        rows.join(
-            base,
-            F.col(user_col).eqNullSafe(F.col("__su"))
-            & (F.col("__sb") == F.col("__sb2")),
+        null_safe_key_bucket_join(
+            rows, stitched.select(user_col, "__sb", "__base"), user_col, "__sb"
         )
         .withColumn(
             session_col,
             F.concat_ws("_", F.col(user_col).cast("string"), seq.cast("string")),
         )
-        .drop("__sb", "__sb2", "__su", "__local_seq", "__base")
+        .drop("__sb", "__local_seq", "__base")
     )
 
 

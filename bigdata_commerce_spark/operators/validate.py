@@ -98,19 +98,25 @@ def mean_in_range(col: str, lo, hi, name: str | None = None) -> AggCheck:
     # Mean from EXACT decimal sum / count (the money_sum discipline),
     # not F.avg over doubles: a double avg is partitioning-order
     # dependent, so a mean sitting exactly on a bound could flip
-    # pass/fail between runs. try_cast keeps the check total over any
-    # numeric column: a value decimal(38,6) can't hold (|v| >= 1e32,
-    # NaN, infinity) becomes NULL and is excluded from BOTH the sum
-    # and the count — deterministic, and it cannot crash the shared
-    # aggregate under ANSI the way a plain cast would. Values are
-    # pinned to 6 decimal places by the cast; that is the comparison
-    # precision.
+    # pass/fail between runs. Totality over any numeric column, with
+    # no silent shrinkage:
+    # - try_cast: a value decimal(38,6) can't hold (|v| >= 1e32, NaN,
+    #   infinity) becomes NULL instead of crashing the shared ANSI
+    #   aggregate — and the count(col) == count(d) guard makes any
+    #   such value FAIL the check loudly (a range gate must not pass
+    #   by silently dropping exactly the pathological values it
+    #   exists to catch);
+    # - try_sum: a sum overflowing decimal(38,6) yields NULL (-> NULL
+    #   condition -> violation) instead of an ANSI ARITHMETIC_OVERFLOW
+    #   that would abort every co-compiled check.
+    # Values are pinned to 6 decimal places by the cast; that is the
+    # comparison precision.
     d = F.col(col).try_cast("decimal(38,6)")
-    exact_mean = F.sum(d).cast("double") / F.count(d)
+    exact_mean = F.try_sum(d).cast("double") / F.count(d)
     return AggCheck(
         name or f"mean_in_range({col})",
         "mean_in_range",
-        exact_mean.between(F.lit(lo), F.lit(hi)),
+        (F.count(col) == F.count(d)) & exact_mean.between(F.lit(lo), F.lit(hi)),
     )
 
 

@@ -1192,21 +1192,36 @@ def test_lm_quality_degenerate_reference_scores_not_empty(spark):
 
 
 def test_validate_mean_in_range_survives_huge_and_nan(spark):
-    """mean_in_range must stay total over any numeric column: values
-    decimal(38,6) can't hold (>=1e32, NaN) are excluded from BOTH sum
-    and count instead of crashing the shared ANSI aggregate or
-    silently biasing the mean."""
+    """mean_in_range must stay total over any numeric column — no
+    ANSI crash on values decimal(38,6) can't hold (>=1e32, NaN) and
+    no silent sample shrinkage: a non-representable value FAILS the
+    check (a range gate must not pass by dropping exactly the
+    pathology it exists to catch), while the co-compiled checks keep
+    reporting."""
     from bigdata_commerce_spark.operators import validate as V
 
-    df = spark.createDataFrame(
+    bad = spark.createDataFrame(
         [(2.0e12,), (4.0e12,), (float("nan"),), (1.0e33,)], "x double"
     )
-    # mean over the two representable values = 3e12
     rep = {r.check_name: r for r in V.validate(
-        df, [V.mean_in_range("x", 2.5e12, 3.5e12), V.not_null("x")]
+        bad, [V.mean_in_range("x", 2.5e12, 3.5e12), V.not_null("x")]
     ).collect()}
-    assert rep["mean_in_range(x)"].passed is True
+    assert rep["mean_in_range(x)"].passed is False  # pathology fails loud
     assert rep["not_null(x)"].passed is True  # shared aggregate survived
+
+    # clean large-magnitude values still verdict on the exact mean
+    ok = spark.createDataFrame([(2.0e12,), (4.0e12,)], "x double")
+    rep2 = V.validate(ok, [V.mean_in_range("x", 2.5e12, 3.5e12)]).collect()[0]
+    assert rep2.passed is True
+
+    # sum overflow (each value representable, sum past decimal(38,6))
+    # -> check fails, aggregate does not crash
+    over = spark.createDataFrame([(9.0e31,), (9.0e31,)], "x double")
+    rep3 = {r.check_name: r for r in V.validate(
+        over, [V.mean_in_range("x", 0, 1e33), V.not_null("x")]
+    ).collect()}
+    assert rep3["mean_in_range(x)"].passed is False
+    assert rep3["not_null(x)"].passed is True
 
 
 def test_multimodal_real_mode_null_content_is_absent_media(spark):
