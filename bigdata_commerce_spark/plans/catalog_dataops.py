@@ -1704,3 +1704,58 @@ def doc_char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return char_bigram_nll(docs)
+
+
+@twin_query(
+    "docs_bloom_semi",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+    """,
+)
+def docs_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned EXACT semi join (operators/bloom.py): documents
+    that have an embedding with label % 3 = 0. The Bloom filter of the
+    key side broadcasts and eliminates non-members map-side; the exact
+    semi join then sees only true members + the fpp sliver — identical
+    rows to the plain semi join, which is precisely what the oracle
+    checks. Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.bloom import bloom_semi_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    keys = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("label") % 3 == 0)
+        .select("vec_id")
+    )
+    return bloom_semi_join(docs, keys, "doc_id", "vec_id")
+
+
+@twin_query(
+    "docs_bloom_anti",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings e
+        WHERE e.label % 3 = 0 AND e.vec_id = d.doc_id
+    )
+    """,
+)
+def docs_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated EXACT anti join (operators/bloom.py): rows
+    the filter rejects are definitely absent and pass through
+    map-side; only the fpp sliver reaches the exact anti join. The
+    incremental-dedup accelerator shape for fingerprint stores beyond
+    broadcast size. Twin slot: driver catalog is at its 50-entry
+    cap."""
+    from bigdata_commerce_spark.operators.bloom import bloom_anti_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    keys = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("label") % 3 == 0)
+        .select("vec_id")
+    )
+    return bloom_anti_join(docs, keys, "doc_id", "vec_id")
