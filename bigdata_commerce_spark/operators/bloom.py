@@ -76,6 +76,8 @@ def bloom_build(
     One explode (k rows per KEY — the small side by contract) + one
     hash aggregate; NULL keys are never stored, mirroring join-key
     semantics (NULL matches nothing)."""
+    if num_bits < 2 or num_hashes < 1:
+        raise ValueError("need num_bits >= 2 and num_hashes >= 1")
     h1, h2 = _base_hashes(F.col(key_col), num_bits)
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -119,6 +121,8 @@ def bloom_might_contain(
     broadcast hash joins against the filter table — the probe side
     never shuffles and nothing leaves codegen except the tiny build.
     NULL keys flag false (a NULL join key matches nothing)."""
+    if num_bits < 2 or num_hashes < 1:
+        raise ValueError("need num_bits >= 2 and num_hashes >= 1")
     h1, h2 = _base_hashes(F.col(key_col), num_bits)
     # materialize the two base hashes once — k positions derive from
     # them with integer arithmetic, so md5 runs twice per row, not 2k
@@ -181,10 +185,10 @@ def bloom_semi_join(
     pruned = bloom_might_contain(big, big_col, bloom, m, k, "__maybe").where(
         F.col("__maybe")
     )
+    # no distinct on the keys side: semi joins already have set
+    # semantics, and a distinct would add a full keys shuffle
     return pruned.drop("__maybe").join(
-        keys.select(F.col(key_col).alias(big_col)).distinct(),
-        big_col,
-        "left_semi",
+        keys.select(F.col(key_col).alias(big_col)), big_col, "left_semi"
     )
 
 
@@ -214,8 +218,6 @@ def bloom_anti_join(
     definitely_absent = flagged.where(~F.col("__maybe")).drop("__maybe")
     maybe = flagged.where(F.col("__maybe")).drop("__maybe")
     verified_absent = maybe.join(
-        keys.select(F.col(key_col).alias(big_col)).distinct(),
-        big_col,
-        "left_anti",
+        keys.select(F.col(key_col).alias(big_col)), big_col, "left_anti"
     )
     return definitely_absent.unionByName(verified_absent)

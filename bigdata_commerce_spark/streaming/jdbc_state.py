@@ -49,15 +49,37 @@ EPOCH_COL = "__epoch"
 # character, which no parsed log field or aggregate key produces.
 NULL_SENTINEL = "\x00"
 
+# Hidden surrogate-key column: md5 of the JSON-encoded key struct,
+# computed Spark-side at staging. The null-safe OR form of the key
+# equality (below) defeats every RDBMS's index planner, so a MERGE
+# against a growing state table degenerates to a nested-loop join —
+# measured on this topology: the accumulate merges went 0.4s (empty
+# state) -> 21-23s by epoch 1 at ~10k state rows, quadratic from
+# there. Leading the ON clause with `t.__kh = s.__kh` (indexed at DDL
+# time) restores index lookups; the null-safe per-column conjuncts
+# stay as residual predicates, so semantics — including NULL keys
+# merging as equal and md5-collision safety — are unchanged.
+# to_json(struct(keys)) is injective for a fixed field set (absent
+# fields are dropped by name, so every NULL pattern serializes
+# distinctly) and stable across Spark versions for the key types the
+# sinks use (string/date/timestamp/numeric).
+KH_COL = "__kh"
+
+
+def _with_key_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    return df.withColumn(
+        KH_COL, F.md5(F.to_json(F.struct(*[F.col(k) for k in key_cols])))
+    )
+
 
 def _on_clause(key_cols: list[str]) -> str:
-    # Null-safe key equality: plain `t.k = s.k` never matches NULL
-    # keys, so a NULL-keyed state row would be re-inserted every
-    # micro-batch instead of merged — diverging from the parquet
-    # backend, whose groupBy/distinct treats NULLs as equal.
+    # Leading indexable equality + null-safe residuals (KH_COL note).
     return " AND ".join(
-        f"(t.{_q(k)} = s.{_q(k)} OR (t.{_q(k)} IS NULL AND s.{_q(k)} IS NULL))"
-        for k in key_cols
+        [f"t.{_q(KH_COL)} = s.{_q(KH_COL)}"]
+        + [
+            f"(t.{_q(k)} = s.{_q(k)} OR (t.{_q(k)} IS NULL AND s.{_q(k)} IS NULL))"
+            for k in key_cols
+        ]
     )
 
 
@@ -67,6 +89,7 @@ class JdbcStateBackend:
     def __init__(self, spark, config: JdbcConfig) -> None:
         self._spark = spark
         self._cfg = config
+        self._kh_migrated: set[str] = set()
 
     # -- raw driver-side connection (py4j) --------------------------------
     def _connect(self):
@@ -95,6 +118,9 @@ class JdbcStateBackend:
             .option("user", self._cfg.user)
             .option("password", self._cfg.password)
             .option("driver", self._cfg.driver)
+            # 10x the 1000-row default: fewer JDBC round trips per
+            # partition writer (the trend sink stages ~100k rows/batch)
+            .option("batchsize", "10000")
         )
         # Spark's Derby dialect maps string -> CLOB, which cannot be a
         # MERGE/join key; declare VARCHAR for every string column.
@@ -137,6 +163,14 @@ class JdbcStateBackend:
                 f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
                 ("X0Y32", "already exists"),
             )
+            # The index behind the MERGE's leading __kh equality (KH_COL
+            # note). Pre-__kh legacy tables were already upgraded by
+            # _ensure_key_hash before any statement got here.
+            self._exec_ignore(
+                st,
+                f"CREATE INDEX {table}_kh_idx ON {table}({_q(KH_COL)})",
+                ("X0Y32", "already exists", "42X14", "42X04"),
+            )
             for ddl in migrate_ddl:
                 self._exec_ignore(st, ddl, ("X0Y32", "already exists", "42X14", "42Z93"))
             self._exec_ignore(
@@ -167,6 +201,59 @@ class JdbcStateBackend:
         finally:
             conn.close()
 
+    def _ensure_key_hash(self, table: str, key_cols: list[str]) -> None:
+        """One-time upgrade of a pre-__kh state table: add the column
+        and backfill it with Spark-computed hashes (Derby can't md5)
+        via a full staged rewrite in one transaction. Memoized per
+        backend instance; no-op for fresh tables (created WITH the
+        column) and already-migrated ones."""
+        if table in self._kh_migrated:
+            return
+        from bigdata_commerce_spark.sources.sinks import read_jdbc
+
+        try:
+            raw = read_jdbc(self._spark, table, self._cfg)
+            raw.schema
+        except Exception as e:
+            if "does not exist" in str(e) or "42X05" in str(e):
+                self._kh_migrated.add(table)  # first write creates it hashed
+                return
+            raise
+        if KH_COL in raw.columns and raw.where(F.col(KH_COL).isNull()).isEmpty():
+            self._kh_migrated.add(table)
+            return
+        # decode the staged string sentinel before hashing — staged
+        # hashes are computed on RAW values, the store holds encoded
+        decoded = raw.drop(KH_COL) if KH_COL in raw.columns else raw
+        for c, t in decoded.dtypes:
+            if t == "string":
+                decoded = decoded.withColumn(
+                    c, F.nullif(F.col(c), F.lit(NULL_SENTINEL))
+                )
+        hashed = _with_key_hash(decoded, key_cols)
+        stage = self._stage(hashed, f"{table}_mig")
+        cols = ", ".join(_q(c) for c in hashed.columns)
+        conn = self._connect()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            self._exec_ignore(
+                st,
+                f"ALTER TABLE {table} ADD COLUMN {_q(KH_COL)} VARCHAR(32)",
+                ("X0Y32", "already exists", "42X14"),
+            )
+            st.executeUpdate(f"DELETE FROM {table}")
+            st.executeUpdate(
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+        self._kh_migrated.add(table)
+
     def state_location(self, name: str) -> str:
         return name
 
@@ -195,6 +282,8 @@ class JdbcStateBackend:
             if "does not exist" in str(e) or "42X05" in str(e):
                 return None
             raise
+        if KH_COL in df.columns:  # hidden surrogate key, never surfaced
+            df = df.drop(KH_COL)
         for c, t in df.dtypes:  # decode the staged NULL sentinel
             if t == "string":
                 df = df.withColumn(c, F.nullif(F.col(c), F.lit(NULL_SENTINEL)))
@@ -219,11 +308,16 @@ class JdbcStateBackend:
         ``JdbcHelper.scala:124``) as one additive set-based MERGE."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            new = batch_df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col))
+            self._ensure_key_hash(table, key_cols)
+            new = _with_key_hash(
+                batch_df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col)),
+                key_cols,
+            )
             stage = self._stage(new, table)
             on = _on_clause(key_cols)
-            cols = ", ".join(_q(c) for c in [*key_cols, value_col])
-            vals = ", ".join(f"s.{_q(c)}" for c in [*key_cols, value_col])
+            ins = [*key_cols, value_col, KH_COL]
+            cols = ", ".join(_q(c) for c in ins)
+            vals = ", ".join(f"s.{_q(c)}" for c in ins)
             self._apply(
                 table,
                 stage,
@@ -243,8 +337,7 @@ class JdbcStateBackend:
         ``JdbcHelper.scala:230,360``) — UPDATE on match, INSERT on miss."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            all_cols = batch_df.columns
-            data_cols = [c for c in all_cols if c not in key_cols]
+            data_cols = [c for c in batch_df.columns if c not in key_cols]
             if not data_cols:
                 # 'UPDATE SET <nothing>' is a syntax error on every
                 # backend; a key-only table is distinct_append's job
@@ -253,11 +346,17 @@ class JdbcStateBackend:
                     "column to update; for key-only state use "
                     "distinct_append_sink"
                 )
-            stage = self._stage(batch_df, table)
+            self._ensure_key_hash(table, key_cols)
+            hashed = _with_key_hash(batch_df, key_cols)
+            stage = self._stage(hashed, table)
             on = _on_clause(key_cols)
-            sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in data_cols)
-            cols = ", ".join(_q(c) for c in all_cols)
-            vals = ", ".join(f"s.{_q(c)}" for c in all_cols)
+            # __kh rides data_cols: re-SET on match is a no-op (equal
+            # keys hash equally) and keeps the statement uniform
+            sets = ", ".join(
+                f"{_q(c)} = s.{_q(c)}" for c in [*data_cols, KH_COL]
+            )
+            cols = ", ".join(_q(c) for c in hashed.columns)
+            vals = ", ".join(f"s.{_q(c)}" for c in hashed.columns)
             self._apply(
                 table,
                 stage,
@@ -278,12 +377,18 @@ class JdbcStateBackend:
         (AdProvinceTop3, ``JdbcHelper.scala:283-309``)."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            stage = self._stage(batch_df, table)
+            # __kh here hashes the PARTITION columns (rows of one
+            # partition share it), indexing the DELETE's correlate
+            self._ensure_key_hash(table, partition_cols)
+            stage = self._stage(_with_key_hash(batch_df, partition_cols), table)
             # null-safe, like _on_clause: a NULL (non-string) partition
             # value must still replace its old rows
             corr = " AND ".join(
-                f"(s.{_q(p)} = t.{_q(p)} OR (s.{_q(p)} IS NULL AND t.{_q(p)} IS NULL))"
-                for p in partition_cols
+                [f"s.{_q(KH_COL)} = t.{_q(KH_COL)}"]
+                + [
+                    f"(s.{_q(p)} = t.{_q(p)} OR (s.{_q(p)} IS NULL AND t.{_q(p)} IS NULL))"
+                    for p in partition_cols
+                ]
             )
             self._apply(
                 table,
@@ -303,14 +408,16 @@ class JdbcStateBackend:
         ``JdbcHelper.scala:21-41``) — insert-on-miss only."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            new = (
+            self._ensure_key_hash(table, key_cols)
+            new = _with_key_hash(
                 batch_df.select(*key_cols)
                 .distinct()
-                .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+                .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long")),
+                key_cols,
             )
             stage = self._stage(new, table)
             on = _on_clause(key_cols)
-            ins_cols = [*key_cols, EPOCH_COL]
+            ins_cols = [*key_cols, EPOCH_COL, KH_COL]
             cols = ", ".join(_q(c) for c in ins_cols)
             vals = ", ".join(f"s.{_q(c)}" for c in ins_cols)
             self._apply(

@@ -318,7 +318,9 @@ def round4_probes(spark, docs_path: str, ev_path: str):
 # ------------------------------------------- streaming throughput
 
 
-def streaming_probe(spark, n_chunks: int = 20, files_per_trigger: int = 1) -> dict:
+def streaming_probe(
+    spark, n_chunks: int = 20, files_per_trigger: int = 1, backend: str = "parquet"
+) -> dict:
     """Sustained-throughput probe of the four-sink reqs 7-10 topology
     (the soak test proves restart correctness; this measures rate):
     sf0.1's ~20k click events (~95x the soak volume; the reference's
@@ -367,12 +369,21 @@ def streaming_probe(spark, n_chunks: int = 20, files_per_trigger: int = 1) -> di
             next(chunk_dir.glob("part-*.parquet")), src / f"{i:03d}.parquet"
         )
 
+    state_backend = None
+    if backend == "jdbc":
+        from bigdata_commerce_spark.sources.sinks import derby_config
+        from bigdata_commerce_spark.streaming.jdbc_state import JdbcStateBackend
+
+        state_backend = JdbcStateBackend(
+            spark, derby_config(os.path.join(work, "derby"))
+        )
     handles = pipelines.run_ad_pipeline(
         pipelines.file_event_source(
             spark, str(src), max_files_per_trigger=files_per_trigger
         ),
         os.path.join(work, "state"),
         blacklist_threshold=10**9,  # organic data: measure rate, not feedback
+        backend=state_backend,
     )
     t0 = time.perf_counter()
     handles.process_all()
@@ -432,6 +443,39 @@ def round5_probes(spark, docs_path: str, emb_path: str):
             .agg(F.sum("qscale") + F.sum(F.element_at("qvec", 1).cast("long")))
             .collect()[0][0]
         ),
+    }
+
+
+def round5b_probes(spark, docs_path: str):
+    """Bloom join pruning + BPE training. Bloom: the EXACT anti join
+    of the corpus against a 30%-of-ids fingerprint store, bloom-pruned
+    vs plain left_anti — the ratio of interest is rows reaching the
+    exact join's shuffle (the 100 TB term), reported alongside wall.
+    BPE: the one corpus-scale pass (word frequencies) + 8 merge
+    iterations; the 10× corpus here repeats the same documents, so the
+    vocab is IDENTICAL at both scales and the probe isolates exactly
+    what the module docstring claims — the corpus pass scales, the
+    iteration cost doesn't."""
+    from bigdata_commerce_spark.operators import bloom, bpe
+
+    docs = spark.read.parquet(docs_path)
+    keys = docs.where(F.col("doc_id") % 10 < 3).select("doc_id")
+
+    def bloom_anti():
+        return bloom.bloom_anti_join(docs, keys, "doc_id").count()
+
+    def plain_anti():
+        return docs.join(keys, "doc_id", "left_anti").count()
+
+    def bpe_train():
+        vocab = bpe.word_frequencies(docs)
+        merges = bpe.train_bpe(vocab, 8, checkpoint_every=4)
+        return len(merges)
+
+    return {
+        "bloom_anti_join": bloom_anti,
+        "plain_anti_join": plain_anti,
+        "bpe_train_8_merges": bpe_train,
     }
 
 
@@ -734,6 +778,12 @@ def main() -> None:
             "n_keys": int(rep.n_keys),
             "total_rows": int(rep.total_rows),
         }
+    elif suite == "round5b":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        p1 = round5b_probes(spark, os.path.join(sf1, "documents.parquet"))
+        p10 = round5b_probes(spark, docs10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5b")
     elif suite == "round5":
         sf1 = build_relational_corpus(spark, docs10, emb10, 1)
         p1 = round5_probes(
@@ -752,6 +802,11 @@ def main() -> None:
             "metric": "streaming_four_sink_throughput",
             "per_file_batches": streaming_probe(spark, files_per_trigger=1),
             "single_batch": streaming_probe(spark, files_per_trigger=20),
+            # the production state store: per-batch-delta MERGE I/O
+            # instead of the parquet store's full-state rewrite
+            "per_file_batches_jdbc": streaming_probe(
+                spark, files_per_trigger=1, backend="jdbc"
+            ),
         }
     else:
         docs1 = os.path.join(SF_DIR, "documents.parquet")

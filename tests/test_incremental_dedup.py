@@ -142,3 +142,79 @@ def test_non_integer_id_rejected(spark, tmp_path):
     bad = spark.createDataFrame([("u1", "t")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="integer type"):
         inc.novel_documents(bad, store)
+
+
+def test_bloom_sidecar_commits_match_plain_path(spark, tmp_path):
+    """Two stores fed the same batch sequence — one with the Bloom
+    sidecar, one without — must produce identical novel sets at every
+    step and identical final store contents (the sidecar is a pure
+    accelerator)."""
+    plain, fast = str(tmp_path / "plain"), str(tmp_path / "fast")
+    docs = _docs(spark)
+    inc.init_store(spark, plain)
+    inc.init_store(spark, fast)
+    inc.init_bloom(spark, fast, capacity=1000)
+    batches = [
+        docs.where(F.col("doc_id") < 200),
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 350)),
+        docs.where(F.col("doc_id") >= 300),
+    ]
+    for b in batches:
+        got = sorted((r.doc_id, r.fp) for r in inc.commit_batch(b, fast).collect())
+        want = sorted(
+            (r.doc_id, r.fp) for r in inc.commit_batch(b, plain).collect()
+        )
+        assert got == want
+    rows = lambda p: sorted(
+        (r.doc_id, r.fp) for r in spark.read.parquet(p).collect()
+    )
+    assert rows(fast) == rows(plain)
+
+
+def test_bloom_sidecar_invisible_to_store_reads(spark, tmp_path):
+    """The sidecar lives under <store>/_bloom; Spark's file listing
+    must skip underscore-paths so plain store reads are unaffected."""
+    store = str(tmp_path / "fpstore")
+    inc.init_store(spark, store)
+    inc.commit_batch(_docs(spark).limit(50), store)
+    before = spark.read.parquet(store).count()
+    inc.init_bloom(spark, store, capacity=1000)
+    assert spark.read.parquet(store).count() == before
+
+
+def test_bloom_with_extra_keys_still_exact(spark, tmp_path):
+    """Crash-ordering contract: a sidecar holding keys the store does
+    NOT have (commit died between bloom write and store append) only
+    adds false positives — novelty results stay exact and the doc is
+    re-admitted."""
+    store = str(tmp_path / "fpstore")
+    docs = _docs(spark)
+    inc.init_store(spark, store)
+    inc.init_bloom(spark, store, capacity=1000)
+    # simulate the torn commit: bloom learns the batch, store doesn't
+    from bigdata_commerce_spark.operators import bloom
+
+    batch = docs.where(F.col("doc_id") < 100)
+    filt, m, k = inc._read_bloom(spark, store)
+    torn = bloom.bloom_merge(
+        filt, bloom.bloom_build(inc._fingerprints(batch, "text", "doc_id"), "fp", m, k)
+    ).localCheckpoint(eager=True)
+    torn.write.mode("overwrite").parquet(inc._bloom_paths(store)[0])
+    # every batch doc must still be declared novel (store is empty)
+    novel = inc.novel_documents(batch, store)
+    n_fp = batch.select(fingerprint("text").alias("fp")).distinct().count()
+    assert novel.count() == n_fp
+
+
+def test_bloom_capacity_overflow_degrades_not_breaks(spark, tmp_path):
+    """A filter sized for 10 keys but fed 500 documents: fpp collapses
+    toward 1 (everything goes through exact verify) but results remain
+    identical to the plain path."""
+    store = str(tmp_path / "fpstore")
+    docs = _docs(spark)
+    inc.init_store(spark, store)
+    inc.init_bloom(spark, store, capacity=10)
+    first = inc.commit_batch(docs, store)
+    total_fp = docs.select(fingerprint("text").alias("fp")).distinct().count()
+    assert first.count() == total_fp
+    assert inc.commit_batch(docs, store).count() == 0  # still idempotent
