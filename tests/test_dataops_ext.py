@@ -1327,3 +1327,47 @@ def test_retrieval_curation_pipeline_last_mile(spark, tmp_path):
     kept_ids = {r.vec_id for r in curated_vecs.select("vec_id").collect()}
     assert {r.corpus_id for r in hits} <= kept_ids  # only curated docs
     assert all(-1.0001 <= r.score <= 1.0001 for r in hits)  # cosine range
+
+
+def test_tokenizer_pipeline_end_to_end(spark):
+    """The tokenizer loop composed end to end, one engine: BPE merge
+    rules TRAINED on the corpus's own word-frequency table
+    (operators/bpe.py), the corpus encoded with them, and
+    pack_sequences packing the REAL token counts under a budget —
+    closing the train-tokenizer -> count -> pack chain that token
+    budgets and mixture math depend on."""
+    from bigdata_commerce_spark.operators import bpe
+    from bigdata_commerce_spark.operators.packing import pack_sequences
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    merges = bpe.train_bpe(bpe.word_frequencies(docs), 12)
+    assert len(merges) == 12
+
+    enc = bpe.encode_tokens(docs, merges).withColumn(
+        "n_tokens", F.size("bpe_tokens")
+    )
+    # merges compressed the corpus vs character-level + EOW
+    char_level = docs.select(
+        F.sum(
+            F.length(F.lower("text")) - F.length(F.regexp_replace(F.lower("text"), r"\S", ""))
+            + F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        )
+    ).collect()[0][0]
+    bpe_total = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 0 < bpe_total < char_level
+
+    packed = pack_sequences(
+        enc.select("doc_id", "n_tokens"), budget=512, bucket_width=128
+    )
+    assert packed.count() == docs.count()  # every doc packed once
+    # token_start is the exact running sum of n_tokens in doc_id order
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.token_start) for r in packed.collect()
+    )
+    running = 0
+    for _, n, start in rows:
+        assert start == running
+        running += n
+    assert running == bpe_total
