@@ -215,3 +215,22 @@ def train_bpe_reference(
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     return merges
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as a tiny parquet artifact —
+    the tokenizer IS this list; training once per corpus snapshot and
+    loading everywhere is the production shape (same
+    build-once/serve-many contract as the IVF index store)."""
+    spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by save_merges, in training order."""
+    return [
+        (r.left, r.right)
+        for r in spark.read.parquet(path).orderBy("merge_idx").collect()
+    ]

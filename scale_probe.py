@@ -803,9 +803,14 @@ def main() -> None:
             "per_file_batches": streaming_probe(spark, files_per_trigger=1),
             "single_batch": streaming_probe(spark, files_per_trigger=20),
             # the production state store: per-batch-delta MERGE I/O
-            # instead of the parquet store's full-state rewrite
-            "per_file_batches_jdbc": streaming_probe(
-                spark, files_per_trigger=1, backend="jdbc"
+            # instead of the parquet store's full-state rewrite.
+            # 10 chunks for BOTH backends (the SCALE.md comparison
+            # rows): Derby's single-process insert throughput makes
+            # the trend sink's replay-artifact volume the wall-clock
+            # term, so the jdbc run is ~10s/batch
+            "per_file_batches_10": streaming_probe(spark, n_chunks=10),
+            "per_file_batches_10_jdbc": streaming_probe(
+                spark, n_chunks=10, backend="jdbc"
             ),
         }
     else:

@@ -133,3 +133,43 @@ def test_probe_side_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "word_idx" in line, line
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    @_HYP
+    @given(
+        big=st.lists(
+            st.one_of(st.none(), st.integers(0, 500)), min_size=0, max_size=80
+        ),
+        keys=st.lists(
+            st.one_of(st.none(), st.integers(0, 500)), min_size=0, max_size=40
+        ),
+        fpp=st.sampled_from([0.5, 0.05, 0.005]),
+    )
+    def test_hypothesis_pruned_joins_equal_plain(spark, big, keys, fpp):
+        """Random multisets with NULLs and extreme fpp values: the
+        bloom-pruned semi/anti joins must equal Spark's own joins
+        row for row (multiset equality — duplicates preserved)."""
+        bdf, kdf = _df(spark, big), _df(spark, keys)
+        for how, fn in (
+            ("left_semi", bloom.bloom_semi_join),
+            ("left_anti", bloom.bloom_anti_join),
+        ):
+            got = sorted(
+                (r.k is None, r.k) for r in fn(bdf, kdf, "k", fpp=fpp).collect()
+            )
+            want = sorted(
+                (r.k is None, r.k) for r in bdf.join(kdf, "k", how).collect()
+            )
+            assert got == want
+except ImportError:  # pragma: no cover
+    pass

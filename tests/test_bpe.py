@@ -139,3 +139,15 @@ def test_more_merges_never_increase_token_count(spark):
     ]
     assert n_tokens[0] >= n_tokens[1] >= n_tokens[2]
     assert n_tokens[2] < n_tokens[0]  # the merges actually bite
+
+
+def test_merge_list_round_trips_through_store(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(bpe.word_frequencies(docs), 8)
+    path = str(tmp_path / "tokenizer")
+    bpe.save_merges(spark, merges, path)
+    loaded = bpe.load_merges(spark, path)
+    assert loaded == merges
+    a = bpe.encode_tokens(docs.limit(20), merges).select("doc_id", "bpe_tokens")
+    b = bpe.encode_tokens(docs.limit(20), loaded).select("doc_id", "bpe_tokens")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
