@@ -472,10 +472,25 @@ def round5b_probes(spark, docs_path: str):
         merges = bpe.train_bpe(vocab, 8, checkpoint_every=4)
         return len(merges)
 
+    def cms_sketch():
+        # sketch every doc's source key, then look every doc's key up
+        # (build = explode+agg over the corpus; lookup = map-side) and
+        # consume the estimates so the probe times the full path
+        from bigdata_commerce_spark.operators import cms
+
+        width, depth = cms.cms_params(epsilon=0.01, delta=0.01)
+        sk = cms.cms_build(docs, "source", width, depth)
+        return int(
+            cms.cms_lookup(docs, "source", sk, width, depth)
+            .agg(F.sum("est_count"))
+            .collect()[0][0]
+        )
+
     return {
         "bloom_anti_join": bloom_anti,
         "plain_anti_join": plain_anti,
         "bpe_train_8_merges": bpe_train,
+        "cms_build_and_lookup": cms_sketch,
     }
 
 
