@@ -1759,3 +1759,64 @@ def docs_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return bloom_anti_join(docs, keys, "doc_id", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between table versions)
+# ---------------------------------------------------------------------------
+
+# Two simulated versions of the events table: v1 drops every
+# event_id % 10 == 3 row; v2 drops event_id % 7 == 2 and doubles
+# `value` where event_id % 5 == 0 (exact in binary floating point,
+# so Spark and DuckDB compute bit-identical doubles).
+_DIFF_VERSIONS_CTE = """
+old AS (
+    SELECT event_id, user_id, value FROM events WHERE event_id % 10 != 3
+), new AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+    FROM events WHERE event_id % 7 != 2
+)
+"""
+
+
+def _diff_versions(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    old = ev.where(F.col("event_id") % 10 != 3)
+    new = ev.where(F.col("event_id") % 7 != 2).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    return old, new
+
+
+@twin_query(
+    "events_snapshot_diff",
+    oracle=f"""
+    WITH {_DIFF_VERSIONS_CTE.strip()}
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.user_id AS old_user_id, o.value AS old_value,
+           n.user_id AS new_user_id, n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.user_id IS DISTINCT FROM n.user_id
+       OR o.value IS DISTINCT FROM n.value
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.table_diff): the
+    insert/update/delete change feed between two simulated versions
+    of `events` — ONE narrow full-outer key join, unchanged rows
+    dropped before anything downstream (module docstring has the
+    100 TB shape). `apply_changes(old, feed) == new` round-trip is
+    pinned in tests/test_diff.py. Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.operators.diff import table_diff
+
+    old, new = _diff_versions(spark, sf_dir)
+    return table_diff(old, new, keys=["event_id"])

@@ -1,0 +1,133 @@
+"""Keyed snapshot diff / apply-changes (operators/diff.py).
+
+The oracle-hash check for the twin query lives in
+test_twin_queries.py; these tests pin the operator contract on
+crafted frames: change classification, null-safe semantics (both in
+keys and in compared values), passthrough columns, multi-column
+keys, and the round-trip law apply_changes(old, diff) == new.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.diff import apply_changes, table_diff
+
+
+def _rows(df, *cols):
+    cols = cols or tuple(sorted(df.columns))
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_classifies_insert_update_delete_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], "id long, s string, v double"
+    )
+    got = _rows(
+        table_diff(old, new, keys=["id"]), "id", "change_type", "old_s", "new_s"
+    )
+    assert got == [
+        (2, "update", "b", "B"),
+        (3, "delete", "c", None),
+        (4, "insert", None, "d"),
+    ]
+
+
+def test_null_values_compare_null_safely(spark):
+    # NULL -> NULL is unchanged; NULL -> value and value -> NULL are updates.
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "y"), (3, None)], "id long, s string"
+    )
+    got = _rows(table_diff(old, new, keys=["id"]), "id", "change_type")
+    assert got == [(2, "update"), (3, "update")]
+
+
+def test_null_keys_match_null_safely(spark):
+    # A NULL-keyed row present in both versions is the same entity
+    # (unchanged here), not an insert+delete pair.
+    old = spark.createDataFrame([(None, 1.0), (1, 2.0)], "id long, v double")
+    new = spark.createDataFrame([(None, 1.0), (1, 3.0)], "id long, v double")
+    got = _rows(table_diff(old, new, keys=["id"]), "id", "change_type")
+    assert got == [(1, "update")]
+
+
+def test_multi_column_key_and_subset_compare(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 5.0, "keepA"), (1, "y", 6.0, "keepB")],
+        "k1 long, k2 string, v double, other string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 5.0, "CHANGED"), (1, "y", 7.0, "keepB")],
+        "k1 long, k2 string, v double, other string",
+    )
+    # Only v is audited: the `other` churn on (1, x) is invisible.
+    got = _rows(
+        table_diff(old, new, keys=["k1", "k2"], compare_cols=["v"]),
+        "k1",
+        "k2",
+        "change_type",
+        "old_v",
+        "new_v",
+    )
+    assert got == [(1, "y", "update", 6.0, 7.0)]
+
+
+def test_apply_changes_round_trip(spark):
+    # apply_changes(old, table_diff(old, new)) == new, including a
+    # NULL-keyed row and NULL value transitions.
+    old = spark.createDataFrame(
+        [(None, "n", 0.0), (1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(None, "n2", 0.0), (1, "a", 10.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    feed = table_diff(old, new, keys=["id"])
+    rebuilt = apply_changes(old, feed, keys=["id"])
+    assert sorted(rebuilt.columns) == sorted(new.columns)
+    assert _rows(rebuilt) == _rows(new)
+
+
+def test_apply_changes_passthrough_columns_survive(spark):
+    # Columns outside keys+compare_cols keep their base values on
+    # surviving rows and are NULL on inserted rows.
+    base = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2")], "id long, v double, extra string"
+    )
+    old = base.select("id", "v")
+    new = spark.createDataFrame([(1, 11.0), (3, 30.0)], "id long, v double")
+    feed = table_diff(old, new, keys=["id"])
+    out = apply_changes(base, feed, keys=["id"], compare_cols=["v"])
+    assert _rows(out, "id", "v", "extra") == [
+        (1, 11.0, "p1"),
+        (3, 30.0, None),
+    ]
+
+
+def test_diff_of_identical_frames_is_empty(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
+    assert table_diff(df, df, keys=["id"]).count() == 0
+
+
+def test_diff_join_is_single_shuffle_equi_join(spark):
+    """The null-safe key condition must still plan as a hash-partition
+    equi-join (SortMergeJoin/ShuffledHashJoin), not a nested loop."""
+    old = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    new = spark.range(50, 150).withColumn("v", F.col("id") * 2.0)
+    plan = (
+        table_diff(old, new, keys=["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
