@@ -1,0 +1,129 @@
+"""One-pass table profiling (the Deequ `ColumnProfiler` family): per
+column — row/non-null/null counts, distinct cardinality, min/max,
+and an exact-decimal mean for numerics. The data-card companion to
+`operators/validate.py` (which *checks* declared constraints; this
+*discovers* the shape you'd write constraints against — the first
+thing run against an unfamiliar 100 TB crawl drop).
+
+Scale shape:
+- ALL requested columns profile in ONE scan and ONE aggregate: N
+  columns = ~5N agg expressions riding a single hash aggregate with
+  map-side partials, exactly like validate.py's single-pass rule
+  suite (plan-shape test asserts one Aggregate, no Expand, for the
+  default approx path).
+- Distinct counts default to `approx_count_distinct` (HLL++, one
+  pass, mergeable partials). `exact_distinct=True` switches to true
+  COUNT(DISTINCT): Spark plans multiple distinct aggregates via an
+  Expand (one input replica per distinct column) — fine at audit
+  scale, wrong as a routine 100 TB job; the docstring IS the
+  guidance, and the twin query uses exact only because its oracle
+  must hash-match.
+- The wide 1-row agg result is reshaped to one-row-per-column with
+  `inline` on a literal struct array — driver-free, shuffle-free.
+- Mean uses the money_sum discipline (exact decimal(38,6) try_sum /
+  count, never F.avg over doubles) so the report is bit-stable
+  across partitionings and engines; try_sum/try_cast keep one
+  pathological column (NaN/±inf/1e32) from aborting the whole
+  co-compiled aggregate under ANSI mode — it reports NULL mean
+  instead, loudly visible in the profile.
+
+Typed min/max land in type-segregated columns (`min_num`/`max_num`
+as double, `min_str`/`max_str` as string) rather than one stringly
+column: casting doubles to strings formats differently across
+engines, which would poison oracle comparison and downstream typed
+consumers alike. Unprofiled types (arrays, maps, structs, binary)
+get counts and distinct only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_ORDERED_STR = (T.StringType,)
+_TIMELIKE = (T.TimestampType, T.DateType)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+    mean_dp: int = 6,
+) -> DataFrame:
+    """One row per profiled column:
+    ``(column, n_rows, n_nonnull, n_null, n_distinct, min_num,
+    max_num, min_str, max_str, mean)``.
+
+    Numerics fill ``min_num/max_num/mean`` (double); strings fill
+    ``min_str/max_str``; timestamps/dates fill ``min_str/max_str``
+    via ISO `date_format` (engine-portable text). ``mean`` is
+    rounded to ``mean_dp`` places from the exact decimal sum.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        dt = by_name[c]
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        nd = F.count_distinct(c) if exact_distinct else F.approx_count_distinct(c)
+        aggs.append(nd.alias(f"_nd_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"_minn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"_maxn_{c}"))
+            d = F.col(c).try_cast("decimal(38,6)")
+            aggs.append(F.try_sum(d).alias(f"_sum_{c}"))
+            aggs.append(F.count(d).alias(f"_cnt_{c}"))
+        elif isinstance(dt, _ORDERED_STR):
+            aggs.append(F.min(c).alias(f"_mins_{c}"))
+            aggs.append(F.max(c).alias(f"_maxs_{c}"))
+        elif isinstance(dt, _TIMELIKE):
+            fmt = "yyyy-MM-dd HH:mm:ss" if isinstance(dt, T.TimestampType) else "yyyy-MM-dd"
+            aggs.append(F.date_format(F.min(c), fmt).alias(f"_mins_{c}"))
+            aggs.append(F.date_format(F.max(c), fmt).alias(f"_maxs_{c}"))
+    wide = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        dt = by_name[c]
+        num = isinstance(dt, _NUMERIC)
+        ordered_s = isinstance(dt, _ORDERED_STR) or isinstance(dt, _TIMELIKE)
+        # count(col) == count(decimal-cast) guard (validate.py's
+        # discipline): NaN/inf/|v|>=1e32 try_cast to NULL, and a mean
+        # that silently excluded exactly the pathological values
+        # would be worse than no mean — report NULL loudly instead.
+        mean = (
+            F.when(
+                F.col(f"_nn_{c}") == F.col(f"_cnt_{c}"),
+                F.round(
+                    F.col(f"_sum_{c}").cast("double") / F.col(f"_cnt_{c}"),
+                    mean_dp,
+                ),
+            )
+            if num
+            else null_d
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                (F.col("_n_rows") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_minn_{c}") if num else null_d).alias("min_num"),
+                (F.col(f"_maxn_{c}") if num else null_d).alias("max_num"),
+                (F.col(f"_mins_{c}") if ordered_s else null_s).alias("min_str"),
+                (F.col(f"_maxs_{c}") if ordered_s else null_s).alias("max_str"),
+                mean.alias("mean"),
+            )
+        )
+    return wide.select(F.inline(F.array(*structs)))

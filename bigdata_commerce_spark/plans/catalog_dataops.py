@@ -1820,3 +1820,63 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _diff_versions(spark, sf_dir)
     return table_diff(old, new, keys=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (data-card discovery)
+# ---------------------------------------------------------------------------
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    """One UNION-ALL branch of the profiler oracle — same stat
+    formulas as operators/profile.py, per column kind."""
+    if kind == "num":
+        min_num = f"CAST(MIN({col}) AS DOUBLE)"
+        max_num = f"CAST(MAX({col}) AS DOUBLE)"
+        mean = (
+            f"CAST(ROUND(CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / COUNT({col}), 6) AS DOUBLE)"
+        )
+        min_str = max_str = "CAST(NULL AS VARCHAR)"
+    else:
+        min_num = max_num = mean = "CAST(NULL AS DOUBLE)"
+        if kind == "ts":
+            min_str = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+            max_str = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            min_str, max_str = f"MIN({col})", f"MAX({col})"
+    return f"""
+    SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+           COUNT({col}) AS n_nonnull,
+           COUNT(*) - COUNT({col}) AS n_null,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           {min_num} AS min_num, {max_num} AS max_num,
+           {min_str} AS min_str, {max_str} AS max_str,
+           {mean} AS mean
+    FROM events"""
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _profile_branch_sql(c, k)
+    for c, k in [
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "str"),
+    ]
+)
+
+
+@twin_query("events_profile", oracle=_PROFILE_ORACLE)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/profile.py) over every
+    events column: counts, exact distinct cardinality, typed min/max,
+    exact-decimal mean. Exact distinct here because the oracle must
+    hash-match; production default is the single-pass HLL++ path
+    (module docstring). Twin slot: driver catalog is at its 50-entry
+    cap."""
+    from bigdata_commerce_spark.operators.profile import profile_table
+
+    ev = load_table(spark, "events", sf_dir)
+    return profile_table(ev, exact_distinct=True)
