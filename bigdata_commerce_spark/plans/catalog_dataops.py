@@ -1589,27 +1589,28 @@ def documents_shuffled_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_shuffled_index(docs).select("doc_id", "idx")
 
 
-@twin_query(
-    "bm25_doc_scores",
-    oracle=r"""
-    WITH tok AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           x -> x <> '') AS toks
-        FROM documents
-    ), dl AS (
-        SELECT doc_id, len(toks) AS dl, toks FROM tok
-    ), stats AS (
-        SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
-    ), m AS (
-        SELECT doc_id, dl, unnest(toks) AS term FROM dl
-    ), tf AS (
-        SELECT doc_id, dl, term, COUNT(*) AS tf
-        FROM m WHERE term IN ('spark', 'shuffle', 'join')
-        GROUP BY 1, 2, 3
-    ), dfq AS (
-        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-    )
+# Shared by the bm25 twin and the hybrid-search fusion oracle (same
+# 3-term query, same k1/b constants, same round-8dp-then-decimal-sum
+# determinism discipline).
+_BM25_CTE = r"""
+tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), dl AS (
+    SELECT doc_id, len(toks) AS dl, toks FROM tok
+), stats AS (
+    SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), m AS (
+    SELECT doc_id, dl, unnest(toks) AS term FROM dl
+), tf AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf
+    FROM m WHERE term IN ('spark', 'shuffle', 'join')
+    GROUP BY 1, 2, 3
+), dfq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), bm AS (
     SELECT doc_id,
            CAST(ROUND(SUM(CAST(ROUND(
                ln(1 + (n - df + 0.5) / (df + 0.5)) *
@@ -1617,7 +1618,13 @@ def documents_shuffled_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            , 8) AS DECIMAL(20,8))), 6) AS DOUBLE) AS bm25
     FROM tf JOIN dfq USING (term) CROSS JOIN stats
     GROUP BY doc_id
-    """,
+)
+"""
+
+
+@twin_query(
+    "bm25_doc_scores",
+    oracle=f"WITH {_BM25_CTE.strip()} SELECT doc_id, bm25 FROM bm",
 )
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every matching document against a
@@ -1880,3 +1887,83 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return profile_table(ev, exact_distinct=True)
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (BM25 + embedding cosine, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+_HYBRID_M = 50  # per-list candidate depth
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTE.strip()},
+lex AS (
+    SELECT doc_id, CAST(rank_lex AS INT) AS rank_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM bm
+    ) WHERE rank_lex <= {_HYBRID_M}
+),
+v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+    SELECT e AS pe FROM v WHERE vec_id = 0
+), scored AS (
+    SELECT v.vec_id AS doc_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(v.e, p.pe), q -> q[1] * q[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(v.e, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(p.pe, x -> x * x), (acc, x) -> acc + x))), 4) AS score
+    FROM v CROSS JOIN p
+    WHERE v.vec_id != 0
+), sem AS (
+    SELECT doc_id, CAST(rank_sem AS INT) AS rank_sem FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_sem
+        FROM scored
+    ) WHERE rank_sem <= {_HYBRID_M}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.rank_lex, s.rank_sem,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.rank_sem), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+    FROM fused
+) WHERE rank <= 10
+"""
+
+
+@twin_query("hybrid_search_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval top-10: BM25 over the 3-term query fused with
+    embedding-cosine similarity to probe vector 0 by reciprocal-rank
+    fusion (operators/hybrid.py — RRF k=60, per-list depth 50). Each
+    list is cut to top-m by TakeOrderedAndProject BEFORE any window
+    ranks it, so the global ranking windows only ever see m rows;
+    fusion is one tiny full-outer join. Twin slot: driver catalog is
+    at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    lex = rank_top_m(
+        bm25_scores(docs, ["spark", "shuffle", "join"]),
+        [F.desc("bm25"), F.asc("doc_id")],
+        _HYBRID_M,
+    ).select("doc_id", "rank")
+    sem = (
+        similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=_HYBRID_M)
+        .select(F.col("corpus_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse(
+        {"lex": lex, "sem": sem},
+        id_cols=["doc_id"],
+        rank_col="rank",
+        k=60,
+        top_n=10,
+    )
+    return fused.select("doc_id", "rank_lex", "rank_sem", "rrf", "rank")
