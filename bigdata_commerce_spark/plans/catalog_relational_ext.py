@@ -940,3 +940,45 @@ def rate_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_cap_per_key_bucket(ev, max_rows=3, bucket_seconds=3600).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@twin_query(
+    "events_ewma_value",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), walk AS (
+        SELECT user_id, event_id, ts, value, rn, value AS ewma
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+               CAST(0.1 AS DOUBLE) * b.value
+                 + CAST(0.9 AS DOUBLE) * w.ewma AS ewma
+        FROM base b JOIN walk w
+          ON b.user_id = w.user_id AND b.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM walk
+    """,
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of `value` (alpha=0.1, adjust=False recurrence)
+    through the exact fold path (operators/timeseries.ewma_per_key):
+    one shuffle, one sequential Catalyst fold per key applying
+    ``a*v + b*y`` in the same IEEE op order as the oracle's RECURSIVE
+    CTE — doubles hash-match UNROUNDED, the determinism claim the
+    docstring makes, proven. (The skew-bounded bucketized path is
+    tolerance-tested in tests/test_timeseries_ext.py: float
+    re-association is ~1e-12, deliberately not hash-stable.) Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.timeseries import ewma_per_key
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ewma_per_key(ev, alpha=0.1, tiebreak_col="event_id")
+    return out.select("user_id", "event_id", "ts", "value", "ewma")
