@@ -345,17 +345,11 @@ def ewma_per_key(
     empty_ys = F.expr("CAST(array() AS array<double>)")
     init = F.struct(empty_ys.alias("ys"), F.lit(0.0).alias("y"))
 
-    def _step(seeded: bool):
-        # seeded=True: the key's first element starts the series
-        # (y_1 = v_1); seeded=False: fold from an incoming 0 state
-        # (the bucketized 'local' component).
+    def _step():
+        # The key's first element starts the series (y_1 = v_1).
         def merge(acc, x):
             stepped = F.lit(a) * x["v"] + F.lit(b) * acc["y"]
-            y = (
-                F.when(F.size(acc["ys"]) == 0, x["v"]).otherwise(stepped)
-                if seeded
-                else stepped
-            )
+            y = F.when(F.size(acc["ys"]) == 0, x["v"]).otherwise(stepped)
             return F.struct(
                 F.concat(acc["ys"], F.array(y)).alias("ys"), y.alias("y")
             )
@@ -380,9 +374,7 @@ def ewma_per_key(
         g = rows.groupBy(key_col).agg(
             F.sort_array(F.collect_list(item)).alias("__items")
         )
-        g = g.withColumn(
-            "__ys", F.aggregate("__items", init, _step(seeded=True))["ys"]
-        )
+        g = g.withColumn("__ys", F.aggregate("__items", init, _step())["ys"])
         out = _emit(g, [])
         return out.withColumnRenamed("ts", ts_col) if ts_col != "ts" else out
 
@@ -397,8 +389,21 @@ def ewma_per_key(
     )
     # Per-bucket linear summary: seeded fold (if this is the key's
     # first bucket), 0-init fold (local), and the state decay b^m.
-    g = g.withColumn("__seeded", F.aggregate("__items", init, _step(True))["y"])
-    g = g.withColumn("__local", F.aggregate("__items", init, _step(False))["y"])
+    # These folds carry SCALAR (y, has) state — O(m) per bucket, no
+    # array building; only the final per-row emit pays the append.
+    def _scalar_fold(has_init: bool):
+        init_s = F.struct(F.lit(0.0).alias("y"), F.lit(has_init).alias("has"))
+
+        def merge(acc, x):
+            y = F.when(
+                acc["has"], F.lit(a) * x["v"] + F.lit(b) * acc["y"]
+            ).otherwise(x["v"])
+            return F.struct(y.alias("y"), F.lit(True).alias("has"))
+
+        return F.aggregate("__items", init_s, merge)["y"]
+
+    g = g.withColumn("__seeded", _scalar_fold(has_init=False))
+    g = g.withColumn("__local", _scalar_fold(has_init=True))
     g = g.withColumn("__decay", F.pow(F.lit(b), F.size("__items")))
 
     # Spine: one row per (key, bucket); thread entry state through in

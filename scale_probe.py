@@ -494,6 +494,74 @@ def round5b_probes(spark, docs_path: str):
     }
 
 
+def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
+    """Round-5c operators over the layout-matched corpora. table_diff
+    simulates two adjacent snapshot versions of events (drop ~10%,
+    re-insert ~14%, double `value` on every 5th id) — the diff's own
+    output grows ~linearly with the table, so a near-10x wall would
+    mean the JOIN scales, a flat wall would mean the probe is
+    overhead-bound. profile_table runs the production approx path
+    over every events column (the single scan+agg claim). EWMA runs
+    both paths; the exact path's per-key fold is the shape the skew
+    add-on below bounds. Hybrid search re-ranks against the probe
+    corpus (top-50 lists, fusion over 100 rows — wall should be flat
+    in corpus size past the two scans)."""
+    from bigdata_commerce_spark.operators import diff as diff_ops
+    from bigdata_commerce_spark.operators.bm25 import bm25_scores
+    from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
+    from bigdata_commerce_spark.operators.profile import profile_table
+    from bigdata_commerce_spark.operators.similarity import cosine_topk
+    from bigdata_commerce_spark.operators.timeseries import ewma_per_key
+
+    ev = spark.read.parquet(ev_path)
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+
+    def snapshot_diff():
+        base = ev.select("event_id", "user_id", "value")
+        old = base.where(F.col("event_id") % 10 != 3)
+        new = base.where(F.col("event_id") % 7 != 2).withColumn(
+            "value",
+            F.when(F.col("event_id") % 5 == 0, F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+        return diff_ops.table_diff(old, new, ["event_id"]).count()
+
+    def profile():
+        return profile_table(ev).count()
+
+    def ewma_exact():
+        return ewma_per_key(ev, 0.1, tiebreak_col="event_id").count()
+
+    def ewma_bucketized():
+        return ewma_per_key(
+            ev, 0.1, tiebreak_col="event_id", bucket_seconds=3600
+        ).count()
+
+    def hybrid():
+        probe = emb.orderBy("vec_id").limit(1)
+        lex = rank_top_m(
+            bm25_scores(docs, ["spark", "shuffle", "join"]),
+            [F.desc("bm25"), F.asc("doc_id")],
+            50,
+        ).select("doc_id", "rank")
+        sem = cosine_topk(emb, probe, k=50).select(
+            F.col("corpus_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse(
+            {"lex": lex, "sem": sem}, ["doc_id"], top_n=10
+        ).count()
+
+    return {
+        "table_diff_snapshots": snapshot_diff,
+        "profile_all_columns": profile,
+        "ewma_exact": ewma_exact,
+        "ewma_bucketized": ewma_bucketized,
+        "hybrid_search_rrf": hybrid,
+    }
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -809,6 +877,47 @@ def main() -> None:
         p10 = round5_probes(spark, docs10, emb10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5")
+    elif suite == "round5c":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+
+        def paths(d):
+            return (
+                os.path.join(d, "documents.parquet"),
+                os.path.join(d, "embeddings.parquet"),
+                os.path.join(d, "events.parquet"),
+            )
+
+        p1 = round5c_probes(spark, *paths(sf1))
+        p10 = round5c_probes(spark, *paths(sf10))
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5c")
+
+        # Skew add-on: bucketized EWMA under the planted 30%-hot key
+        # (10M rows, ~3M on one user). The exact path is deliberately
+        # NOT run here — a 3M-row sequential fold in one task is the
+        # documented anti-pattern the bucketized path exists to avoid;
+        # 60s buckets keep every fold's array bounded (~1k rows).
+        from bigdata_commerce_spark.operators.timeseries import ewma_per_key
+
+        ev_unif, ev_skew, _ = build_skew_corpus(spark, sf10)
+
+        def ewma_skew_probe(path):
+            def fn():
+                return ewma_per_key(
+                    spark.read.parquet(path),
+                    0.1,
+                    tiebreak_col="event_id",
+                    bucket_seconds=60,
+                ).count()
+
+            return fn
+
+        out["skew_addon"] = run_probe(
+            {"ewma_bucketized_60s": (ewma_skew_probe(ev_unif), ewma_skew_probe(ev_skew))},
+            "ewma_skew_ratio",
+            labels=("unif", "skew"),
+        )
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost

@@ -404,3 +404,92 @@ def test_asof_bucketed_equivalence_hypothesis(spark, rows, bucket):
         )
 
     assert run(bucket) == run(None)
+
+
+@st.composite
+def snapshot_pair(draw):
+    """Two keyed snapshots with overlapping keys, NULL-able values,
+    and arbitrary churn: the diff generator no fixed fixture covers."""
+    keys = draw(st.lists(st.integers(0, 40), min_size=0, max_size=25, unique=True))
+    val = st.one_of(st.none(), st.integers(-5, 5))
+    old = {k: draw(val) for k in keys if draw(st.booleans())}
+    new = {k: draw(val) for k in keys if draw(st.booleans())}
+    return old, new
+
+
+@_SETTINGS
+@given(pair=snapshot_pair())
+def test_table_diff_matches_dict_reference(spark, pair):
+    from bigdata_commerce_spark.operators.diff import apply_changes, table_diff
+
+    old, new = pair
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = ("insert", None, new[k])
+        elif k not in new:
+            expected[k] = ("delete", old[k], None)
+        elif old[k] != new[k]:
+            expected[k] = ("update", old[k], new[k])
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [], "id long, v long"
+        )
+
+    feed = table_diff(frame(old), frame(new), keys=["id"])
+    got = {
+        r["id"]: (r["change_type"], r["old_v"], r["new_v"]) for r in feed.collect()
+    }
+    assert got == expected
+
+    # Round-trip law on the same generated pair.
+    rebuilt = {
+        r["id"]: r["v"] for r in apply_changes(frame(old), feed, ["id"]).collect()
+    }
+    assert rebuilt == new
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 500),        # seconds offset
+            st.integers(-100, 100),     # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket=st.integers(1, 120),
+)
+def test_ewma_bucketed_equivalence_hypothesis(spark, rows, bucket):
+    """Bucketized EWMA == exact EWMA to the documented ~1e-12
+    relative tolerance, for arbitrary key/time/bucket shapes
+    (including buckets smaller than gaps and single-row keys)."""
+    import datetime as dt
+    import math
+
+    from bigdata_commerce_spark.operators.timeseries import ewma_per_key
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(seconds=s), i, float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double"
+    )
+    exact = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_per_key(df, 0.25, tiebreak_col="event_id").collect()
+    }
+    buck = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_per_key(
+            df, 0.25, tiebreak_col="event_id", bucket_seconds=bucket
+        ).collect()
+    }
+    assert set(exact) == set(buck)
+    for k in exact:
+        assert math.isclose(exact[k], buck[k], rel_tol=1e-11, abs_tol=1e-11), k
