@@ -1967,3 +1967,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=10,
     )
     return fused.select("doc_id", "rank_lex", "rank_sem", "rrf", "rank")
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join family)
+# ---------------------------------------------------------------------------
+
+
+@twin_query(
+    "docs_editdist_join",
+    oracle="""
+    WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         r AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250)
+    SELECT l.doc_id AS lid, r.doc_id AS rid,
+           CAST(levenshtein(l.text, r.text) AS INT) AS distance
+    FROM l, r
+    WHERE abs(length(l.text) - length(r.text)) <= 40
+      AND levenshtein(l.text, r.text) <= 40
+    """,
+)
+def docs_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table Levenshtein join within distance 40
+    (operators/editdist.py): complete rarest-q-gram prefix candidates
+    + threshold-banded verify, against DuckDB's brute-force
+    levenshtein oracle — candidate pruning must be invisible in the
+    result. Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.editdist import edit_distance_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    return edit_distance_join(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        max_distance=40,
+    )
