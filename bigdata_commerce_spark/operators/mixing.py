@@ -34,6 +34,8 @@ sort, only worth it when exactness matters more than the shuffle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -195,3 +197,63 @@ def rate_cap_per_key_bucket(
     return top_k_per_group(
         bucketed, [key_col, "__tb"], order, max_rows, rank_col="__r", keep_rank=False
     ).drop("__tb")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_cols: Sequence[str] | None = None,
+    salt: str = "aes",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-k
+    rows (per group, or globally) by the Efraimidis–Spirakis A-ES key
+    (PODC'06 / IPL 97(5)) — each row's probability of inclusion is
+    proportional to ``weight_col`` under sampling-without-replacement
+    semantics. The curation use: pick k docs per source biased by
+    quality score, reproducibly.
+
+    A-ES draws u ~ U(0,1] per row and ranks by u^(1/w), here in log
+    form ``ln(u)/w`` (descending). The uniform comes from the same
+    engine-portable md5 machinery as every sampler in this module
+    (60-bit prefix of md5(id:salt), +1 so u > 0), so the sample is a
+    pure function of (id, salt, weight) — stable across runs,
+    partitionings, and engines. The key is rounded to 10 dp before
+    ranking (libm ln() may differ by 1 ulp across engines; rounding
+    plus the id tiebreak makes the order — and thus the SAMPLE —
+    identical, the bm25 discipline applied to ordering). Rows with
+    NULL or non-positive weight are excluded (A-ES is undefined
+    there; pre-clamp if they should participate).
+
+    Scale shape: key computation is a pure projection; per-group
+    selection is one ranking window on (group, key) — top-k per
+    group, WindowGroupLimit-prunable; global selection is
+    TakeOrderedAndProject via ``hybrid.rank_top_m``. No shuffle
+    beyond the one the selection itself needs.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 10)
+    rows = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    ).withColumn("__aes", key)
+    order = [F.desc("__aes"), F.asc(id_col)]
+    if group_cols:
+        from bigdata_commerce_spark.operators.topk import top_k_per_group
+
+        out = top_k_per_group(rows, list(group_cols), order, k, rank_col=rank_col)
+    else:
+        from bigdata_commerce_spark.operators.hybrid import rank_top_m
+
+        out = rank_top_m(rows, order, k, rank_col=rank_col)
+    return out.drop("__aes")

@@ -1999,3 +1999,39 @@ def docs_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") >= 250),
         max_distance=40,
     )
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@twin_query(
+    "docs_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(
+                       ln((CAST(concat('0x', substr(md5(doc_id || ':aes'), 1, 15))
+                           AS BIGINT) + 1) / 1152921504606846976.0)
+                       / n_chars, 10) DESC,
+                   doc_id ASC
+               ) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 20
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample without replacement, 20 docs per
+    lang with inclusion biased by n_chars (mixing.weighted_sample —
+    the A-ES key over the module's engine-portable md5 uniform; the
+    oracle replays ln(u)/w to the same 10 dp rounding, so sample
+    membership AND rank hash-match). Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(
+        docs, k=20, weight_col="n_chars", group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars", "rank")
