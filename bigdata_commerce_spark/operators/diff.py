@@ -120,14 +120,21 @@ def apply_changes(
     untouched for surviving rows (and are NULL on inserted rows —
     the feed doesn't carry them).
 
+    ``compare_cols`` defaults to the columns the FEED itself carries
+    (its ``new_*`` prefix) — a feed built with an explicit column
+    subset applies without the caller restating it.
+
     One full-outer key join, same scale shape as `table_diff`; the
     changes side of a snapshot delta is |delta|-sized, so Spark's
     size estimates (or AQE at runtime) broadcast it when small.
     """
     keys = list(keys)
-    cols = _compare_cols(base, keys, compare_cols)
+    if compare_cols is None:
+        cols = [c[len("new_"):] for c in changes.columns if c.startswith("new_")]
+    else:
+        cols = list(compare_cols)
     passthrough = [c for c in base.columns if c not in set(keys) and c not in set(cols)]
-    b = base.select(*base.columns, F.lit(True).alias("_in_base")).alias("b")
+    b = base.alias("b")
     ch = changes.select(
         *keys, CHANGE_COL, *[f"new_{c}" for c in cols], F.lit(True).alias("_in_ch")
     ).alias("c")

@@ -54,11 +54,15 @@ def _prep(df: DataFrame, id_col: str, text_col: str, side: str) -> DataFrame:
 
 
 def _gram_rows(df: DataFrame, side: str, q: int) -> DataFrame:
-    """One row per gram OCCURRENCE: (id, pos, gram)."""
+    """One row per gram OCCURRENCE: (id, pos, gram). Strings shorter
+    than ``q`` have no grams — sequence(1, 0) would count DOWN in
+    Spark, so the empty case is an explicit branch, not a clamp."""
     t = f"{side}text"
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({t}) - {q - 1}, 0)),"
-        f" i -> struct(i AS pos, substring({t}, i, {q}) AS gram))"
+        f"IF(length({t}) < {q},"
+        f" CAST(array() AS array<struct<pos:int,gram:string>>),"
+        f" transform(sequence(1, length({t}) - {q - 1}),"
+        f"           i -> struct(CAST(i AS INT) AS pos, substring({t}, i, {q}) AS gram)))"
     )
     return df.select(f"{side}id", F.explode(grams).alias("g")).select(
         f"{side}id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
@@ -98,7 +102,9 @@ def edit_distance_join(
     # on them is free and they prune hardest)
     gram_df = r_all_sets.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
 
-    l_grams = _gram_rows(L, "l", q)
+    # only long-left strings can use the pigeonhole — short-left rows
+    # take the theta path below and must not pay the gram pipeline
+    l_grams = _gram_rows(L.where(F.col("llen") >= short_len), "l", q)
     l_pref = (
         l_grams.join(gram_df, "gram", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))

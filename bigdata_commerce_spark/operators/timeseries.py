@@ -333,6 +333,8 @@ def ewma_per_key(
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if bucket_seconds is not None and int(bucket_seconds) < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
     a, b = float(alpha), 1.0 - float(alpha)
     tb = [tiebreak_col] if tiebreak_col else []
     rows = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
@@ -365,7 +367,8 @@ def ewma_per_key(
         ).select(
             key_col,
             *extra_cols,
-            *[F.col(f"__z.i.{c}").alias(c) for c in ["ts", *tb]],
+            F.col("__z.i.ts").alias(ts_col),
+            *[F.col(f"__z.i.{c}").alias(c) for c in tb],
             F.col("__z.i.v").alias(value_col),
             F.col("__z.y").alias(out_col),
         )
@@ -375,8 +378,7 @@ def ewma_per_key(
             F.sort_array(F.collect_list(item)).alias("__items")
         )
         g = g.withColumn("__ys", F.aggregate("__items", init, _step())["ys"])
-        out = _emit(g, [])
-        return out.withColumnRenamed("ts", ts_col) if ts_col != "ts" else out
+        return _emit(g, [])
 
     bucket = F.floor(
         F.unix_micros(F.col(ts_col).cast("timestamp"))

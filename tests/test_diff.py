@@ -100,14 +100,16 @@ def test_apply_changes_round_trip(spark):
 
 def test_apply_changes_passthrough_columns_survive(spark):
     # Columns outside keys+compare_cols keep their base values on
-    # surviving rows and are NULL on inserted rows.
+    # surviving rows and are NULL on inserted rows. compare_cols is
+    # NOT restated: apply_changes infers it from the feed's new_*
+    # columns, so a narrow feed applies to a wider base as-is.
     base = spark.createDataFrame(
         [(1, 10.0, "p1"), (2, 20.0, "p2")], "id long, v double, extra string"
     )
     old = base.select("id", "v")
     new = spark.createDataFrame([(1, 11.0), (3, 30.0)], "id long, v double")
     feed = table_diff(old, new, keys=["id"])
-    out = apply_changes(base, feed, keys=["id"], compare_cols=["v"])
+    out = apply_changes(base, feed, keys=["id"])
     assert _rows(out, "id", "v", "extra") == [
         (1, 11.0, "p1"),
         (3, 30.0, None),
