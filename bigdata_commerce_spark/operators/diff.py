@@ -155,3 +155,41 @@ def apply_changes(
             *[F.col(f"b.{c}").alias(c) for c in passthrough],
         )
     )
+
+
+def diff_snapshots(
+    spark,
+    table_dir: str,
+    keys: Sequence[str],
+    v_from: int | None = None,
+    v_to: int | None = None,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change feed between two committed versions of a
+    `sources/snapshot.py` table — the change-data-feed a versioned
+    store needs for incremental consumers. Defaults compare the two
+    most recent versions (``v_from`` = previous, ``v_to`` = latest).
+
+    Snapshot isolation makes this safe against concurrent publishes
+    (both reads pin their manifests), and `table_diff`'s scale shape
+    applies unchanged: projected to keys + audited columns before the
+    one full-outer join.
+    """
+    from bigdata_commerce_spark.sources.snapshot import (
+        list_snapshots,
+        read_snapshot,
+    )
+
+    versions = list_snapshots(spark, table_dir)
+    if v_to is None:
+        v_to = versions[-1]
+    if v_from is None:
+        prior = [v for v in versions if v < v_to]
+        if not prior:
+            raise ValueError(
+                f"no version before {v_to} in {versions} to diff against"
+            )
+        v_from = prior[-1]
+    old = read_snapshot(spark, table_dir, v_from)
+    new = read_snapshot(spark, table_dir, v_to)
+    return table_diff(old, new, keys, compare_cols=compare_cols)

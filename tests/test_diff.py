@@ -133,3 +133,39 @@ def test_diff_join_is_single_shuffle_equi_join(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_diff_snapshots_round_trip(spark, tmp_path):
+    """publish v1, publish v2, diff the store's two versions, apply
+    the feed onto v1 → v2 exactly; explicit-version and
+    default-latest forms agree; a single-version store refuses."""
+    import pytest
+
+    from bigdata_commerce_spark.operators.diff import diff_snapshots
+    from bigdata_commerce_spark.sources.snapshot import (
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    v1_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, v double"
+    )
+    v1 = publish_snapshot(v1_df, d)
+    with pytest.raises(ValueError):
+        diff_snapshots(spark, d, keys=["id"])
+    v2_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)], "id long, s string, v double"
+    )
+    v2 = publish_snapshot(v2_df, d)
+
+    feed = diff_snapshots(spark, d, keys=["id"])
+    explicit = diff_snapshots(spark, d, keys=["id"], v_from=v1, v_to=v2)
+    assert _rows(feed) == _rows(explicit)
+    assert _rows(feed, "id", "change_type") == [
+        (2, "update"),
+        (3, "delete"),
+        (4, "insert"),
+    ]
+    rebuilt = apply_changes(read_snapshot(spark, d, v1), feed, keys=["id"])
+    assert _rows(rebuilt) == _rows(v2_df)
