@@ -193,3 +193,28 @@ def diff_snapshots(
     old = read_snapshot(spark, table_dir, v_from)
     new = read_snapshot(spark, table_dir, v_to)
     return table_diff(old, new, keys, compare_cols=compare_cols)
+
+
+def schema_diff(old: DataFrame, new: DataFrame):
+    """Schema evolution report between two frames (snapshot versions,
+    the companion to the data-level `table_diff`): one row per
+    added / removed / type-changed column, as a small local
+    DataFrame — schemas are driver metadata, no data is scanned.
+    Columns: (column, change, old_type, new_type); empty when the
+    schemas agree (field order is NOT a change — parquet and
+    unionByName don't care, so neither does this report).
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

@@ -510,6 +510,8 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     from bigdata_commerce_spark.operators.bm25 import bm25_scores
     from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
     from bigdata_commerce_spark.operators.profile import profile_table
+    from bigdata_commerce_spark.operators.editdist import edit_distance_join
+    from bigdata_commerce_spark.operators.mixing import weighted_sample
     from bigdata_commerce_spark.operators.similarity import cosine_topk
     from bigdata_commerce_spark.operators.timeseries import ewma_per_key
 
@@ -553,12 +555,27 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
             {"lex": lex, "sem": sem}, ["doc_id"], top_n=10
         ).count()
 
+    def editdist():
+        # the batch-vs-corpus matching shape (new crawl slice against
+        # the standing corpus): 100 probes, full right side — probe
+        # count fixed, corpus grows 10x
+        probes = docs.orderBy("doc_id").limit(100)
+        corpus = docs.where(F.col("doc_id") >= 1000)
+        return edit_distance_join(probes, corpus, max_distance=20, q=3).count()
+
+    def weighted():
+        return weighted_sample(
+            docs, k=100, weight_col="n_chars", group_cols=["lang"]
+        ).count()
+
     return {
         "table_diff_snapshots": snapshot_diff,
         "profile_all_columns": profile,
         "ewma_exact": ewma_exact,
         "ewma_bucketized": ewma_bucketized,
         "hybrid_search_rrf": hybrid,
+        "editdist_100_probes": editdist,
+        "weighted_sample_per_lang": weighted,
     }
 
 

@@ -169,3 +169,19 @@ def test_diff_snapshots_round_trip(spark, tmp_path):
     ]
     rebuilt = apply_changes(read_snapshot(spark, d, v1), feed, keys=["id"])
     assert _rows(rebuilt) == _rows(v2_df)
+
+
+def test_schema_diff_reports_evolution(spark):
+    from bigdata_commerce_spark.operators.diff import schema_diff
+
+    old = spark.createDataFrame([], "id long, v double, gone string")
+    new = spark.createDataFrame([], "id long, v decimal(10,2), fresh string")
+    got = _rows(schema_diff(old, new), "column", "change", "old_type", "new_type")
+    assert got == [
+        ("fresh", "added", None, "string"),
+        ("gone", "removed", "string", None),
+        ("v", "type_changed", "double", "decimal(10,2)"),
+    ]
+    # order-only difference is NOT evolution
+    reordered = spark.createDataFrame([], "v double, id long, gone string")
+    assert schema_diff(old, reordered).count() == 0
