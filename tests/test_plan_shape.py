@@ -185,3 +185,51 @@ def test_quantize_is_pure_projection(spark):
     )
     assert "Exchange" not in plan, plan[:1200]
     assert "Project" in plan
+
+
+def test_table_diff_prunes_scan_to_audited_columns(spark):
+    """table_diff's early projection must reach the parquet reader:
+    the events scan reads ONLY keys + compared columns (the narrow-
+    shuffle claim in operators/diff.py's docstring), and the
+    null-safe key condition still plans as a real equi-join."""
+    from bigdata_commerce_spark.operators.diff import table_diff
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    old = ev.where("event_id % 2 = 0")
+    new = ev.where("event_id % 3 = 0")
+    plan = _formatted(
+        table_diff(old, new, keys=["event_id"], compare_cols=["value"])
+    )
+    scans = [
+        b for b in plan.split("\n\n") if "Scan parquet" in b and "events" in b
+    ]
+    assert scans, plan[:800]
+    for scan in scans:
+        read_schema = next(l for l in scan.splitlines() if "ReadSchema" in l)
+        assert "event_id" in read_schema and "value" in read_schema
+        for dropped in ("props", "event_type", "user_id", "ts"):
+            assert dropped not in read_schema, read_schema
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_editdist_verify_is_banded_and_gram_path_joinful(spark):
+    """The verification must be the THRESHOLD form of levenshtein
+    (O(d·n) band — three arguments in the plan), and the gram path
+    must be equi-joins, not a cartesian candidate generator."""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators.editdist import edit_distance_join
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    out = edit_distance_join(
+        docs.where(F.col("doc_id") < 25),
+        docs.where(F.col("doc_id") >= 25),
+        max_distance=10,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "levenshtein(ltext" in plan and "Some(10)" in plan, plan[:900]
+    # the only non-equi join allowed is the bounded short-string
+    # theta path (length filter); the gram path joins on gram/lid/rid
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed \
+        or "BroadcastHashJoin" in executed
