@@ -206,3 +206,30 @@ def dedup_survivors(
     return clusters.groupBy("cluster_id").agg(
         F.min(node_col).alias("survivor_id"), F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-representative selection — the step after clustering
+    that curation actually needs: one surviving document per near-dup
+    cluster, the one with the largest ``order_col`` (ties -> smallest
+    id; a total order, so the survivor is deterministic).
+
+    ONE hash aggregate via ``max_by`` over the (order, -id) total
+    order — the OHLC discipline (timeseries.ohlc_resample): no
+    ranking window, no per-cluster sort, mergeable map-side partials.
+    Output: (cluster_id, canonical id, n_members).
+    """
+    joined = clusters.join(docs.select(id_col, order_col), id_col)
+    order = F.struct(
+        F.col(order_col).alias("o"), (-F.col(id_col)).alias("negid")
+    )
+    return joined.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), order).alias(id_col),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -1217,30 +1217,40 @@ def commerce_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE}
-    , common AS (
-        SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
-        GROUP BY 1, 2
-    ), pairs AS (
-        SELECT id1, id2 FROM common
-        JOIN sizes sa ON sa.id = id1
-        JOIN sizes sb ON sb.id = id2
-        WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.8
-    ), sym AS (
-        SELECT id1 AS a, id2 AS b FROM pairs
-        UNION SELECT id2, id1 FROM pairs
-    ), reach AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
+# Jaccard>=0.8 transitive-closure clusters as a recursive CTE —
+# shared by the dedup_clusters driver oracle and the canonical-doc
+# twin (same fixpoint, no drift).
+_CLUSTERS_CTE = f"""
+{_SHINGLE_CTE}
+, common AS (
+    SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id1, id2 FROM common
+    JOIN sizes sa ON sa.id = id1
+    JOIN sizes sb ON sb.id = id2
+    WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.8
+), sym AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION SELECT id2, id1 FROM pairs
+), reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), clusters AS (
     SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
+)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTERS_CTE.strip()}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,3 +2045,45 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, k=20, weight_col="n_chars", group_cols=["lang"]
     ).select("doc_id", "lang", "n_chars", "rank")
+
+# ---------------------------------------------------------------------------
+# Canonical representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+@twin_query(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTERS_CTE.strip()}
+    SELECT cluster_id, doc_id, n_members FROM (
+        SELECT c.cluster_id,
+               d.doc_id,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id ASC
+               ) AS rn
+        FROM clusters c JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical survivor per Jaccard>=0.8 near-dup cluster —
+    longest doc wins, ties to the smallest id
+    (dedup_cluster.canonical_per_cluster: a single max_by aggregate,
+    no ranking window; the oracle reaches the same survivor through
+    the recursive-CTE clusters + a ranking window, so BOTH the
+    cluster fixpoint and the argmax law are cross-checked). Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.dedup_cluster import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    clusters = connected_components(nodes, pairs, node_col="id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    return canonical_per_cluster(clusters, docs)
