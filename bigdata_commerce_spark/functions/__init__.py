@@ -131,3 +131,20 @@ def require_integer_id(df, id_col: str, context: str = "id column") -> None:
     dt = df.schema[id_col].dataType
     if not isinstance(dt, (IntegerType, LongType)):
         raise ValueError(f"{context} {id_col!r} must be an integer type, got {dt}")
+
+
+def md5_uniform60(id_col: str, salt: str) -> Column:
+    """Engine-portable 60-bit uniform key: the first 15 hex chars of
+    md5(id:salt) as a BIGINT — the seeded pseudo-randomness behind
+    the shuffled training index (sources/shards.py) and A-ES weighted
+    sampling (operators/mixing.py). ONE definition on purpose: the
+    DuckDB oracles replay `CAST(concat('0x', substr(md5(id || ':salt'),
+    1, 15)) AS BIGINT)` character-for-character, so any drift here is
+    a determinism break across every consumer at once."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")

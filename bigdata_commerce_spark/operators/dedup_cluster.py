@@ -220,16 +220,20 @@ def canonical_per_cluster(
     cluster, the one with the largest ``order_col`` (ties -> smallest
     id; a total order, so the survivor is deterministic).
 
-    ONE hash aggregate via ``max_by`` over the (order, -id) total
+    ONE hash aggregate via ``min_by`` over the (-order, id) total
     order — the OHLC discipline (timeseries.ohlc_resample): no
     ranking window, no per-cluster sort, mergeable map-side partials.
-    Output: (cluster_id, canonical id, n_members).
+    ``order_col`` must be numeric and non-null (it is negated for the
+    tiebreak composition); ``id_col`` may be ANY orderable type — it
+    is never negated, so string/date ids work. Output:
+    (cluster_id, canonical id, n_members).
     """
     joined = clusters.join(docs.select(id_col, order_col), id_col)
     order = F.struct(
-        F.col(order_col).alias("o"), (-F.col(id_col)).alias("negid")
+        (-F.col(order_col).cast("double")).alias("nego"),
+        F.col(id_col).alias("i"),
     )
     return joined.groupBy(cluster_col).agg(
-        F.max_by(F.col(id_col), order).alias(id_col),
+        F.min_by(F.col(id_col), order).alias(id_col),
         F.count(F.lit(1)).alias("n_members"),
     )

@@ -181,6 +181,8 @@ def diff_snapshots(
     )
 
     versions = list_snapshots(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     if v_to is None:
         v_to = versions[-1]
     if v_from is None:

@@ -29,23 +29,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def rank_top_m(
-    df: DataFrame,
-    order_by,
-    m: int,
-    rank_col: str = "rank",
-) -> DataFrame:
-    """Global top-m + dense 1-based rank: TakeOrderedAndProject does
-    the distributed heavy lift (per-partition top-m, merged at the
-    driver stage — no full sort, no global window over the input);
-    the ranking window then runs over m rows only. ``order_by`` must
-    be a total order for a deterministic rank."""
-    from bigdata_commerce_spark.operators.topk import global_top_k
-
-    top = global_top_k(df, order_by, m)
-    w = Window.orderBy(*order_by)
-    return top.withColumn(rank_col, F.row_number().over(w))
+from bigdata_commerce_spark.operators.topk import rank_top_m  # noqa: F401 — re-export; fusion callers rank their lists with it
 
 
 def rrf_fuse(

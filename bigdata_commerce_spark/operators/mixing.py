@@ -235,13 +235,9 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from bigdata_commerce_spark.functions import md5_uniform60
+
+    h = md5_uniform60(id_col, salt)
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 10)
     rows = df.where(
@@ -253,7 +249,7 @@ def weighted_sample(
 
         out = top_k_per_group(rows, list(group_cols), order, k, rank_col=rank_col)
     else:
-        from bigdata_commerce_spark.operators.hybrid import rank_top_m
+        from bigdata_commerce_spark.operators.topk import rank_top_m
 
         out = rank_top_m(rows, order, k, rank_col=rank_col)
     return out.drop("__aes")

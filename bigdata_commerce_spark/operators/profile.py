@@ -47,8 +47,10 @@ _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
 )
-_ORDERED_STR = (T.StringType,)
-_TIMELIKE = (T.TimestampType, T.DateType)
+# booleans route through the string min/max ('false' < 'true'
+# matches boolean ordering, and both engines render them identically)
+_ORDERED_STR = (T.StringType, T.BooleanType)
+_TIMELIKE = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
 
 def profile_table(
@@ -61,10 +63,11 @@ def profile_table(
     ``(column, n_rows, n_nonnull, n_null, n_distinct, min_num,
     max_num, min_str, max_str, mean)``.
 
-    Numerics fill ``min_num/max_num/mean`` (double); strings fill
-    ``min_str/max_str``; timestamps/dates fill ``min_str/max_str``
-    via ISO `date_format` (engine-portable text). ``mean`` is
-    rounded to ``mean_dp`` places from the exact decimal sum.
+    Numerics fill ``min_num/max_num/mean`` (double); strings and
+    booleans fill ``min_str/max_str``; timestamps (tz and ntz) and
+    dates fill ``min_str/max_str`` via ISO `date_format`
+    (engine-portable text). ``mean`` is rounded to ``mean_dp``
+    places from the exact decimal sum.
     """
     cols = list(columns) if columns is not None else list(df.columns)
     by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -82,10 +85,17 @@ def profile_table(
             aggs.append(F.try_sum(d).alias(f"_sum_{c}"))
             aggs.append(F.count(d).alias(f"_cnt_{c}"))
         elif isinstance(dt, _ORDERED_STR):
-            aggs.append(F.min(c).alias(f"_mins_{c}"))
-            aggs.append(F.max(c).alias(f"_maxs_{c}"))
+            # cast is identity for strings; booleans render as
+            # 'true'/'false' (min/max computed in the native type
+            # first, so boolean ordering — false < true — applies)
+            aggs.append(F.min(c).cast("string").alias(f"_mins_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_maxs_{c}"))
         elif isinstance(dt, _TIMELIKE):
-            fmt = "yyyy-MM-dd HH:mm:ss" if isinstance(dt, T.TimestampType) else "yyyy-MM-dd"
+            fmt = (
+                "yyyy-MM-dd"
+                if isinstance(dt, T.DateType)
+                else "yyyy-MM-dd HH:mm:ss"
+            )
             aggs.append(F.date_format(F.min(c), fmt).alias(f"_mins_{c}"))
             aggs.append(F.date_format(F.max(c), fmt).alias(f"_maxs_{c}"))
     wide = df.agg(*aggs)

@@ -44,3 +44,19 @@ def top_k_per_group(
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     out = df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def rank_top_m(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    m: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-m + dense 1-based rank: TakeOrderedAndProject does
+    the distributed heavy lift (per-partition top-m, merged at the
+    driver stage — no full sort, no global window over the input);
+    the ranking window then runs over m rows only. ``order_by`` must
+    be a total order for a deterministic rank."""
+    top = global_top_k(df, order_by, m)
+    w = Window.orderBy(*order_by)
+    return top.withColumn(rank_col, F.row_number().over(w))

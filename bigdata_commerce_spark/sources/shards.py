@@ -144,13 +144,9 @@ def with_shuffled_index(
     exclusive running total, and the within-bucket window stays
     bounded. Changing ``salt`` draws a fresh permutation.
     """
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from bigdata_commerce_spark.functions import md5_uniform60
+
+    key = md5_uniform60(id_col, salt)
     rows = df.withColumn("__k", key).withColumn(
         "__bucket", F.expr(f"__k div {bucket_width}")
     )

@@ -1371,3 +1371,22 @@ def test_tokenizer_pipeline_end_to_end(spark):
         assert start == running
         running += n
     assert running == bpe_total
+
+
+def test_canonical_per_cluster_string_ids(spark):
+    """String ids must work (the tiebreak never negates the id) —
+    largest order wins, ties break to the SMALLEST id."""
+    from bigdata_commerce_spark.operators.dedup_cluster import canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [("b", 1), ("a", 1), ("c", 1), ("z", 2)],
+        "doc_id string, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 5), ("z", 1)], "doc_id string, n_chars long"
+    )
+    got = {
+        r["cluster_id"]: (r["doc_id"], r["n_members"])
+        for r in canonical_per_cluster(clusters, docs).collect()
+    }
+    assert got == {1: ("a", 3), 2: ("z", 1)}

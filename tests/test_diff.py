@@ -185,3 +185,12 @@ def test_schema_diff_reports_evolution(spark):
     # order-only difference is NOT evolution
     reordered = spark.createDataFrame([], "v double, id long, gone string")
     assert schema_diff(old, reordered).count() == 0
+
+
+def test_diff_snapshots_empty_store_raises_clearly(spark, tmp_path):
+    import pytest
+
+    from bigdata_commerce_spark.operators.diff import diff_snapshots
+
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        diff_snapshots(spark, str(tmp_path / "never_published"), keys=["id"])

@@ -79,3 +79,16 @@ def test_column_subset_and_order(spark):
     df = spark.createDataFrame([(1, "x", 2.0)], "a long, b string, c double")
     out = profile_table(df, columns=["c", "a"])
     assert [r["column"] for r in out.collect()] == ["c", "a"]
+
+
+def test_boolean_and_ntz_columns_route_to_string_minmax(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(True, dt.datetime(2024, 1, 2, 3, 4, 5)), (False, dt.datetime(2024, 6, 7, 8, 9, 10))],
+        "b boolean, t timestamp_ntz",
+    )
+    p = _by_col(profile_table(df, exact_distinct=True))
+    assert (p["b"]["min_str"], p["b"]["max_str"]) == ("false", "true")
+    assert p["t"]["min_str"] == "2024-01-02 03:04:05"
+    assert p["t"]["max_str"] == "2024-06-07 08:09:10"
