@@ -29,8 +29,6 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_commerce_spark.operators.topk import rank_top_m  # noqa: F401 — re-export; fusion callers rank their lists with it
-
 
 def rrf_fuse(
     lists: dict[str, DataFrame],

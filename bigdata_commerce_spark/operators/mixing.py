@@ -230,7 +230,7 @@ def weighted_sample(
     Scale shape: key computation is a pure projection; per-group
     selection is one ranking window on (group, key) — top-k per
     group, WindowGroupLimit-prunable; global selection is
-    TakeOrderedAndProject via ``hybrid.rank_top_m``. No shuffle
+    TakeOrderedAndProject via ``topk.rank_top_m``. No shuffle
     beyond the one the selection itself needs.
     """
     if k < 1:

@@ -1955,7 +1955,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion is one tiny full-outer join. Twin slot: driver catalog is
     at its 50-entry cap."""
     from bigdata_commerce_spark.operators.bm25 import bm25_scores
-    from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
+    from bigdata_commerce_spark.operators.hybrid import rrf_fuse
+    from bigdata_commerce_spark.operators.topk import rank_top_m
 
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)

@@ -508,7 +508,8 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     in corpus size past the two scans)."""
     from bigdata_commerce_spark.operators import diff as diff_ops
     from bigdata_commerce_spark.operators.bm25 import bm25_scores
-    from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
+    from bigdata_commerce_spark.operators.hybrid import rrf_fuse
+    from bigdata_commerce_spark.operators.topk import rank_top_m
     from bigdata_commerce_spark.operators.profile import profile_table
     from bigdata_commerce_spark.operators.editdist import edit_distance_join
     from bigdata_commerce_spark.operators.mixing import weighted_sample

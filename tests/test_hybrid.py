@@ -8,7 +8,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from bigdata_commerce_spark.operators.hybrid import rank_top_m, rrf_fuse
+from bigdata_commerce_spark.operators.hybrid import rrf_fuse
+from bigdata_commerce_spark.operators.topk import rank_top_m
 
 
 def _mk(spark, rows):
