@@ -194,3 +194,43 @@ def test_diff_snapshots_empty_store_raises_clearly(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         diff_snapshots(spark, str(tmp_path / "never_published"), keys=["id"])
+
+
+def test_cdc_feed_drives_incremental_aggregate_refresh(spark, tmp_path):
+    """The composition the diff docstring advertises: an append-only
+    snapshot evolution's CDC feed, filtered to inserts and projected
+    back to base-row shape, drives incremental_agg.refresh_with_delta
+    to the same aggregate a full recompute of v2 gives. (Updates/
+    deletes need subtractable measures or a recompute — append-only
+    is the contract refresh_with_delta documents.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators.diff import diff_snapshots
+    from bigdata_commerce_spark.operators.incremental_agg import (
+        partial_agg,
+        refresh_with_delta,
+    )
+    from bigdata_commerce_spark.sources.snapshot import publish_snapshot
+
+    d = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, grp string, v double",
+    )
+    publish_snapshot(v1, d)
+    v2 = v1.unionByName(
+        spark.createDataFrame([(4, "a", 5.0), (5, "c", 7.0)], "id long, grp string, v double")
+    )
+    publish_snapshot(v2, d)
+
+    measures = {"n": ("count", None), "total": ("sum", "v")}
+    feed = diff_snapshots(spark, d, keys=["id"])
+    assert {r["change_type"] for r in feed.collect()} == {"insert"}
+    delta = feed.select(
+        "id", F.col("new_grp").alias("grp"), F.col("new_v").alias("v")
+    )
+    refreshed = refresh_with_delta(
+        partial_agg(v1, ["grp"], measures), delta, ["grp"], measures
+    )
+    full = partial_agg(v2, ["grp"], measures)
+    assert _rows(refreshed) == _rows(full)
