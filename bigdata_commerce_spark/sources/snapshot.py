@@ -70,16 +70,21 @@ def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
-def publish_snapshot(df: DataFrame, table_dir: str) -> int:
+def publish_snapshot(df: DataFrame, table_dir: str, writer=None) -> int:
     """Write ``df`` as the next version of the table and commit it
     atomically. Returns the published version number. Prior versions'
     files are never modified — readers pinned to them are undisturbed
-    (snapshot isolation)."""
+    (snapshot isolation). ``writer(df, dest_path)`` overrides the
+    data write (same commit protocol, different physical layout) —
+    `optimize_snapshot` uses it for the Z-order rewrite."""
     spark = df.sparkSession
     versions = _manifest_versions(spark, table_dir)
     version = (versions[-1] + 1) if versions else 1
     data_dir = f"v{version}-{uuid.uuid4().hex[:8]}"
-    df.write.parquet(f"{table_dir}/{data_dir}")
+    if writer is None:
+        df.write.parquet(f"{table_dir}/{data_dir}")
+    else:
+        writer(df, f"{table_dir}/{data_dir}")
 
     manifest = {"version": version, "data_dir": data_dir}
     fs, _, Path = fs_and_path(spark, table_dir)
@@ -178,3 +183,33 @@ def vacuum(
                 Path(f"{table_dir}/_manifests/{_MANIFEST_PREFIX}{v}.json"), False
             )
     return sorted(deleted)
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    version: int | None = None,
+) -> int:
+    """OPTIMIZE ZORDER for the snapshot store: rewrite a committed
+    version (default latest) Z-ordered on (col_a, col_b) and publish
+    the rewrite as a NEW version — same rows, file layout with narrow
+    per-file min/max on both columns (sources/layout.py), so
+    footer-stat skipping works for readers of either predicate.
+    The source version's files are untouched (pinned readers and
+    time travel are undisturbed); `vacuum` reclaims them on its
+    normal retention schedule. Returns the new version number.
+
+    Layout is a read-amplification optimization, not a data change —
+    the equality `read(optimized) == read(source)` is pinned by test.
+    """
+    from bigdata_commerce_spark.sources.layout import write_zordered
+
+    src = read_snapshot(spark, table_dir, version)
+    return publish_snapshot(
+        src,
+        table_dir,
+        writer=lambda df, dest: write_zordered(df, dest, col_a, col_b, n_files),
+    )

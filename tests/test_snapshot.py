@@ -155,3 +155,44 @@ def test_snapshot_read_keeps_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(a), GreaterThan(a,100)]" in plan, plan[:1200]
     assert "ReadSchema: struct<id:bigint,a:bigint>" in plan
+
+
+def test_optimize_snapshot_preserves_data_and_tightens_layout(spark, tmp_path):
+    """Z-order rewrite publishes a NEW version with identical rows;
+    the source version stays readable (isolation); per-file footer
+    ranges for the probed predicate overlap FEWER files than the
+    shuffled source layout."""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.sources.layout import files_overlapping
+    from bigdata_commerce_spark.sources.snapshot import (
+        optimize_snapshot,
+        read_snapshot,
+    )
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 2654435761 % n).alias("a"),
+            (F.col("id") * 40503 % n).alias("b"),
+        )
+        .repartition(8)  # deliberately scrambled layout
+    )
+    d = str(tmp_path / "tbl")
+    v1 = snap.publish_snapshot(df, d)
+    v2 = optimize_snapshot(spark, d, "a", "b", n_files=8)
+    assert v2 == v1 + 1
+
+    rows = lambda dd: sorted((r["a"], r["b"]) for r in dd.collect())
+    assert rows(read_snapshot(spark, d, v2)) == rows(read_snapshot(spark, d, v1))
+
+    from bigdata_commerce_spark.sources.snapshot import _read_manifest
+
+    p1 = f"{d}/{_read_manifest(spark, d, v1)['data_dir']}"
+    p2 = f"{d}/{_read_manifest(spark, d, v2)['data_dir']}"
+    lo, hi = 100, 180
+    hit1, tot1 = files_overlapping(p1, "a", lo, hi)
+    hit2, tot2 = files_overlapping(p2, "a", lo, hi)
+    assert hit1 == tot1  # scrambled: every file spans the range
+    assert hit2 < tot2   # z-ordered: the narrow probe skips files
