@@ -220,20 +220,22 @@ def canonical_per_cluster(
     cluster, the one with the largest ``order_col`` (ties -> smallest
     id; a total order, so the survivor is deterministic).
 
-    ONE hash aggregate via ``min_by`` over the (-order, id) total
-    order — the OHLC discipline (timeseries.ohlc_resample): no
-    ranking window, no per-cluster sort, mergeable map-side partials.
-    ``order_col`` must be numeric and non-null (it is negated for the
-    tiebreak composition); ``id_col`` may be ANY orderable type — it
-    is never negated, so string/date ids work. Output:
+    A thin document-shaped façade over `dedup_survivors` — the ONE
+    min_by-over-(neg order, id) aggregate kernel (no ranking window,
+    mergeable map-side partials; ``order_col`` numeric by contract,
+    the id never negated so string/uuid ids work). Output:
     (cluster_id, canonical id, n_members).
     """
-    joined = clusters.join(docs.select(id_col, order_col), id_col)
-    order = F.struct(
-        (-F.col(order_col).cast("double")).alias("nego"),
-        F.col(id_col).alias("i"),
+    out = dedup_survivors(
+        clusters.select(
+            F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster_id")
+        ),
+        quality=docs.select(
+            F.col(id_col).alias("id"), F.col(order_col).alias("quality")
+        ),
     )
-    return joined.groupBy(cluster_col).agg(
-        F.min_by(F.col(id_col), order).alias(id_col),
-        F.count(F.lit(1)).alias("n_members"),
+    return out.select(
+        F.col("cluster_id").alias(cluster_col),
+        F.col("survivor_id").alias(id_col),
+        F.col("cluster_size").alias("n_members"),
     )
