@@ -110,3 +110,87 @@ def user_sessions_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (numeric per-key state)
+# ---------------------------------------------------------------------------
+
+_EWMA_STATE_SCHEMA = "y double, has boolean, last_ms long"
+
+
+def ewma_stateful(
+    events: DataFrame,
+    alpha: float,
+    watermark: str = "1 second",
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.ewma_per_key``: per-key EWMA
+    state (y, has) evolved across micro-batches, one output row per
+    input row carrying its smoothed value — the numeric-state
+    complement to the gap sessionizer above (state that UPDATES and
+    emits per event, rather than emitting on timeout).
+
+    The recurrence applies ``a*v + b*y`` in the same IEEE op order as
+    the batch fold, so for in-order delivery the stream output is
+    BIT-identical to the batch operator (pinned by test). Rows
+    arriving out of order behind the key's state (ts < last seen) are
+    DROPPED, not retro-folded — a sequential recurrence cannot insert
+    into its past; size the watermark so the source compacts/orders
+    within it upstream. State per key is three scalars — bounded by
+    key cardinality, not history. ``key_col`` long / ``value_col``
+    double by schema contract (align input types first).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a, b = float(alpha), 1.0 - float(alpha)
+    out_schema = (
+        f"{key_col} long, {time_col} timestamp, {value_col} double, ewma double"
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        y, has, last_ms = (
+            state.get if state.exists else (0.0, False, -(2**62))
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.dropna(subset=[time_col, value_col])
+        batch = batch.sort_values([time_col, value_col], kind="mergesort")
+        out_t, out_v, out_y = [], [], []
+        for ts, v in zip(batch[time_col], batch[value_col]):
+            ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            if ts_ms < last_ms:
+                continue  # behind the state: cannot retro-fold
+            v = float(v)
+            y = (a * v + b * y) if has else v
+            has, last_ms = True, ts_ms
+            out_t.append(ts)
+            out_v.append(v)
+            out_y.append(y)
+        state.update((y, has, last_ms))
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_t),
+                    time_col: out_t,
+                    value_col: out_v,
+                    "ewma": out_y,
+                }
+            )
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            _EWMA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -729,3 +729,69 @@ def test_distinct_documents_stream_emits_each_content_once(spark, tmp_path):
     }
     for r in rows:
         assert fp_by_text[text_of[r.doc_id]] == r.fp
+
+
+def test_stateful_ewma_stream_bit_identical_to_batch(spark, tmp_path):
+    """Streaming EWMA (streaming/stateful.ewma_stateful) across three
+    in-order micro-batches must equal the batch fold
+    (timeseries.ewma_per_key) BIT-for-bit — same IEEE op order, state
+    threaded across batches; a late row behind the state is dropped."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.timeseries import ewma_per_key
+    from bigdata_commerce_spark.streaming.stateful import ewma_stateful
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_time timestamp, user_id long, value double"
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    def s(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    chunks = [
+        [(s(0), 1, 10.0), (s(10), 1, 20.0), (s(5), 2, 1.0)],
+        [(s(20), 1, 5.0), (s(15), 2, 2.0), (s(25), 2, 3.0)],
+        [(s(30), 1, 100.0), (s(1), 2, 99.0)],  # (s(1), 2) is LATE: dropped
+    ]
+    write_chunk("c1", chunks[0])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        ewma_stateful(stream, alpha=0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_ewma")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for i, rows in enumerate(chunks[1:], start=2):
+        write_chunk(f"c{i}", rows)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.event_time): r.ewma
+        for r in spark.sql("select * from stateful_ewma").collect()
+    }
+    in_order = [r for ch in chunks for r in ch if r != (s(1), 2, 99.0)]
+    batch = ewma_per_key(
+        spark.createDataFrame(in_order, schema),
+        alpha=0.3,
+        key_col="user_id",
+        ts_col="event_time",
+        value_col="value",
+    )
+    want = {(r["user_id"], r["event_time"]): r["ewma"] for r in batch.collect()}
+    assert got == want  # BIT identical, late row absent from both
