@@ -982,3 +982,42 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ewma_per_key(ev, alpha=0.1, tiebreak_col="event_id")
     return out.select("user_id", "event_id", "ts", "value", "ewma")
+
+
+@twin_query(
+    "parts_bought_together",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_groups FROM items
+    ), counts AS (
+        SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS item_x, b.l_partkey AS item_y,
+               COUNT(*) AS n_xy
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT item_x, item_y, n_xy, cx.n AS n_x, cy.n AS n_y,
+           ROUND(ln(CAST(n_xy AS DOUBLE) * CAST(n_groups AS DOUBLE)
+                    / (CAST(cx.n AS DOUBLE) * CAST(cy.n AS DOUBLE))), 6) AS pmi
+    FROM pairs
+    JOIN counts cx ON cx.l_partkey = item_x
+    JOIN counts cy ON cy.l_partkey = item_y
+    CROSS JOIN n
+    WHERE n_xy >= 2
+    """,
+)
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with PMI scoring
+    (operators/cooccur.py): part pairs sharing >= 2 orders, scored by
+    pointwise mutual information from exact basket counts — ONE
+    group-key self-join (whale baskets boundable via cap_per_group)
+    plus broadcast count joins. Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.cooccur import cooccurrence_pmi
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return cooccurrence_pmi(li, "l_orderkey", "l_partkey", min_pairs=2)

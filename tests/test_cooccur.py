@@ -1,0 +1,59 @@
+"""Co-occurrence PMI (operators/cooccur.py). The lineitem-scale
+oracle check lives in test_twin_queries.py (parts_bought_together);
+here: the PMI law on a crafted basket set, presence (not
+multiplicity) semantics, min_pairs filtering, the whale-basket cap's
+determinism and bound, and parameter validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigdata_commerce_spark.operators.cooccur import cooccurrence_pmi
+
+
+def _baskets(spark, baskets):
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    return spark.createDataFrame(rows, "grp long, item string")
+
+
+def test_pmi_law_and_presence_semantics(spark):
+    # 4 groups; (a,b) together twice, a thrice, b twice; duplicate
+    # items inside a basket count ONCE.
+    baskets = {
+        1: ["a", "a", "b"],
+        2: ["a", "b", "c"],
+        3: ["a"],
+        4: ["c", "d"],
+    }
+    out = {
+        (r["item_x"], r["item_y"]): (r["n_xy"], r["n_x"], r["n_y"], r["pmi"])
+        for r in cooccurrence_pmi(_baskets(spark, baskets), "grp", "item").collect()
+    }
+    n_xy, n_x, n_y, pmi = out[("a", "b")]
+    assert (n_xy, n_x, n_y) == (2, 3, 2)
+    assert pmi == round(math.log(2.0 * 4.0 / (3.0 * 2.0)), 6)
+    assert out[("c", "d")][0] == 1
+    assert ("b", "a") not in out  # unordered, x < y
+
+
+def test_min_pairs_filters(spark):
+    baskets = {1: ["a", "b"], 2: ["a", "b"], 3: ["a", "c"]}
+    out = cooccurrence_pmi(_baskets(spark, baskets), "grp", "item", min_pairs=2)
+    assert [(r["item_x"], r["item_y"]) for r in out.collect()] == [("a", "b")]
+
+
+def test_cap_per_group_bounds_and_is_deterministic(spark):
+    whale = {1: [f"i{k}" for k in range(50)], 2: ["i1", "i2"]}
+    df = _baskets(spark, whale)
+    capped = cooccurrence_pmi(df, "grp", "item", cap_per_group=5)
+    # group 1 contributes at most C(5,2)=10 pairs, group 2 at most 1
+    assert capped.count() <= 11
+    again = cooccurrence_pmi(df.repartition(7), "grp", "item", cap_per_group=5)
+    key = lambda d: sorted(
+        (r["item_x"], r["item_y"], r["n_xy"]) for r in d.collect()
+    )
+    assert key(capped) == key(again)  # md5 cap: partitioning-independent
+    with pytest.raises(ValueError):
+        cooccurrence_pmi(df, "grp", "item", cap_per_group=0)
