@@ -47,14 +47,29 @@ def cooccurrence_pmi(
     group (deterministic md5 rank over the item value — reproducible
     across runs/engines), bounding the self-join's per-key output.
     """
-    items = df.select(group_col, item_col).distinct()
+    items = (
+        df.where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(group_col, item_col)
+        .distinct()
+    )
     if cap_per_group is not None:
         if cap_per_group < 1:
             raise ValueError("cap_per_group must be >= 1")
         from pyspark.sql import Window
 
+        # hash (group, item) — hashing the item alone would keep the
+        # SAME items in every whale group, so pairs among high-hash
+        # items would never be observed anywhere; decorrelating the
+        # cap across groups keeps it an unbiased per-group sample
         w = Window.partitionBy(group_col).orderBy(
-            F.md5(F.concat(F.col(item_col).cast("string"), F.lit(f":{salt}"))),
+            F.md5(
+                F.concat(
+                    F.col(group_col).cast("string"),
+                    F.lit(":"),
+                    F.col(item_col).cast("string"),
+                    F.lit(f":{salt}"),
+                )
+            ),
             item_col,
         )
         items = (
@@ -62,11 +77,15 @@ def cooccurrence_pmi(
             .where(F.col("__r") <= cap_per_group)
             .drop("__r")
         )
-    # three consumers (N count, item counts, both self-join sides):
-    # persist once; freed when the session drops the plan
-    items = items.persist()
-
-    n_groups = items.select(group_col).distinct().count()
+    # `items` feeds four subplans (group count, item counts, both
+    # self-join sides). No persist and no eager action: the distinct
+    # is one Exchange and Spark's ReusedExchange dedupes identical
+    # subplans within the one job, so the shuffle runs once and
+    # nothing leaks cache across calls. The group count joins in as
+    # a broadcast one-row aggregate (the drift.py pattern).
+    n_groups_row = items.select(
+        F.count_distinct(group_col).alias("__n_groups")
+    )
     item_counts = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("n"))
 
     a = items.select(group_col, F.col(item_col).alias("item_x"))
@@ -87,12 +106,13 @@ def cooccurrence_pmi(
     out = (
         pairs.join(F.broadcast(cx), "item_x")
         .join(F.broadcast(cy), "item_y")
+        .crossJoin(F.broadcast(n_groups_row))
         .withColumn(
             "pmi",
             F.round(
                 F.log(
                     F.col("n_xy").cast("double")
-                    * F.lit(float(n_groups))
+                    * F.col("__n_groups").cast("double")
                     / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
                 ),
                 6,

@@ -223,17 +223,20 @@ def canonical_per_cluster(
     A thin document-shaped façade over `dedup_survivors` — the ONE
     min_by-over-(neg order, id) aggregate kernel (no ranking window,
     mergeable map-side partials; ``order_col`` numeric by contract,
-    the id never negated so string/uuid ids work). Output:
-    (cluster_id, canonical id, n_members).
+    the id never negated so string/uuid ids work). INNER-join member
+    semantics: cluster members with no docs row (or NULL order) are
+    neither survivor-eligible nor counted in n_members — a survivor
+    must have a document behind it (matters when order is a signed
+    score: dedup_survivors' own 0.0 imputation would outrank real
+    negative scores). Output: (cluster_id, canonical id, n_members).
     """
-    out = dedup_survivors(
-        clusters.select(
-            F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster_id")
-        ),
-        quality=docs.select(
-            F.col(id_col).alias("id"), F.col(order_col).alias("quality")
-        ),
+    scored = docs.where(F.col(order_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(order_col).alias("quality")
     )
+    members = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster_id")
+    ).join(scored.select("id"), "id", "left_semi")
+    out = dedup_survivors(members, quality=scored)
     return out.select(
         F.col("cluster_id").alias(cluster_col),
         F.col("survivor_id").alias(id_col),

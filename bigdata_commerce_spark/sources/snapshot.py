@@ -204,9 +204,22 @@ def optimize_snapshot(
 
     Layout is a read-amplification optimization, not a data change —
     the equality `read(optimized) == read(source)` is pinned by test.
+    That claim also forces the source to be the LATEST version: the
+    rewrite becomes the new head, so optimizing a historical version
+    would silently roll the table's data back under a layout-only
+    banner — refused with ValueError (time-travel to read old
+    layouts; republish explicitly if a rollback is truly intended).
     """
     from bigdata_commerce_spark.sources.layout import write_zordered
 
+    versions = _manifest_versions(spark, table_dir)
+    if version is not None and (not versions or version != versions[-1]):
+        raise ValueError(
+            f"optimize_snapshot only rewrites the latest version "
+            f"({versions[-1] if versions else 'none'}); optimizing "
+            f"v{version} would publish its data as the new head — a "
+            "rollback, not a layout change"
+        )
     src = read_snapshot(spark, table_dir, version)
     return publish_snapshot(
         src,

@@ -134,14 +134,25 @@ def ewma_stateful(
     emits per event, rather than emitting on timeout).
 
     The recurrence applies ``a*v + b*y`` in the same IEEE op order as
-    the batch fold, so for in-order delivery the stream output is
-    BIT-identical to the batch operator (pinned by test). Rows
-    arriving out of order behind the key's state (ts < last seen) are
-    DROPPED, not retro-folded — a sequential recurrence cannot insert
-    into its past; size the watermark so the source compacts/orders
-    within it upstream. State per key is three scalars — bounded by
-    key cardinality, not history. ``key_col`` long / ``value_col``
-    double by schema contract (align input types first).
+    the batch fold, so when each key's timestamps arrive strictly
+    increasing across micro-batches the stream output is BIT-identical
+    to the batch operator (pinned by test). Two drop rules, both
+    deliberate (a sequential recurrence cannot insert into its past):
+
+    - rows at-or-behind the key's state (``ts <= last seen``) are
+      dropped — equal-ts rows must share a batch to be folded in the
+      batch path's (ts, value) order, so a later-batch tie cannot be
+      folded consistently and is treated as late;
+    - Spark's event-time watermark is GLOBAL: one key's clock running
+      ahead advances it for every key, and rows below it are dropped
+      by the engine before this operator sees them, even if they are
+      ahead of their own key's state. Size ``watermark`` to the
+      cross-KEY disorder of the source, not per-key disorder — the
+      1-second default assumes keys' clocks move together.
+
+    State per key is three scalars — bounded by key cardinality, not
+    history. ``key_col`` long / ``value_col`` double by schema
+    contract (align input types first).
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -162,10 +173,14 @@ def ewma_stateful(
         batch = batch.dropna(subset=[time_col, value_col])
         batch = batch.sort_values([time_col, value_col], kind="mergesort")
         out_t, out_v, out_y = [], [], []
+        # the tie rule compares against the state AS OF batch entry:
+        # equal timestamps inside one batch fold in (ts, value) order
+        # like the batch path; a tie with a PREVIOUS batch is late
+        entry_last_ms = last_ms
         for ts, v in zip(batch[time_col], batch[value_col]):
             ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-            if ts_ms < last_ms:
-                continue  # behind the state: cannot retro-fold
+            if ts_ms <= entry_last_ms:
+                continue  # at-or-behind prior state: cannot retro-fold
             v = float(v)
             y = (a * v + b * y) if has else v
             has, last_ms = True, ts_ms

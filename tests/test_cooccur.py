@@ -57,3 +57,31 @@ def test_cap_per_group_bounds_and_is_deterministic(spark):
     assert key(capped) == key(again)  # md5 cap: partitioning-independent
     with pytest.raises(ValueError):
         cooccurrence_pmi(df, "grp", "item", cap_per_group=0)
+
+
+def test_null_items_and_groups_excluded(spark):
+    rows = [(1, "a"), (1, "b"), (2, None), (None, "c"), (3, "d")]
+    df = spark.createDataFrame(rows, "grp long, item string")
+    out = cooccurrence_pmi(df, "grp", "item")
+    pairs = [(r["item_x"], r["item_y"], r["n_x"], r["pmi"]) for r in out.collect()]
+    assert len(pairs) == 1
+    x, y, n_x, pmi = pairs[0]
+    # N counts only groups with a non-null item: {1, 3} -> 2, so
+    # pmi(a,b) = ln(1*2/(1*1)) — a NULL-only basket must not deflate it.
+    assert (x, y) == ("a", "b")
+    import math
+    assert pmi == round(math.log(2.0), 6)
+
+
+def test_cap_decorrelated_across_groups(spark):
+    # Two identical whale baskets: hashing (group, item) must keep
+    # DIFFERENT item subsets in each (item-only hashing kept the same
+    # ones everywhere, so high-hash pairs were never observable).
+    items = [f"i{k}" for k in range(30)]
+    df = _baskets(spark, {1: items, 2: items})
+    capped = cooccurrence_pmi(df, "grp", "item", cap_per_group=5)
+    # pairs observed across both groups: if the caps were identical
+    # subsets, every pair would have n_xy == 2 and there'd be exactly
+    # C(5,2)=10 pairs; decorrelated caps produce some n_xy == 1.
+    counts = [r["n_xy"] for r in capped.collect()]
+    assert any(c == 1 for c in counts)

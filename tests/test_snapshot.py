@@ -196,3 +196,17 @@ def test_optimize_snapshot_preserves_data_and_tightens_layout(spark, tmp_path):
     hit2, tot2 = files_overlapping(p2, "a", lo, hi)
     assert hit1 == tot1  # scrambled: every file spans the range
     assert hit2 < tot2   # z-ordered: the narrow probe skips files
+
+
+def test_optimize_snapshot_refuses_historical_version(spark, tmp_path):
+    import pytest
+
+    from bigdata_commerce_spark.sources.snapshot import optimize_snapshot
+
+    d = str(tmp_path / "tbl")
+    v1 = snap.publish_snapshot(
+        spark.createDataFrame([(1, 2)], "a long, b long"), d
+    )
+    snap.publish_snapshot(spark.createDataFrame([(3, 4)], "a long, b long"), d)
+    with pytest.raises(ValueError, match="rollback"):
+        optimize_snapshot(spark, d, "a", "b", version=v1)
