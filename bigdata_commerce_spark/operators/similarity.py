@@ -558,3 +558,43 @@ def embedding_dedup_clusters(
     return connected_components(nodes, pairs, node_col="id").select(
         F.col("id").alias(id_col), F.col("cluster_id")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: embed each vector into
+    ``out_dim`` dimensions through a seeded Gaussian plane matrix,
+    scaled by 1/sqrt(out_dim) so pairwise L2 distances are preserved
+    in expectation (the JL lemma) — the cheap front half of
+    coarse-then-exact ANN, and a 4× storage cut on top of `quantize`.
+
+    Shares the sign-LSH machinery's posture: the same
+    ``default_rng(seed)`` plane matrix (sign-LSH IS this projection
+    plus a sign), and every output coordinate is the SEQUENTIAL
+    left-fold dot product (`_dot`), bit-identical to a DuckDB
+    list_reduce replay of the same plane literals — engine-stable
+    before any rounding. Pure projection: zero shuffle, zero UDF,
+    stays in whole-stage codegen. ``round_dp`` rounds for
+    hash-stable reports; pass None for raw doubles.
+    """
+    import numpy as np
+
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError("out_dim and in_dim must be >= 1")
+    planes = np.random.default_rng(seed).standard_normal((out_dim, in_dim))
+    inv = 1.0 / float(np.sqrt(out_dim))
+    v = _as_double(vec_col)
+    coords = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        c = _dot(v, plane) * F.lit(inv)
+        coords.append(F.round(c, round_dp) if round_dp is not None else c)
+    return emb.select(F.col(id_col), F.array(*coords).alias(out_col))

@@ -2088,3 +2088,43 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "cluster_id"
     )
     return canonical_per_cluster(clusters, docs)
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle() -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(plane_id, pv) AS (
+        SELECT * FROM (VALUES {rows})
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), proj AS (
+        SELECT vec_id, plane_id,
+               ROUND(list_reduce(list_transform(list_zip(e, pv), q -> q[1] * q[2]),
+                                 (acc, x) -> acc + x)
+                     * CAST(0.25 AS DOUBLE), 4) AS c
+        FROM v CROSS JOIN planes
+    )
+    SELECT vec_id, list(c ORDER BY plane_id) AS projected
+    FROM proj GROUP BY vec_id
+    """
+
+
+@twin_query("embeddings_jl_projected", oracle=_jl_oracle())
+def embeddings_jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-d → 16-d Johnson–Lindenstrauss projection of the embedding
+    corpus (similarity.random_projection): the SAME seeded plane
+    matrix as the sign-LSH family, sequential-fold dot products
+    bit-identical to the oracle's list_reduce, 1/sqrt(16) distance
+    scaling. Twin slot: driver catalog is at its 50-entry cap."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.random_projection(emb)

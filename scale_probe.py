@@ -569,6 +569,16 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
             docs, k=100, weight_col="n_chars", group_cols=["lang"]
         ).count()
 
+    def cooccur():
+        from bigdata_commerce_spark.operators.cooccur import cooccurrence_pmi
+
+        li = spark.read.parquet(
+            os.path.join(os.path.dirname(ev_path), "lineitem.parquet")
+        )
+        return cooccurrence_pmi(
+            li, "l_orderkey", "l_partkey", min_pairs=2
+        ).count()
+
     return {
         "table_diff_snapshots": snapshot_diff,
         "profile_all_columns": profile,
@@ -577,6 +587,7 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
         "hybrid_search_rrf": hybrid,
         "editdist_100_probes": editdist,
         "weighted_sample_per_lang": weighted,
+        "cooccur_pmi_lineitem": cooccur,
     }
 
 

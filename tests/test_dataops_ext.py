@@ -1390,3 +1390,42 @@ def test_canonical_per_cluster_string_ids(spark):
         for r in canonical_per_cluster(clusters, docs).collect()
     }
     assert got == {1: ("a", 3), 2: ("z", 1)}
+
+
+def test_random_projection_preserves_distances_in_expectation(spark):
+    """JL property sanity on real corpus vectors: for sampled pairs,
+    the projected L2 distance is within a loose band of the original
+    (16 dims -> generous tolerance), plan stays shuffle-free, and
+    out_dim/round_dp contracts hold."""
+    import math
+
+    import pytest
+
+    from bigdata_commerce_spark.operators.similarity import random_projection
+    from bigdata_commerce_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).limit(40)
+    proj = random_projection(emb, round_dp=None)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    projs = {r["vec_id"]: r["projected"] for r in proj.collect()}
+    ids = sorted(vecs)[:10]
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d0 = math.dist(vecs[a], vecs[b])
+            d1 = math.dist(projs[a], projs[b])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4          # unbiased in expectation
+    assert all(0.2 < r < 2.5 for r in ratios)  # no catastrophic pair
+
+    assert len(next(iter(projs.values()))) == 16
+    with pytest.raises(ValueError):
+        random_projection(emb, out_dim=0)
