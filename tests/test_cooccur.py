@@ -85,3 +85,57 @@ def test_cap_decorrelated_across_groups(spark):
     # C(5,2)=10 pairs; decorrelated caps produce some n_xy == 1.
     counts = [r["n_xy"] for r in capped.collect()]
     assert any(c == 1 for c in counts)
+
+
+def test_cooccurrence_matches_python_reference_hypothesis(spark):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 6), st.sampled_from("abcdef")),
+            min_size=1,
+            max_size=40,
+        ),
+        min_pairs=st.integers(1, 3),
+    )
+    def run(rows, min_pairs):
+        baskets = {}
+        for g, i in rows:
+            baskets.setdefault(g, set()).add(i)
+        n_groups = len(baskets)
+        item_n = Counter(i for items in baskets.values() for i in items)
+        pair_n = Counter(
+            p
+            for items in baskets.values()
+            for p in combinations(sorted(items), 2)
+        )
+        want = {
+            (x, y): (
+                n,
+                item_n[x],
+                item_n[y],
+                round(math.log(n * n_groups / (item_n[x] * item_n[y])), 6),
+            )
+            for (x, y), n in pair_n.items()
+            if n >= min_pairs
+        }
+        df = spark.createDataFrame(rows, "grp long, item string")
+        got = {
+            (r["item_x"], r["item_y"]): (r["n_xy"], r["n_x"], r["n_y"], r["pmi"])
+            for r in cooccurrence_pmi(
+                df, "grp", "item", min_pairs=min_pairs
+            ).collect()
+        }
+        assert got == want
+
+    run()
