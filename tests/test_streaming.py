@@ -795,3 +795,57 @@ def test_stateful_ewma_stream_bit_identical_to_batch(spark, tmp_path):
     )
     want = {(r["user_id"], r["event_time"]): r["ewma"] for r in batch.collect()}
     assert got == want  # BIT identical, late row absent from both
+
+
+def test_stateful_ewma_tie_contract(spark, tmp_path):
+    """Equal timestamps INSIDE a batch fold in (ts, value) order like
+    the batch path; an equal timestamp arriving in a LATER batch is
+    at-or-behind prior state and is dropped."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.streaming.stateful import ewma_stateful
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_time timestamp, user_id long, value double"
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    t0 = base
+    # chunk 1: a within-batch tie at t0 — folds 2.0 then 8.0
+    write_chunk("c1", [(t0, 1, 8.0), (t0, 1, 2.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        ewma_stateful(stream, alpha=0.5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_ties")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # chunk 2: a cross-batch tie at t0 (dropped) + a real advance
+    write_chunk("c2", [(t0, 1, 99.0), (t0 + dt.timedelta(seconds=5), 1, 4.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.event_time, r.value, r.ewma)
+        for r in spark.sql("select * from ewma_ties").collect()
+    )
+    # fold: y=2.0, then 0.5*8+0.5*2=5.0; 99.0 dropped; 0.5*4+0.5*5=4.5
+    assert got == [
+        (t0, 2.0, 2.0),
+        (t0, 8.0, 5.0),
+        (t0 + dt.timedelta(seconds=5), 4.0, 4.5),
+    ]
