@@ -103,7 +103,7 @@ def cooccurrence_pmi(
     cy = item_counts.select(
         F.col(item_col).alias("item_y"), F.col("n").alias("n_y")
     )
-    out = (
+    return (
         pairs.join(F.broadcast(cx), "item_x")
         .join(F.broadcast(cy), "item_y")
         .crossJoin(F.broadcast(n_groups_row))
@@ -120,4 +120,3 @@ def cooccurrence_pmi(
         )
         .select("item_x", "item_y", "n_xy", "n_x", "n_y", "pmi")
     )
-    return out

@@ -138,13 +138,14 @@ def edit_distance_join(
         Rs, F.abs(F.col("llen") - F.col("rlen")) <= d, "inner"
     )
 
-    out = []
-    for cand in (cand_gram, cand_short):
-        dist = F.levenshtein("ltext", "rtext", d)
-        out.append(
+    def _verify(cand: DataFrame) -> DataFrame:
+        # length filter + the banded (threshold) levenshtein: -1 means
+        # past the threshold; candidates only ever pay the O(d·n) band
+        return (
             cand.where(F.abs(F.col("llen") - F.col("rlen")) <= d)
-            .withColumn("distance", dist)
+            .withColumn("distance", F.levenshtein("ltext", "rtext", d))
             .where(F.col("distance") >= 0)
             .select("lid", "rid", "distance")
         )
-    return out[0].unionByName(out[1])
+
+    return _verify(cand_gram).unionByName(_verify(cand_short))
