@@ -126,3 +126,83 @@ def funnel_counts(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel depth (ClickHouse windowFunnel family)
+# ---------------------------------------------------------------------------
+
+def window_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    out_col: str = "funnel_level",
+) -> DataFrame:
+    """Max funnel depth per key: the largest L such that events
+    e_1 < e_2 < ... < e_L exist with types = ``steps[0..L-1]`` and
+    ``ts(e_L) - ts(e_1) <= window`` — the sliding-window sequential
+    conversion measure (ClickHouse's ``windowFunnel``; the
+    time-bounded generalization of the reference's adjacent-page
+    funnel, ``PageOneStepConvertRate.scala:20-99``). Returns one row
+    per key that has at least one step-1 event: ``(key, out_col)``.
+
+    Exact DP, one pass in event-time order: ``state[i]`` = the LATEST
+    chain-start timestamp among chains reaching level i+1 (keeping
+    the latest start dominates — the window is measured from the
+    start, so a later start can extend anything an earlier one
+    could). Each event updates the array from the PRIOR state, so
+    chains are strictly ordered. Implemented as a sequential Catalyst
+    fold over the per-key sorted event structs (the EWMA machinery):
+    one shuffle, integer-microsecond arithmetic — bit-exact and
+    engine-portable (the oracle replays the DP as a recursive CTE).
+    Events whose type is not in ``steps`` are filtered BEFORE the
+    collect, so per-key state is bounded by matching events only.
+    Equal timestamps order by (ts, type) and count as sequential.
+    """
+    steps = list(steps)
+    k = len(steps)
+    if k < 1:
+        raise ValueError("steps must be non-empty")
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    w_us = int(window_seconds) * 1_000_000
+
+    ev = events.where(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        key_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(type_col).alias("ty"),
+    )
+    items = F.sort_array(F.collect_list(F.struct("t", "ty")))
+    init = F.array(*[F.lit(-1).cast("bigint")] * k)
+
+    def merge(acc, x):
+        elems = [
+            F.when(
+                x["ty"] == steps[0], F.greatest(acc[0], x["t"])
+            ).otherwise(acc[0])
+        ]
+        for i in range(1, k):
+            elems.append(
+                F.when(
+                    (x["ty"] == steps[i])
+                    & (acc[i - 1] >= 0)
+                    & (x["t"] - acc[i - 1] <= w_us),
+                    F.greatest(acc[i], acc[i - 1]),
+                ).otherwise(acc[i])
+            )
+        return F.array(*elems)
+
+    g = ev.groupBy(key_col).agg(items.alias("__items"))
+    state = F.aggregate(F.col("__items"), init, merge)
+    # reached levels are prefix-closed, so the count IS the max level
+    level = F.aggregate(
+        state,
+        F.lit(0),
+        lambda n, v: n + F.when(v >= 0, 1).otherwise(0),
+    )
+    return g.select(key_col, level.alias(out_col)).where(F.col(out_col) >= 1)
