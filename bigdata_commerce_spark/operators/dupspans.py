@@ -1,0 +1,199 @@
+"""Exact duplicate-span detection and scrubbing (substring-level
+corpus dedup, the Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better" family).
+
+Document-level dedup (operators/dedup.py) removes whole near-copies;
+this module finds EXACTLY-repeated token runs *inside* otherwise
+distinct documents — syndicated paragraphs, quoted licenses, templated
+intros — which LMs memorize verbatim. The reference engine has no
+substring dedup at all; this is part of the training-data extension
+surface (SURVEY.md north star).
+
+Method: fingerprint every sliding window of ``window`` consecutive
+tokens (md5 over the separator-joined tokens — 128-bit, collisions
+negligible at corpus scale and the same engine-portable hash every
+sampler in this package uses). A window whose fingerprint occurs >= 2
+times anywhere in the corpus (cross-document OR twice within one
+document) is duplicated; any exactly-repeated token run of length >=
+``window`` is covered because ALL of its aligned windows repeat, and
+conversely every flagged window IS an exactly-repeated run of
+``window`` tokens — detection is exact, not approximate (suffix
+arrays buy the same answer with more machinery; windowed
+fingerprinting is the shuffle-friendly form).
+
+Scale shape (everything bounded, nothing quadratic):
+- window fingerprints are built MAP-SIDE with array expressions
+  (split -> transform(sequence) -> md5(concat_ws(slice))) — the only
+  fan-out is one posexplode, linear in corpus token count, the same
+  cost class as the shingle pipelines in dedup.py;
+- per-fingerprint occurrence counts + the canonical (first)
+  occurrence are ONE hash aggregate with map-side partial combine —
+  deliberately an aggregate and not a row_number window, because a
+  boilerplate window can occur millions of times and a per-hash
+  window sort is exactly the skew trap the aggregate avoids;
+- marking is a shuffle equi-join of occurrences against that
+  aggregate on the fingerprint (AQE broadcasts the dup table when it
+  fits, splits it when one hash is hot);
+- island-merging of overlapping hits runs per document
+  (lag + running-sum gaps-and-islands over a doc_id partition),
+  bounded by tokens-per-document, never by corpus size.
+
+Ref: the reference has no counterpart (its dedup surface is
+document-level); spec follows Lee et al. 2022 §4 (ExactSubstr) with
+the standard windowed-fingerprint realization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Unit separator: cannot appear in whitespace-split tokens, so joined
+# token runs collide only when the token sequences are equal.
+_SEP = "\u0001"
+
+
+def _window_occurrences(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, h): the md5 fingerprint of the ``window`` tokens
+    starting at 0-based token position ``pos``. Docs shorter than
+    ``window`` tokens contribute nothing (guarded sequence: Spark's
+    sequence(0, n) with n < 0 would DESCEND, not return empty)."""
+    tokens = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != "")
+    n_win = F.size(F.col("__tk")) - F.lit(window) + F.lit(1)
+    hashes = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.md5(F.concat_ws(_SEP, F.slice(F.col("__tk"), i + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), tokens.alias("__tk"))
+        .select(F.col(id_col), F.posexplode(hashes).alias("pos", "h"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = False,
+) -> DataFrame:
+    """Per-document merged spans of corpus-duplicated token runs.
+
+    Returns (id_col, span_start, span_end, span_tokens): 0-based
+    INCLUSIVE token indices of each maximal run covered by duplicated
+    windows (hits at positions p1 < p2 merge when p2 - p1 <= window,
+    i.e. their [p, p+window-1] intervals overlap or touch).
+
+    ``keep_first=False`` (audit mode): every occurrence of a
+    duplicated window is a hit — the spans measure total duplicated
+    volume. ``keep_first=True`` (scrub mode): the canonical FIRST
+    occurrence of each window — min (id, pos), an aggregate, never a
+    per-hash ranking window — is exempt, so one copy of each repeated
+    run survives scrubbing (the Lee et al. keep-one policy).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    occ = _window_occurrences(df, window, text_col, id_col)
+    stats = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__canon"),
+    ).where(F.col("__c") >= 2)
+    hits = occ.join(stats, "h")
+    if keep_first:
+        hits = hits.where(
+            F.struct(F.col(id_col), F.col("pos")) != F.col("__canon")
+        )
+    hits = hits.select(id_col, "pos")
+    # Gaps-and-islands per document: partition size is bounded by the
+    # document's own token count, so the window sort never sees more
+    # than one doc's positions.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= window, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = hits.withColumn("__brk", brk).withColumn(
+        "__g", F.sum("__brk").over(w)
+    )
+    return (
+        grouped.groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window) - F.lit(1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove corpus-duplicated token runs from every document,
+    keeping the canonical first occurrence of each repeated window
+    (keep_first spans) so the corpus retains exactly one copy.
+
+    Returns (id_col, text_col, removed_tokens): the rebuilt text and
+    how many tokens were dropped. Reconstruction joins surviving
+    tokens with single spaces, so OUTPUT TEXT IS WHITESPACE-
+    NORMALIZED for every document (scrubbed or not) — one uniform
+    contract instead of a per-document formatting fork. Documents
+    with no duplicated spans keep all their tokens; NULL text is
+    treated as ''.
+
+    Shape: the spans pipeline above + ONE left join of documents to
+    their per-doc span arrays (collected by a hash aggregate, bounded
+    by spans-per-doc) + a map-side filter of token indices against
+    that array. No second corpus shuffle.
+    """
+    spans = duplicate_spans(
+        df, window=window, text_col=text_col, id_col=id_col, keep_first=True
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    tokens = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+    doc = df.select(F.col(id_col), tokens.alias("__tk")).join(
+        per_doc, id_col, "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.size(F.col("__tk")) - 1,
+            ),
+            lambda i: F.struct(
+                i.alias("i"), F.get(F.col("__tk"), i).alias("t")
+            ),
+        ),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    # empty docs: sequence(0, -1) would descend — guard with when()
+    kept = F.when(F.size(F.col("__tk")) > 0, kept).otherwise(
+        F.array().cast("array<struct<i:int,t:string>>")
+    )
+    return doc.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
+        (F.size(F.col("__tk")) - F.size(kept)).alias("removed_tokens"),
+    )

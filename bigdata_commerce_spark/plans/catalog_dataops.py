@@ -2128,3 +2128,136 @@ def embeddings_jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling. Twin slot: driver catalog is at its 50-entry cap."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.random_projection(emb)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection / scrubbing (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_W = 8
+
+_DUPSPAN_CTE = rf"""
+toks8 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+), win8 AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(tk[i : i + {_DUPSPAN_W} - 1], chr(1))) AS h
+    FROM toks8,
+         LATERAL (SELECT UNNEST(generate_series(1, len(tk) - {_DUPSPAN_W} + 1)) AS i) g
+), dup8 AS (
+    SELECT h, MIN(ROW(doc_id, pos)) AS canon
+    FROM win8 GROUP BY h HAVING COUNT(*) >= 2
+)
+"""
+
+
+def _dupspan_sql(keep_first: bool) -> str:
+    extra = (
+        "AND ROW(w.doc_id, w.pos) <> d.canon" if keep_first else ""
+    )
+    return (
+        "WITH "
+        + _DUPSPAN_CTE
+        + f"""
+, hits AS (
+    SELECT w.doc_id, w.pos
+    FROM win8 w JOIN dup8 d ON w.h = d.h {extra}
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {_DUPSPAN_W} THEN 0 ELSE 1 END AS brk
+    FROM hits
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_DUPSPAN_W} - 1 AS span_end,
+       MAX(pos) - MIN(pos) + {_DUPSPAN_W} AS span_tokens
+FROM grp GROUP BY doc_id, g
+"""
+    )
+
+
+@twin_query("doc_duplicate_spans", oracle=_dupspan_sql(keep_first=False))
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged spans of corpus-duplicated 8-token runs per document
+    (operators/dupspans.py — the Lee et al. 2022 ExactSubstr family):
+    every occurrence of a window repeated >= 2 times anywhere in the
+    corpus, islands merged per doc. Audit mode (all occurrences).
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators import dupspans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dupspans.duplicate_spans(docs, window=_DUPSPAN_W)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+_SCRUB_SQL = (
+    "WITH "
+    + _DUPSPAN_CTE
+    + rf"""
+, hits AS (
+    SELECT w.doc_id, w.pos
+    FROM win8 w JOIN dup8 d ON w.h = d.h AND ROW(w.doc_id, w.pos) <> d.canon
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {_DUPSPAN_W} THEN 0 ELSE 1 END AS brk
+    FROM hits
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM marked
+), spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_DUPSPAN_W} - 1 AS e
+    FROM grp GROUP BY doc_id, g
+), per_doc AS (
+    SELECT t.doc_id,
+           list(struct_pack(s := s.s, e := s.e))
+               FILTER (WHERE s.s IS NOT NULL) AS sp
+    FROM toks8 t LEFT JOIN spans s USING (doc_id)
+    GROUP BY t.doc_id
+), rebuilt AS (
+    SELECT t.doc_id,
+           list_filter(
+               list_transform(generate_series(1, len(t.tk)),
+                              i -> struct_pack(i := i - 1, t := t.tk[i])),
+               x -> len(list_filter(COALESCE(p.sp, []),
+                                    q -> x.i BETWEEN q.s AND q.e)) = 0
+           ) AS kept,
+           len(t.tk) AS n
+    FROM toks8 t JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_transform(kept, x -> x.t), ' '),
+                '') AS text,
+       n - len(kept) AS removed_tokens
+FROM rebuilt
+"""
+)
+
+
+@twin_query("docs_scrubbed_dupspans", oracle=_SCRUB_SQL)
+def docs_scrubbed_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with duplicated 8-token runs scrubbed, one canonical
+    copy kept (dupspans.scrub_duplicate_spans — Lee et al. keep-one
+    policy). Output text is whitespace-normalized by contract.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators import dupspans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dupspans.scrub_duplicate_spans(docs, window=_DUPSPAN_W)
+    return out.select(
+        "doc_id", "text", F.col("removed_tokens").cast("long").alias("removed_tokens")
+    )

@@ -591,6 +591,36 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     }
 
 
+def round5d_probes(spark, docs_path: str):
+    """Duplicate-span family (operators/dupspans.py): the detection
+    pipeline (window fingerprints -> count agg -> mark join -> island
+    merge) and the full scrub (detection + token-filter rebuild).
+    Consumed through aggregates over output columns so the scored
+    expressions stay in the timed plan. The 10x corpus mutates every
+    third token of copies 1..9, so cross-copy windows (w=8) never
+    collide and the duplicated volume itself scales ~10x with the
+    corpus — wall should track corpus size, not pair count."""
+    from bigdata_commerce_spark.operators import dupspans
+
+    docs = spark.read.parquet(docs_path)
+
+    def spans():
+        return int(
+            dupspans.duplicate_spans(docs, window=8)
+            .agg(F.coalesce(F.sum("span_tokens"), F.lit(0)))
+            .collect()[0][0]
+        )
+
+    def scrub():
+        return int(
+            dupspans.scrub_duplicate_spans(docs, window=8)
+            .agg(F.sum("removed_tokens"))
+            .collect()[0][0]
+        )
+
+    return {"dupspans_detect": spans, "dupspans_scrub": scrub}
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -947,6 +977,12 @@ def main() -> None:
             "ewma_skew_ratio",
             labels=("unif", "skew"),
         )
+    elif suite == "round5d":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        p1 = round5d_probes(spark, os.path.join(sf1, "documents.parquet"))
+        p10 = round5d_probes(spark, docs10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5d")
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost
