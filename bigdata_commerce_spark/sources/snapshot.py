@@ -226,3 +226,50 @@ def optimize_snapshot(
         table_dir,
         writer=lambda df, dest: write_zordered(df, dest, col_a, col_b, n_files),
     )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """OPTIMIZE (bin-packing compaction) for the snapshot store:
+    rewrite the LATEST version's many small files into
+    ceil(total_bytes / target_file_bytes) files (floored at
+    ``min_files``) and publish the rewrite as a NEW version — same
+    rows, fewer/larger files. The small-file problem is what every
+    incremental pipeline accretes (each micro-publish lands a handful
+    of tiny parquet files; a 100 TB table read then pays a task per
+    file and a footer fetch per task); periodic compaction restores
+    scan efficiency without touching logical content.
+
+    Same isolation contract as optimize_snapshot: the source
+    version's files are untouched (pinned readers / time travel are
+    undisturbed), the rewrite lands through the identical atomic
+    manifest commit, `vacuum` reclaims the old files on its normal
+    schedule. Like optimize_snapshot, only the LATEST version may be
+    compacted (rewriting a historical one would publish stale data as
+    the new head). read(compacted) == read(source) is pinned by test.
+
+    File count comes from the source version's ACTUAL total bytes
+    (filesystem listing, not a row-count guess), so the target holds
+    across schema width and compression changes. The rewrite uses
+    coalesce(), not repartition(): compaction must not pay a full
+    shuffle of the table — merging co-located partitions map-side is
+    the point.
+    """
+    versions = _manifest_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    m = _read_manifest(spark, table_dir, versions[-1])
+    data_path = f"{table_dir}/{m['data_dir']}"
+    fs, _, Path = fs_and_path(spark, data_path)
+    total = fs.getContentSummary(Path(data_path)).getLength()
+    n_files = max(min_files, -(-total // target_file_bytes))
+    src = read_snapshot(spark, table_dir)
+    return publish_snapshot(
+        src,
+        table_dir,
+        writer=lambda df, dest: df.coalesce(int(n_files)).write.parquet(dest),
+    )

@@ -210,3 +210,64 @@ def test_optimize_snapshot_refuses_historical_version(spark, tmp_path):
     snap.publish_snapshot(spark.createDataFrame([(3, 4)], "a long, b long"), d)
     with pytest.raises(ValueError, match="rollback"):
         optimize_snapshot(spark, d, "a", "b", version=v1)
+
+
+def test_compact_snapshot_merges_small_files_preserving_data(spark, tmp_path):
+    """Bin-packing compaction publishes a NEW version with identical
+    rows in far fewer files, sized from the source's ACTUAL bytes;
+    the fragmented source version stays readable (isolation)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tbl")
+    # a fragmented publish: 32 tiny files
+    df = spark.range(4096).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(32)
+    v1 = snap.publish_snapshot(df, d)
+
+    def data_files(version):
+        p = f"{d}/{snap._read_manifest(spark, d, version)['data_dir']}"
+        return glob.glob(f"{p}/part-*.parquet")
+
+    n_small = len(data_files(v1))
+    assert n_small == 32
+    total = sum(__import__("os").path.getsize(f) for f in data_files(v1))
+
+    # target = 1/4 of the total -> ceil gives 5 files (or 4 if exact)
+    v2 = snap.compact_snapshot(spark, d, target_file_bytes=total // 4)
+    assert v2 == v1 + 1
+    n_compact = len(data_files(v2))
+    assert n_compact <= 5
+    assert n_compact >= 1
+
+    rows = lambda v: sorted(
+        (r.id, r.k) for r in snap.read_snapshot(spark, d, v).collect()
+    )
+    assert rows(v2) == rows(v1)
+    # pinned reader of the fragmented version is untouched
+    assert len(data_files(v1)) == n_small
+
+
+def test_compact_snapshot_plan_has_no_shuffle(spark, tmp_path):
+    """Compaction must be a map-side coalesce, never a full shuffle
+    of the table (the rewrite would otherwise cost a 100 TB exchange)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tbl")
+    snap.publish_snapshot(spark.range(1000).repartition(16), d)
+    src = snap.read_snapshot(spark, d).coalesce(2)
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    v2 = snap.compact_snapshot(spark, d, target_file_bytes=1 << 40)
+    # one file: everything fit a single target bin
+    import glob
+    p = f"{d}/{snap._read_manifest(spark, d, v2)['data_dir']}"
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 1
+
+
+def test_compact_snapshot_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap.compact_snapshot(spark, str(tmp_path / "none"))
