@@ -115,6 +115,38 @@ def temperature_fractions(
     }
 
 
+def split_by_group(
+    df: DataFrame,
+    test_fraction: float,
+    group_col: str,
+    split_col: str = "split",
+    salt: str = ":groupsplit",
+) -> DataFrame:
+    """Leakage-safe train/test split: the hash of the GROUP key (a
+    domain, a url prefix, a near-dup cluster id) decides, so every
+    row of a group lands in the SAME split. Splitting per document
+    (train_test_split's shape) leaks when near-duplicate documents
+    straddle the boundary — the eval set then contains soft copies of
+    training rows; grouping by the dedup/source key closes that.
+
+    Zero shuffle (pure projection on the same md5 threshold machinery
+    as mixture_sample — engine-portable, rerun-stable); NULL group
+    keys are their own group ('' after cast-concat) rather than rows
+    silently vanishing. Compose with dedup_clusters/canonical ids for
+    cluster-level splits.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+                       F.lit(salt))),
+        1,
+        8,
+    )
+    thr = F.lit(threshold_hex(test_fraction))
+    return df.withColumn(
+        split_col, F.when(h < thr, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def cap_per_source(
     df: DataFrame,
     quota: int,

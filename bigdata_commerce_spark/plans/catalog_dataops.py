@@ -2261,3 +2261,103 @@ def docs_scrubbed_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "text", F.col("removed_tokens").cast("long").alias("removed_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier scoring (fastText-style quality gate)
+# ---------------------------------------------------------------------------
+
+_LIN_BUCKETS = 64
+_LIN_BIAS = -0.25
+
+
+def _lin_weights() -> list[tuple[int, float]]:
+    """Fixed pseudo-trained model for the twin: seeded weights on the
+    EVEN buckets only (odd buckets exercise the missing-weight -> 0.0
+    path on both engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [(b, float(rng.standard_normal())) for b in range(0, _LIN_BUCKETS, 2)]
+
+
+def _linscore_sql() -> str:
+    rows = ", ".join(f"({b}, {w!r})" for b, w in _lin_weights())
+    return rf"""
+    WITH wts(bucket, w) AS (SELECT * FROM (VALUES {rows})),
+    ltoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), ltok AS (
+        SELECT doc_id, len(tk) AS n, UNNEST(tk) AS t FROM ltoks
+    ), feats AS (
+        SELECT doc_id, n,
+               CAST(concat('0x', substr(md5(t || ':feat'), 1, 15)) AS BIGINT)
+                   % {_LIN_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS DOUBLE) / n AS x
+        FROM ltok GROUP BY doc_id, n, bucket
+    ), contrib AS (
+        SELECT f.doc_id,
+               list_sort(list(struct_pack(
+                   b := f.bucket, c := f.x * COALESCE(w.w, 0.0)))) AS cs
+        FROM feats f LEFT JOIN wts w USING (bucket)
+        GROUP BY f.doc_id
+    ), dotp AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(0.0, list_transform(cs, s -> s.c)),
+                           (acc, v) -> acc + v) AS dot
+        FROM contrib
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(p.dot, 0.0) + {_LIN_BIAS}, 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(p.dot, 0.0) + {_LIN_BIAS}))), 6)
+               AS prob
+    FROM documents d LEFT JOIN dotp p USING (doc_id)
+    """
+
+
+@twin_query("doc_quality_linear_score", oracle=_linscore_sql())
+def doc_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scored by a hashed-feature linear model
+    (operators/linear_model.py — the fastText quality-filter seam):
+    L1-normalized hashed TF, broadcast weight join, per-doc dot
+    product as a bucket-ordered sequential fold (bit-identical to the
+    oracle's list_reduce). Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators import linear_model as lm
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = spark.createDataFrame(_lin_weights(), "bucket long, w double")
+    return lm.score_linear(docs, w, bias=_LIN_BIAS, n_buckets=_LIN_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe group-aware split
+# ---------------------------------------------------------------------------
+
+
+def _group_split_sql() -> str:
+    from bigdata_commerce_spark.operators.mixing import threshold_hex
+
+    thr = threshold_hex(0.25)
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(COALESCE(CAST(source AS VARCHAR), '')
+                                 || ':groupsplit'), 1, 8) < '{thr}'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """
+
+
+@twin_query("docs_group_split", oracle=_group_split_sql())
+def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% holdout decided by the SOURCE hash (mixing.split_by_group):
+    every document of a source lands in the same split — the
+    leakage-safe form of train_test_split for near-dup-heavy corpora.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import split_by_group
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return split_by_group(docs, 0.25, "source")

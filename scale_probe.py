@@ -618,7 +618,27 @@ def round5d_probes(spark, docs_path: str):
             .collect()[0][0]
         )
 
-    return {"dupspans_detect": spans, "dupspans_scrub": scrub}
+    from bigdata_commerce_spark.operators import linear_model as lm
+    from bigdata_commerce_spark.plans.catalog_dataops import (
+        _LIN_BIAS,
+        _LIN_BUCKETS,
+        _lin_weights,
+    )
+
+    w = spark.createDataFrame(_lin_weights(), "bucket long, w double")
+
+    def linear_score():
+        return int(
+            lm.score_linear(docs, w, _LIN_BIAS, _LIN_BUCKETS)
+            .agg(F.sum(F.when(F.col("prob") > 0.5, 1).otherwise(0)))
+            .collect()[0][0]
+        )
+
+    return {
+        "dupspans_detect": spans,
+        "dupspans_scrub": scrub,
+        "linear_score": linear_score,
+    }
 
 
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:

@@ -1429,3 +1429,35 @@ def test_random_projection_preserves_distances_in_expectation(spark):
     assert len(next(iter(projs.values()))) == 16
     with pytest.raises(ValueError):
         random_projection(emb, out_dim=0)
+
+
+def test_split_by_group_purity_null_and_determinism(spark):
+    """Every group lands wholly in one split; NULL groups form their
+    own group (no dropped rows); assignment is a pure function of the
+    group key (rerun- and partitioning-stable)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators.mixing import split_by_group
+
+    rows = [(i, f"dom{i % 9}" if i % 10 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_by_group(df, 0.4, "grp")
+    assert out.count() == 200  # NULLs kept
+    impure = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert impure == 0
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in split_by_group(df.repartition(7, "doc_id"), 0.4, "grp").collect()
+    )
+    assert a == b
+    # boundary fractions
+    all_test = split_by_group(df, 1.0, "grp")
+    assert all_test.where(F.col("split") != "test").count() == 0
+    none_test = split_by_group(df, 0.0, "grp")
+    assert none_test.where(F.col("split") != "train").count() == 0
