@@ -108,10 +108,14 @@ def duplicate_spans(
         hits = hits.where(
             F.struct(F.col(id_col), F.col("pos")) != F.col("__canon")
         )
-    hits = hits.select(id_col, "pos")
-    # Gaps-and-islands per document: partition size is bounded by the
-    # document's own token count, so the window sort never sees more
-    # than one doc's positions.
+    return _merge_islands(hits.select(id_col, "pos"), window, id_col)
+
+
+def _merge_islands(hits: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(id, pos) hit positions -> merged (id, span_start, span_end,
+    span_tokens) intervals. Gaps-and-islands per document: partition
+    size is bounded by the document's own token count, so the window
+    sort never sees more than one doc's positions."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= window, F.lit(0)
@@ -160,6 +164,16 @@ def scrub_duplicate_spans(
     spans = duplicate_spans(
         df, window=window, text_col=text_col, id_col=id_col, keep_first=True
     )
+    return _scrub_with_spans(df, spans, text_col, id_col)
+
+
+def _scrub_with_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild every document dropping the tokens covered by
+    ``spans`` (any frame with id_col/span_start/span_end). Shared by
+    the duplicate scrub and the contamination scrub — one left join +
+    a map-side token-index filter, no second corpus shuffle."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -197,3 +211,66 @@ def scrub_duplicate_spans(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
         (F.size(F.col("__tk")) - F.size(kept)).alias("removed_tokens"),
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document merged spans of corpus token runs that appear
+    VERBATIM in a benchmark/eval set — the span-level refinement of
+    operators/contamination.py's document-level n-gram report. The
+    doc-level report answers "which documents overlap the eval set";
+    this answers "which exact token runs", so decontamination can
+    excise the leaked passage instead of dropping the whole document.
+
+    Same exactness argument as duplicate_spans: any shared run of
+    >= window tokens is covered by shared aligned windows. Shape: the
+    benchmark side reduces to its DISTINCT window fingerprints (one
+    small aggregate) and is BROADCAST — the corpus never shuffles for
+    the match; only the (id, pos) hits shuffle for the per-doc island
+    merge. A benchmark id column is never needed.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    occ = _window_occurrences(corpus, window, text_col, id_col)
+    bench_h = (
+        _window_occurrences(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            window,
+            bench_text_col,
+            "__bid",
+        )
+        .select("h")
+        .distinct()
+    )
+    hits = occ.join(F.broadcast(bench_h), "h", "left_semi")
+    return _merge_islands(hits.select(id_col, "pos"), window, id_col)
+
+
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Remove every benchmark-overlapping token run from the corpus —
+    NO canonical copy survives (eval text must not appear at all,
+    unlike the duplicate scrub's keep-one policy). Same rebuild
+    contract as scrub_duplicate_spans: (id, text, removed_tokens),
+    output text whitespace-normalized."""
+    spans = contaminated_spans(
+        corpus,
+        benchmark,
+        window=window,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+    )
+    return _scrub_with_spans(corpus, spans, text_col, id_col)

@@ -2361,3 +2361,61 @@ def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return split_by_group(docs, 0.25, "source")
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (verbatim benchmark passages in the corpus)
+# ---------------------------------------------------------------------------
+
+_CONTAM_SPAN_SQL = (
+    "WITH "
+    + _DUPSPAN_CTE.replace(
+        ", dup8 AS (\n    SELECT h, MIN(ROW(doc_id, pos)) AS canon\n"
+        "    FROM win8 GROUP BY h HAVING COUNT(*) >= 2\n)",
+        "",
+    )
+    + f"""
+, hits AS (
+    SELECT doc_id, pos FROM win8
+    WHERE doc_id % 40 != 7
+      AND h IN (SELECT h FROM win8 WHERE doc_id % 40 = 7)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {_DUPSPAN_W} THEN 0 ELSE 1 END AS brk
+    FROM hits
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_DUPSPAN_W} - 1 AS span_end,
+       MAX(pos) - MIN(pos) + {_DUPSPAN_W} AS span_tokens
+FROM grp GROUP BY doc_id, g
+"""
+)
+
+
+@twin_query("doc_contaminated_spans", oracle=_CONTAM_SPAN_SQL)
+def doc_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token runs of the corpus appearing VERBATIM in the benchmark
+    slice (dupspans.contaminated_spans — span-level refinement of the
+    doc-level contamination report; benchmark = the deterministic
+    doc_id % 40 == 7 holdout, as in benchmark_contamination). The
+    benchmark reduces to distinct window fingerprints and is
+    broadcast; the corpus never shuffles for the match. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators import dupspans
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 40 == 7)
+    corpus = docs.where(F.col("doc_id") % 40 != 7)
+    out = dupspans.contaminated_spans(corpus, bench, window=_DUPSPAN_W)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )

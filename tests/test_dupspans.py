@@ -164,3 +164,82 @@ def test_scrub_invariants(spark, docs, window):
             if not any(s <= i <= e for s, e in spans[d])
         ]
         assert got[d] == (" ".join(expected), len(tk) - len(expected))
+
+
+from bigdata_commerce_spark.operators.dupspans import (  # noqa: E402
+    contaminated_spans,
+    scrub_contaminated_spans,
+)
+
+
+def _ref_contam_spans(corpus, bench_texts, window):
+    """Brute-force reference: corpus windows present anywhere in the
+    benchmark, islands merged."""
+    bench_windows = set()
+    for txt in bench_texts:
+        tk = [t for t in re.split(r"\s+", txt or "") if t]
+        for p in range(len(tk) - window + 1):
+            bench_windows.add(tuple(tk[p : p + window]))
+    hits = defaultdict(list)
+    for d, txt in corpus:
+        tk = [t for t in re.split(r"\s+", txt or "") if t]
+        for p in range(len(tk) - window + 1):
+            if tuple(tk[p : p + window]) in bench_windows:
+                hits[d].append(p)
+    spans = []
+    for d, ps in hits.items():
+        start = last = ps[0]
+        for p in ps[1:]:
+            if p - last <= window:
+                last = p
+            else:
+                spans.append((d, start, last + window - 1))
+                start = last = p
+        spans.append((d, start, last + window - 1))
+    return sorted((d, s, e, e - s + 1) for d, s, e in spans)
+
+
+def test_contaminated_spans_crafted(spark):
+    bench = spark.createDataFrame(
+        [(1, "the exact eval question text here please")],
+        "doc_id long, text string",
+    )
+    corpus = [
+        (10, "intro the exact eval question text here please outro"),
+        (11, "no overlap with anything in the benchmark set at all"),
+        (12, "question text here please"),  # only 4 tokens of the run
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(df, bench, window=5).collect()
+    )
+    # doc 10 tokens: intro the exact eval question text here please outro
+    # shared 7-token run at pos 1..7 -> windows at 1,2,3 merge
+    assert got == [(10, 1, 7, 7)]
+    # doc 12's 4-token fragment is below the window -> not flagged
+    scrubbed = {r.doc_id: (r.text, r.removed_tokens) for r in
+                scrub_contaminated_spans(df, bench, window=5).collect()}
+    assert scrubbed[10] == ("intro outro", 7)  # NO canonical copy kept
+    assert scrubbed[11][1] == 0
+    assert scrubbed[12] == ("question text here please", 0)
+
+
+@_SETTINGS
+@given(
+    corpus=tiny_corpus(),
+    bench=st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+    window=st.integers(1, 4),
+)
+def test_contaminated_spans_match_bruteforce(spark, corpus, bench, window):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(df, bdf, window=window).collect()
+    )
+    assert got == _ref_contam_spans(corpus, bench, window)
