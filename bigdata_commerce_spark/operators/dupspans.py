@@ -274,3 +274,60 @@ def scrub_contaminated_spans(
         bench_text_col=bench_text_col,
     )
     return _scrub_with_spans(corpus, spans, text_col, id_col)
+
+
+def tag_phrases(
+    df: DataFrame,
+    phrases: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Dictionary phrase tagging (the FlashText / Aho-Corasick job on
+    the window-fingerprint kernel): find every occurrence of every
+    dictionary phrase in every document — topic tagging, blocklist
+    hits, entity spotting over a curated term list.
+
+    Returns (id, pos, phrase, n_tokens): the 0-based token position of
+    each match. Matching is token-exact on whitespace tokens (lowered
+    on both sides when ``lowercase``, the dictionary-matching
+    convention); phrases with no tokens are rejected.
+
+    Shape: the dictionary is CONFIG — its per-length md5 fingerprints
+    are computed driver-side (hashlib replays F.md5 over the same
+    \u0001-joined tokens byte for byte) and BROADCAST; the corpus
+    builds windows only at the lengths the dictionary actually
+    contains (one map-side pass + posexplode per distinct length,
+    usually 1-3), and never shuffles — each match join is
+    broadcast-hash. No Aho-Corasick automaton needed: at a handful of
+    distinct lengths, L passes of the existing exact kernel beat a
+    per-row python automaton (UDF tax) and stay whole-stage codegen.
+    """
+    import hashlib
+
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    for p in phrases:
+        tk = [t for t in (p or "").split() if t]
+        if lowercase:
+            tk = [t.lower() for t in tk]
+        if not tk:
+            raise ValueError(f"phrase {p!r} has no tokens")
+        h = hashlib.md5(_SEP.join(tk).encode("utf-8")).hexdigest()
+        by_len.setdefault(len(tk), []).append((h, p))
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias(
+            text_col
+        ),
+    )
+    out = None
+    for n_tokens, rows in sorted(by_len.items()):
+        dict_df = spark.createDataFrame(rows, "h string, phrase string")
+        occ = _window_occurrences(base, n_tokens, text_col, id_col)
+        hits = occ.join(F.broadcast(dict_df), "h").select(
+            id_col, "pos", "phrase", F.lit(n_tokens).alias("n_tokens")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -456,3 +456,72 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "ngram", "n_total", "n_docs", "rank"
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    the classic keyword extractor (topic labels for a data card,
+    routing keys for domain-balanced sampling). Terms come from the
+    module's canonical normalization (normalize_text -> whitespace
+    split), so fingerprints, shingles and keywords all agree on what
+    a token is.
+
+    tf = count(term in doc) / count(tokens in doc); idf follows the
+    sklearn smooth convention ln((N+1)/(df+1)) + 1 (never zero, never
+    a division blowup on empty corpora). Score rounded to 6 dp for
+    engine-portable comparison; ties broken by term text ascending so
+    the top-k set is total-order deterministic.
+
+    Scale shape: one explode + ONE (doc, term) hash aggregate; the
+    document-frequency table is a second aggregate ON THE OUTPUT of
+    the first (distinct (doc, term) already materialized — no second
+    corpus scan); N is a broadcast one-row frame; top-k is a ranking
+    window partitioned BY DOCUMENT (bounded by distinct terms per
+    doc, never corpus-wide — WindowGroupLimit prunes below the
+    exchange). Returns (id, term, tfidf, rank).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).select(
+        F.col(id_col),
+        F.size("__tk").alias("__n"),
+        F.explode("__tk").alias("term"),
+    ).where(F.col("term") != "")
+    doc_term = toks.groupBy(id_col, "term").agg(
+        (F.count(F.lit(1)).cast("double") / F.first("__n")).alias("__tf")
+    )
+    dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        doc_term.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("__tf")
+                * (
+                    F.log((F.col("__N") + 1).cast("double") / (F.col("__df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

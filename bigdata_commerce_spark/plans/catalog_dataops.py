@@ -2419,3 +2419,94 @@ def doc_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = f"""
+WITH {_NORM_CTE}
+, tok AS (
+    SELECT doc_id, len(toks) AS n, UNNEST(toks) AS term FROM tok_docs
+), dt AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) / n AS tf
+    FROM tok WHERE term <> '' GROUP BY doc_id, n, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+), nd AS (SELECT COUNT(*) AS N FROM documents),
+scored AS (
+    SELECT doc_id, term,
+           ROUND(tf * (ln((N + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+    FROM dt JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@twin_query("doc_tfidf_keywords", oracle=_TFIDF_SQL)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (text.tfidf_top_terms): one explode + one (doc, term) aggregate,
+    document frequencies from that aggregate's own output (no second
+    corpus scan), per-DOC ranking window. Twin slot: driver catalog
+    is at its 50-entry cap."""
+    return text_ops.tfidf_top_terms(load_table(spark, "documents", sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary phrase tagging
+# ---------------------------------------------------------------------------
+
+_TAG_PHRASES = ["order fast", "window join", "big order scan", "Group Slow Spark"]
+
+
+def _tag_phrases_sql() -> str:
+    import re as _re
+
+    blocks = []
+    for p in _TAG_PHRASES:
+        norm = " ".join(_re.split(r"\s+", p.strip().lower()))
+        n = len(norm.split())
+        blocks.append(
+            f"""
+    SELECT doc_id, i - 1 AS pos, '{p}' AS phrase, {n} AS n_tokens
+    FROM ptoks,
+         LATERAL (SELECT UNNEST(generate_series(1, len(tk) - {n} + 1)) AS i) g
+    WHERE array_to_string(tk[i : i + {n} - 1], ' ') = '{norm}'"""
+        )
+    union = "\n    UNION ALL".join(blocks)
+    return rf"""
+    WITH ptoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    )
+    {union}
+    """
+
+
+@twin_query("doc_phrase_tags", oracle=_tag_phrases_sql())
+def doc_phrase_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of a 4-phrase dictionary across the corpus
+    (dupspans.tag_phrases — FlashText job on the window-fingerprint
+    kernel): dictionary fingerprints computed driver-side and
+    broadcast, corpus windows built only at the dictionary's lengths,
+    no corpus shuffle. Twin slot: driver catalog is at its 50-entry
+    cap."""
+    from bigdata_commerce_spark.operators import dupspans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dupspans.tag_phrases(docs, _TAG_PHRASES)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "phrase",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )

@@ -1461,3 +1461,49 @@ def test_split_by_group_purity_null_and_determinism(spark):
     assert all_test.where(F.col("split") != "test").count() == 0
     none_test = split_by_group(df, 0.0, "grp")
     assert none_test.where(F.col("split") != "train").count() == 0
+
+
+def test_tfidf_top_terms_matches_hand_computation(spark):
+    """Three-doc corpus: shared terms get low idf, unique terms rank
+    first; ties break by term text; k truncates per doc."""
+    import math
+
+    from bigdata_commerce_spark.operators.text import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.term, r.tfidf, r.rank)
+        for r in tfidf_top_terms(df, k=2).collect()
+    )
+
+    def idf(dfreq):
+        return math.log((3 + 1) / (dfreq + 1)) + 1
+
+    expected = sorted(
+        [
+            (1, "apple", round(2 / 3 * idf(1), 6), 1),
+            (1, "banana", round(1 / 3 * idf(2), 6), 2),
+            (2, "cherry", round(1 / 2 * idf(1), 6), 1),
+            (2, "banana", round(1 / 2 * idf(2), 6), 2),
+            (3, "durian", round(1 * idf(1), 6), 1),
+        ]
+    )
+    assert got == expected
+
+
+def test_tfidf_ties_break_by_term_and_empty_docs_vanish(spark):
+    from bigdata_commerce_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = [(r.term, r.rank) for r in
+           tfidf_top_terms(df, k=2).orderBy("rank").collect()]
+    # equal tf and df -> equal score -> alphabetical order decides
+    assert got == [("alpha", 1), ("zeta", 2)]

@@ -243,3 +243,40 @@ def test_contaminated_spans_match_bruteforce(spark, corpus, bench, window):
         for r in contaminated_spans(df, bdf, window=window).collect()
     )
     assert got == _ref_contam_spans(corpus, bench, window)
+
+
+def test_tag_phrases_crafted(spark):
+    from bigdata_commerce_spark.operators.dupspans import tag_phrases
+
+    docs = [
+        (1, "Buy Cheap Pills now buy cheap pills again"),
+        (2, "nothing to see"),
+        (3, "pills now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.pos, r.phrase, r.n_tokens)
+        for r in tag_phrases(df, ["buy cheap pills", "now"]).collect()
+    )
+    assert got == [
+        (1, 0, "buy cheap pills", 3),
+        (1, 3, "now", 1),
+        (1, 4, "buy cheap pills", 3),
+        (3, 1, "now", 1),
+    ]
+    # case-sensitive mode: the capitalized occurrence no longer matches
+    cs = sorted(
+        (r.doc_id, r.pos)
+        for r in tag_phrases(df, ["buy cheap pills"], lowercase=False).collect()
+    )
+    assert cs == [(1, 4)]
+
+
+def test_tag_phrases_rejects_empty_phrase(spark):
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.dupspans import tag_phrases
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        tag_phrases(df, ["ok phrase", "   "])
