@@ -598,3 +598,57 @@ def random_projection(
         c = _dot(v, plane) * F.lit(inv)
         coords.append(F.round(c, round_dp) if round_dp is not None else c)
     return emb.select(F.col(id_col), F.array(*coords).alias(out_col))
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the DPR /
+    sentence-transformers recipe): for every query vector, the k
+    HIGHEST-cosine corpus items that are NOT its labeled positives —
+    the near-misses a contrastive loss learns the most from, far more
+    informative than random negatives.
+
+    ``queries`` carries (id_col, vec_col) like the corpus;
+    ``positives`` is (query_id_col, pos_id_col) — the labeled relevant
+    items to exclude. Returns (query_id, neg_id, score, rank).
+
+    Shape rides cosine_topk's: queries are BROADCAST, the corpus is
+    scanned once and never shuffled; the positive set is a broadcast
+    LEFT ANTI join applied BEFORE ranking (a positive must not eat a
+    top-k slot — the exclusion changes which negatives surface, not
+    just filters output rows); ranking windows partition per query.
+    Scores round to 4dp before ranking (cosine_topk's engine-stable
+    rank discipline); ties break on neg_id ascending.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"), _as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"), F.col(pos_id_col).alias("neg_id")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.lit(True))
+        .join(F.broadcast(pos), ["query_id", "neg_id"], "left_anti")
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(_cosine(F.col("cvec"), F.col("qvec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neg_id", "score", "rank")
+    )

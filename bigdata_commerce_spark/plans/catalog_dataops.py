@@ -2510,3 +2510,61 @@ def doc_phrase_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase",
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_SQL = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 3
+), pos AS (
+    SELECT query_id, query_id AS neg_id FROM q
+    UNION ALL
+    SELECT query_id, query_id + 1 AS neg_id FROM q
+), scored AS (
+    SELECT q.query_id, v.vec_id AS neg_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(v.e, q.qe), z -> z[1] * z[2]),
+                         (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(v.e, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(q.qe, x -> x * x), (acc, x) -> acc + x))),
+             4) AS score
+    FROM v CROSS JOIN q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos
+        WHERE pos.query_id = q.query_id AND pos.neg_id = v.vec_id
+    )
+)
+SELECT query_id, neg_id, score, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neg_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@twin_query("embedding_hard_negatives", oracle=_HARDNEG_SQL)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per query vector (similarity.
+    mine_hard_negatives — the DPR/contrastive-training recipe):
+    queries = the vec_id % 50 == 3 slice, labeled positives = self and
+    self+1, excluded BEFORE ranking by a broadcast anti join; queries
+    broadcast, corpus never shuffles. Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 3)
+    pos = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("vec_id").alias("pos_id")
+    ).unionByName(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") + 1).alias("pos_id"),
+        )
+    )
+    return similarity.mine_hard_negatives(emb, queries, pos, k=5)

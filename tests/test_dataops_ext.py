@@ -1507,3 +1507,41 @@ def test_tfidf_ties_break_by_term_and_empty_docs_vanish(spark):
            tfidf_top_terms(df, k=2).orderBy("rank").collect()]
     # equal tf and df -> equal score -> alphabetical order decides
     assert got == [("alpha", 1), ("zeta", 2)]
+
+
+def test_mine_hard_negatives_excludes_positives_before_ranking(spark):
+    """Positives must not eat top-k slots: with k=2 and the single
+    best match labeled positive, the 2nd and 3rd best surface."""
+    from bigdata_commerce_spark.operators.similarity import mine_hard_negatives
+
+    # 2-d vectors with known cosine order vs the probe (1, 0)
+    corpus = [
+        (1, [1.0, 0.0]),    # identical -> best, but labeled positive
+        (2, [0.9, 0.1]),    # 2nd
+        (3, [0.5, 0.5]),    # 3rd
+        (4, [0.0, 1.0]),    # orthogonal
+        (10, [1.0, 0.05]),  # the query itself, also labeled positive
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = cdf.where("vec_id = 10")
+    pos = spark.createDataFrame(
+        [(10, 1), (10, 10)], "query_id long, pos_id long"
+    )
+    got = [(r.neg_id, r.rank) for r in
+           mine_hard_negatives(cdf, q, pos, k=2)
+           .orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_mine_hard_negatives_empty_positive_set_is_plain_topk(spark):
+    from bigdata_commerce_spark.operators.similarity import mine_hard_negatives
+
+    corpus = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = cdf.where("vec_id = 5")
+    pos = spark.createDataFrame([], "query_id long, pos_id long")
+    got = [r.neg_id for r in
+           mine_hard_negatives(cdf, q, pos, k=3).orderBy("rank").collect()]
+    # self scores cosine 1.0 exactly (not excluded unless labeled —
+    # the caller owns the positive set), then 4, then 3
+    assert got == [5, 4, 3]
