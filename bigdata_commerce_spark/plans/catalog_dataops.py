@@ -2568,3 +2568,37 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return similarity.mine_hard_negatives(emb, queries, pos, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Sequence training examples (next-event prediction pairs)
+# ---------------------------------------------------------------------------
+
+_SEQPAIRS_SQL = """
+WITH seqs AS (
+    SELECT user_id, list(event_type ORDER BY ts, event_id) AS ev
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, i AS target_idx, ev[i - 2 : i] AS context, ev[i + 1] AS target
+FROM seqs,
+     LATERAL (SELECT UNNEST(generate_series(3, len(ev) - 1)) AS i) g
+"""
+
+
+@twin_query("user_next_event_examples", oracle=_SEQPAIRS_SQL)
+def user_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, target) training pairs for next-event models
+    (operators/seqpairs.py): per user, every event with a full
+    3-event history becomes one example — one key shuffle, map-side
+    window construction, total (ts, event_id) order. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.seqpairs import next_event_examples
+
+    ev = load_table(spark, "events", sf_dir)
+    out = next_event_examples(ev, context_len=3)
+    return out.select(
+        "user_id",
+        F.col("target_idx").cast("long").alias("target_idx"),
+        "context",
+        "target",
+    )

@@ -1545,3 +1545,71 @@ def test_mine_hard_negatives_empty_positive_set_is_plain_topk(spark):
     # self scores cosine 1.0 exactly (not excluded unless labeled —
     # the caller owns the positive set), then 4, then 3
     assert got == [5, 4, 3]
+
+
+def test_next_event_examples_crafted_and_partition_independent(spark):
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.seqpairs import next_event_examples
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b c d e -> 2 full-context examples at L=3
+        *[
+            (i, t0 + dt.timedelta(minutes=i), 1, e, 0.0, "{}")
+            for i, e in enumerate("a b c d e".split())
+        ],
+        # user 2: exactly 3 events -> nothing (needs L+1)
+        *[
+            (10 + i, t0 + dt.timedelta(minutes=i), 2, e, 0.0, "{}")
+            for i, e in enumerate("x y z".split())
+        ],
+        # user 3: NULL ts excluded -> only 3 positioned events -> nothing
+        (20, None, 3, "q", 0.0, "{}"),
+        *[
+            (21 + i, t0 + dt.timedelta(minutes=i), 3, e, 0.0, "{}")
+            for i, e in enumerate("m n o".split())
+        ],
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = sorted(
+        (r.user_id, r.target_idx, tuple(r.context), r.target)
+        for r in next_event_examples(df, context_len=3).collect()
+    )
+    assert got == [
+        (1, 3, ("a", "b", "c"), "d"),
+        (1, 4, ("b", "c", "d"), "e"),
+    ]
+    again = sorted(
+        (r.user_id, r.target_idx, tuple(r.context), r.target)
+        for r in next_event_examples(
+            df.repartition(5, "event_type"), context_len=3
+        ).collect()
+    )
+    assert again == got
+
+
+def test_next_event_examples_tiebreak_orders_equal_timestamps(spark):
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.seqpairs import next_event_examples
+
+    t = dt.datetime(2024, 6, 1)
+    rows = [(i, t, 1, e, 0.0, "{}") for i, e in enumerate("p q r s".split())]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = [
+        (r.target_idx, tuple(r.context), r.target)
+        for r in next_event_examples(df, context_len=2)
+        .orderBy("target_idx")
+        .collect()
+    ]
+    # all four share a timestamp: event_id decides the total order
+    assert got == [(2, ("p", "q"), "r"), (3, ("q", "r"), "s")]
