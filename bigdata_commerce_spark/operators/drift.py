@@ -144,3 +144,88 @@ def psi_report(
         F.sum("psi_term").over(Window.partitionBy()), 6
     )
     return terms.withColumn("psi_total", total)
+
+
+def embedding_centroid_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic drift monitor: per-group embedding centroids of two
+    corpus versions, compared by cosine. PSI watches a scalar
+    column's shape; this watches where each group's MASS sits in
+    embedding space — a re-crawl whose 'news' cluster moved is
+    invisible to scalar stats but shows up immediately as a centroid
+    rotation.
+
+    Returns (group, n_ref, n_cur, centroid_cosine, l2_shift), cosine
+    and shift rounded to 6 dp. Groups present on only one side report
+    NULL cosine/shift (nothing to compare — surfaced, not dropped).
+
+    Scale shape per side: posexplode(dim) fans out corpus x dim rows
+    MAP-SIDE, but the (group, dim) hash aggregate's partial combine
+    collapses them before the exchange — the shuffle carries
+    groups x dims rows, not the corpus (the one shape that beats both
+    a collect_list buffer, which would hold every group vector in one
+    aggregate buffer, and a driver fold). Reassembly is one more
+    aggregate bounded by dims-per-group. The final compare is a tiny
+    full-outer join on the group key. Per-dimension sums are exact
+    up to float association inside one dimension's partials; the 6 dp
+    rounding absorbs that (flag_anomalies' documented posture).
+    """
+
+    def centroid(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        e = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(group_col),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("__dim", "__val"),
+        )
+        per_dim = e.groupBy(group_col, "__dim").agg(
+            F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+        return per_dim.groupBy(group_col).agg(
+            F.max("__n").alias(n_name),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__dim"), (F.col("__s") / F.col("__n")).alias("m"))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias(c_name),
+        )
+
+    ref = centroid(reference, "n_ref", "__cr")
+    cur = centroid(current, "n_cur", "__cc")
+    j = ref.join(cur, group_col, "full")
+    dot = F.aggregate(
+        F.zip_with(F.col("__cr"), F.col("__cc"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("__cr"), F.col("__cc"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return j.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.round(dot / (norm(F.col("__cr")) * norm(F.col("__cc"))), 6).alias(
+            "centroid_cosine"
+        ),
+        F.round(l2, 6).alias("l2_shift"),
+    )

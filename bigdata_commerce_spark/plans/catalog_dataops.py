@@ -2602,3 +2602,55 @@ def user_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context",
         "target",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift (semantic drift between corpus versions)
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_SQL = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+), sides AS (
+    SELECT label, vec_id % 2 AS side, i - 1 AS dim, v[i] AS val
+    FROM e, LATERAL (SELECT UNNEST(generate_series(1, len(v))) AS i) g
+), per_dim AS (
+    SELECT label, side, dim, SUM(val) AS s, COUNT(*) AS n
+    FROM sides GROUP BY label, side, dim
+), cents AS (
+    SELECT label, side, MAX(n) AS n, list(s / n ORDER BY dim) AS c
+    FROM per_dim GROUP BY label, side
+), ref AS (SELECT label, n AS n_ref, c AS cr FROM cents WHERE side = 0),
+cur AS (SELECT label, n AS n_cur, c AS cc FROM cents WHERE side = 1),
+j AS (SELECT * FROM ref FULL OUTER JOIN cur USING (label))
+SELECT label, n_ref, n_cur,
+       ROUND(
+         list_reduce(list_prepend(0.0,
+             list_transform(list_zip(cr, cc), z -> z[1] * z[2])), (a, x) -> a + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(cr, x -> x * x)), (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(cc, x -> x * x)), (a, x) -> a + x))), 6)
+           AS centroid_cosine,
+       ROUND(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(list_zip(cr, cc), z -> (z[1] - z[2]) * (z[1] - z[2]))),
+             (a, x) -> a + x)), 6) AS l2_shift
+FROM j
+"""
+
+
+@twin_query("embedding_centroid_drift", oracle=_CENTROID_DRIFT_SQL)
+def embedding_centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid rotation between the even- and odd-vec_id
+    halves of the embedding corpus (drift.embedding_centroid_drift —
+    the semantic counterpart of the PSI monitor): per-(group, dim)
+    aggregate with map-side combine, shuffle carries groups x dims
+    rows, never the corpus. Twin slot: driver catalog is at its
+    50-entry cap."""
+    from bigdata_commerce_spark.operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(ref, cur)

@@ -1613,3 +1613,35 @@ def test_next_event_examples_tiebreak_orders_equal_timestamps(spark):
     ]
     # all four share a timestamp: event_id decides the total order
     assert got == [(2, ("p", "q"), "r"), (3, ("q", "r"), "s")]
+
+
+def test_embedding_centroid_drift_crafted(spark):
+    """Identical sides -> cosine 1, shift 0; a rotated group shows
+    up; one-sided groups report NULLs rather than vanishing."""
+    from bigdata_commerce_spark.operators.drift import embedding_centroid_drift
+
+    ref = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+            ("b", [0.0, 2.0]),
+            ("only_ref", [3.0, 4.0]),
+        ],
+        "label string, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),               # unchanged
+            ("b", [2.0, 0.0]),               # rotated 90 degrees
+            ("only_cur", [1.0, 1.0]),
+        ],
+        "label string, embedding array<double>",
+    )
+    got = {r.label: r for r in embedding_centroid_drift(ref, cur).collect()}
+    assert set(got) == {"a", "b", "only_ref", "only_cur"}
+    assert got["a"].n_ref == 2 and got["a"].n_cur == 1
+    assert got["a"].centroid_cosine == 1.0 and got["a"].l2_shift == 0.0
+    assert got["b"].centroid_cosine == 0.0       # orthogonal centroids
+    assert got["b"].l2_shift == round((4 + 4) ** 0.5, 6)
+    assert got["only_ref"].centroid_cosine is None
+    assert got["only_ref"].n_cur is None
+    assert got["only_cur"].l2_shift is None
