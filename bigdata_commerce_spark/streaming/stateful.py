@@ -24,6 +24,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_OUT_SCHEMA = (
@@ -206,6 +207,93 @@ def ewma_stateful(
             out_schema,
             _EWMA_STATE_SCHEMA,
             "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_MG_STATE_SCHEMA = "keys array<long>, counts array<long>, n long"
+
+
+def misra_gries_stateful(
+    events: DataFrame,
+    k: int = 256,
+    n_buckets: int = 32,
+    watermark: str = "1 second",
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming heavy-hitter sketch: the stateful twin of
+    ``sketch.misra_gries_candidates`` — a bounded Misra-Gries summary
+    maintained ACROSS micro-batches, so "who is hot over the whole
+    stream" never needs a full-history replay.
+
+    The sketch state is DISTRIBUTED the same way the batch kernel's
+    per-partition summaries are: keys hash into ``n_buckets`` groups
+    and each bucket holds its own k-entry summary (state is bounded by
+    n_buckets x k rows, forever). A key lives in exactly one bucket,
+    so each bucket's standard MG guarantees hold against ITS OWN
+    traffic n_b: any key with true count > n_b/(k+1) is present, and
+    its estimate undercounts by at most n_b/(k+1) — tighter than a
+    global-n bound, since n_b ~ n/n_buckets. Compression uses the
+    batch kernel's subtract-(k+1)-th-largest form, so stream and batch
+    sketches obey the identical invariant (pinned by test; an MG
+    summary's exact contents are boundary-dependent, its GUARANTEES
+    are not — the test asserts the guarantees, plus exact equality in
+    the k >= distinct-keys regime where compression never fires).
+
+    Each micro-batch emits every bucket's refreshed summary:
+    (bucket, key, est_count, n_seen) in update mode — n_seen is the
+    bucket's lifetime traffic, so a consumer (or test) takes the
+    max-n_seen generation per bucket as current. Certify-and-recount
+    (sketch.heavy_hitters' exact top-N) applies downstream unchanged.
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+    out_schema = f"bucket int, {key_col} long, est_count long, n_seen long"
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, n = state.get
+            acc = pd.Series(list(counts), index=list(keys), dtype="float64")
+        else:
+            acc, n = pd.Series(dtype="float64"), 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        vals = batch[key_col].dropna()
+        n += int(len(vals))
+        if len(vals):
+            acc = acc.add(vals.value_counts(), fill_value=0)
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thresh
+                acc = acc[acc > 0]
+        state.update(
+            ([int(i) for i in acc.index], [int(c) for c in acc.values], int(n))
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(acc),
+                key_col: acc.index.astype("int64"),
+                "est_count": acc.values.astype("int64"),
+                "n_seen": [n] * len(acc),
+            }
+        )
+
+    bucketed = events.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        bucketed.withWatermark(time_col, watermark)
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            _MG_STATE_SCHEMA,
+            "update",
             GroupStateTimeout.NoTimeout,
         )
     )

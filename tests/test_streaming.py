@@ -849,3 +849,94 @@ def test_stateful_ewma_tie_contract(spark, tmp_path):
         (t0, 8.0, 5.0),
         (t0 + dt.timedelta(seconds=5), 4.0, 4.5),
     ]
+
+
+def test_stateful_misra_gries_guarantees_and_exact_regime(spark, tmp_path):
+    """Streaming Misra-Gries (streaming/stateful.misra_gries_stateful)
+    across three micro-batches: per-bucket MG guarantees hold against
+    bucket traffic (every key with count > n_b/(k+1) present;
+    estimates never overcount; undercount bounded), and with
+    k >= distinct keys the streamed sketch equals exact counts."""
+    import datetime as dt
+    from collections import Counter
+
+    from bigdata_commerce_spark.streaming.stateful import misra_gries_stateful
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_time timestamp, user_id long, value double"
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{name}.parquet")
+
+    # heavy hitters 1 and 2, a mid key 3, singleton tail 100..119
+    def mk(i, uid):
+        return (base + dt.timedelta(seconds=i), uid, 0.0)
+
+    seq = ([1] * 30 + [2] * 20 + [3] * 6 + list(range(100, 120)))
+    rows = [mk(i, u) for i, u in enumerate(seq)]
+    chunks = [rows[:25], rows[25:50], rows[50:]]
+
+    def run(k, n_buckets, qname):
+        import shutil as _sh
+
+        _sh.rmtree(flat, ignore_errors=True)
+        flat.mkdir()
+        for p in tmp_path.glob("c_*"):
+            _sh.rmtree(p, ignore_errors=True)
+        write_chunk(f"c_{qname}_1", chunks[0])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = (
+            misra_gries_stateful(stream, k=k, n_buckets=n_buckets)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .start()
+        )
+        q.processAllAvailable()
+        for i, ch in enumerate(chunks[1:], start=2):
+            write_chunk(f"c_{qname}_{i}", ch)
+            q.processAllAvailable()
+        q.stop()
+        out = spark.sql(f"select * from {qname}").collect()
+        # current generation per bucket = max n_seen
+        latest_n = {}
+        for r in out:
+            latest_n[r.bucket] = max(latest_n.get(r.bucket, 0), r.n_seen)
+        return {
+            (r.bucket, r.user_id): r.est_count
+            for r in out
+            if r.n_seen == latest_n[r.bucket]
+        }, latest_n
+
+    true = Counter(seq)
+
+    # tight regime: k=3 per bucket, single bucket -> compression fires
+    est, latest_n = run(k=3, n_buckets=1, qname="mg_tight")
+    n_b = latest_n[list(latest_n)[0]]
+    assert n_b == len(seq)
+    bound = n_b / (3 + 1)
+    for u, c in true.items():
+        if c > bound:
+            assert (0, u) in est, f"heavy key {u} missing"
+    for (b, u), e in est.items():
+        assert e <= true[u]
+        assert true[u] - e <= bound
+
+    # exact regime: k >= distinct keys, several buckets -> no
+    # compression anywhere, estimates ARE the exact counts
+    est2, _ = run(k=64, n_buckets=4, qname="mg_exact")
+    got_counts = Counter()
+    for (b, u), e in est2.items():
+        got_counts[u] += e
+    assert got_counts == true
