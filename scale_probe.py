@@ -634,10 +634,39 @@ def round5d_probes(spark, docs_path: str):
             .collect()[0][0]
         )
 
+    from bigdata_commerce_spark.operators import dupspans as _ds
+    from bigdata_commerce_spark.operators import text as _text
+
+    def tfidf():
+        return int(
+            _text.tfidf_top_terms(docs, k=5)
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    def phrase_tags():
+        return int(
+            _ds.tag_phrases(docs, ["order fast", "window join", "big order scan"])
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    def contam():
+        bench = docs.where(F.col("doc_id") % 40 == 7)
+        corpus = docs.where(F.col("doc_id") % 40 != 7)
+        return int(
+            _ds.contaminated_spans(corpus, bench, window=8)
+            .agg(F.coalesce(F.sum("span_tokens"), F.lit(0)))
+            .collect()[0][0]
+        )
+
     return {
         "dupspans_detect": spans,
         "dupspans_scrub": scrub,
         "linear_score": linear_score,
+        "tfidf_keywords": tfidf,
+        "phrase_tags": phrase_tags,
+        "contam_spans": contam,
     }
 
 
