@@ -525,3 +525,71 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pipeline telemetry for the curate() gate chain: per source, how
+    many documents survive each stage — raw -> quality gate ->
+    quality+language -> unique (exact-dedup canonical). The data-card
+    number that explains WHERE a source's volume went, which the
+    final kept-count alone cannot.
+
+    Returns (source, n_raw, n_quality, n_quality_lang, n_unique),
+    n_unique counted at the canonical survivor's source (min doc id
+    per fingerprint among gate survivors — curate()'s exact policy,
+    so funnel numbers and curate() output always reconcile).
+
+    Shape: ALL gates in one projection (curate()'s single-scan
+    discipline); the flag frame is persisted and both aggregates —
+    per-source counts and the fingerprint-canonical count — are
+    materialized eagerly (outputs are per-source tiny) so the cache
+    releases before return and the corpus is scanned ONCE, not once
+    per aggregate (the psi_report discipline).
+    """
+    enriched = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        *_stat_exprs(text_col),
+        _lang_pred(text_col).alias("predicted_lang"),
+        fingerprint(text_col).alias("fp"),
+    ).withColumn("quality", _quality_expr())
+    q = F.col("quality") >= min_quality
+    ql = q & (F.col("predicted_lang") == lang)
+    flagged = enriched.select(
+        F.col(id_col), F.col(source_col), F.col("fp"), q.alias("__q"), ql.alias("__ql")
+    ).persist()
+    try:
+        base = (
+            flagged.groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_raw"),
+                F.sum(F.when(F.col("__q"), 1).otherwise(0)).alias("n_quality"),
+                F.sum(F.when(F.col("__ql"), 1).otherwise(0)).alias("n_quality_lang"),
+            )
+        )
+        uniq = (
+            flagged.where(F.col("__ql"))
+            .groupBy("fp")
+            .agg(F.min_by(source_col, F.col(id_col)).alias(source_col))
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        spark = df.sparkSession
+        base_df = spark.createDataFrame(base.collect(), base.schema)
+        uniq_df = spark.createDataFrame(uniq.collect(), uniq.schema)
+    finally:
+        flagged.unpersist()
+    return base_df.join(uniq_df, source_col, "left").select(
+        source_col,
+        "n_raw",
+        "n_quality",
+        "n_quality_lang",
+        F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+    )

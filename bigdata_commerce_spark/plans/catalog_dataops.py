@@ -2654,3 +2654,65 @@ def embedding_centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = emb.where(F.col("vec_id") % 2 == 0)
     cur = emb.where(F.col("vec_id") % 2 == 1)
     return embedding_centroid_drift(ref, cur)
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel telemetry
+# ---------------------------------------------------------------------------
+
+
+def _funnel_sql() -> str:
+    quality = """ROUND(0.4 * LEAST(s.stopword_ratio * 4, 1.0)
+               + 0.3 * (CASE WHEN s.mean_token_len BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.3 END)
+               + 0.15 * (1 - LEAST(s.digit_ratio * 5, 1.0))
+               + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0)), 4)"""
+    return rf"""
+    WITH stats AS ({_TEXT_STATS_SQL}),
+    lang AS ({_lang_sql()}),
+    base AS (
+        SELECT d.doc_id, d.source,
+               md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp,
+               {quality} AS quality,
+               l.predicted_lang
+        FROM documents d
+        JOIN stats s USING (doc_id)
+        JOIN lang l USING (doc_id)
+    ), flagged AS (
+        SELECT *, (quality >= 0.5) AS q,
+               (quality >= 0.5 AND predicted_lang = 'en') AS ql
+        FROM base
+    ), per_source AS (
+        SELECT source, COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN ql THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_lang
+        FROM flagged GROUP BY source
+    ), uniq AS (
+        SELECT source, COUNT(*) AS n_unique FROM (
+            SELECT arg_min(source, doc_id) AS source
+            FROM flagged WHERE ql GROUP BY fp
+        ) GROUP BY source
+    )
+    SELECT p.source, p.n_raw, p.n_quality, p.n_quality_lang,
+           COALESCE(u.n_unique, 0) AS n_unique
+    FROM per_source p LEFT JOIN uniq u USING (source)
+    """
+
+
+@twin_query("corpus_curation_funnel", oracle=_funnel_sql())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival counts through the curate() gate chain
+    (text.curation_funnel): raw -> quality -> quality+lang -> unique
+    canonical. One corpus scan (persisted flag frame, both aggregates
+    materialized eagerly). Twin slot: driver catalog is at its
+    50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.curation_funnel(docs)
+    return out.select(
+        "source",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_quality").cast("long").alias("n_quality"),
+        F.col("n_quality_lang").cast("long").alias("n_quality_lang"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+    )

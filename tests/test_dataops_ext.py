@@ -1645,3 +1645,22 @@ def test_embedding_centroid_drift_crafted(spark):
     assert got["only_ref"].centroid_cosine is None
     assert got["only_ref"].n_cur is None
     assert got["only_cur"].l2_shift is None
+
+
+def test_curation_funnel_reconciles_with_curate(spark):
+    """Funnel totals must reconcile with the operators they narrate:
+    sum(n_unique) == curate() row count, and the stage counts are
+    monotone non-increasing."""
+    from bigdata_commerce_spark.operators.text import curate, curation_funnel
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    funnel = curation_funnel(docs).collect()
+    assert sum(r.n_unique for r in funnel) == curate(docs).count()
+    for r in funnel:
+        assert r.n_raw >= r.n_quality >= r.n_quality_lang >= 0
+        # n_unique counts canonical SURVIVORS attributed to this
+        # source; it can exceed n_quality_lang only if another
+        # source's duplicates collapsed here — with distinct synthetic
+        # texts per source it must not exceed the gate count
+        assert r.n_unique <= r.n_quality_lang
