@@ -285,3 +285,79 @@ def weighted_sample(
 
         out = rank_top_m(rows, order, k, rank_col=rank_col)
     return out.drop("__aes")
+
+
+def upsample_epochs(
+    df: DataFrame,
+    factors: dict[str, float],
+    default: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-aware UPsampling: emit each row ``factors[source]`` times
+    in expectation — the complement of mixture_sample, whose keep
+    fractions cap at 1. Training mixes routinely repeat scarce
+    high-quality sources (wiki x2.5 while web stays x1); the integer
+    part becomes full epochs, the fractional part a deterministic
+    per-(id, epoch) hash draw, so the emitted multiset is a pure
+    function of (id, source, factors) — rerun/engine stable, and
+    nested: raising a factor only ADDS copies, never reshuffles the
+    ones already emitted.
+
+    Output rows carry ``epoch_col`` (0-based copy index) so a trainer
+    can interleave epochs rather than concatenate them. Zero shuffle:
+    one sequence-explode (fan-out = ceil(factor), map-side) + a
+    filter. Factors must be >= 0; a factor of 0 drops the source.
+
+    The fractional draw compares the package's 60-bit md5 uniform
+    against floor(frac * 2^60) computed driver-side in exact integer
+    arithmetic — the oracle regenerates the SAME thresholds from the
+    SAME dict, so the two engines cannot drift.
+    """
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {s!r} must be >= 0, got {f}")
+    if default < 0:
+        raise ValueError(f"default must be >= 0, got {default}")
+
+    def whole(f: float) -> int:
+        return int(f)
+
+    def frac_thr(f: float) -> int:
+        return int((f - int(f)) * (1 << 60))
+
+    k_expr = F.lit(whole(default))
+    thr_expr = F.lit(frac_thr(default))
+    for s in sorted(factors):
+        k_expr = F.when(F.col(source_col) == s, F.lit(whole(factors[s]))).otherwise(
+            k_expr
+        )
+        thr_expr = F.when(
+            F.col(source_col) == s, F.lit(frac_thr(factors[s]))
+        ).otherwise(thr_expr)
+    with_epoch = df.withColumn("__k", k_expr).withColumn("__thr", thr_expr)
+    # k full epochs (0..k-1) plus the candidate fractional epoch k;
+    # sequence(0, k) emits k+1 entries and the filter decides the last
+    exploded = with_epoch.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), F.col("__k")))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":epoch:"),
+                    F.col(epoch_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = exploded.where(
+        (F.col(epoch_col) < F.col("__k")) | (u < F.col("__thr"))
+    )
+    return kept.drop("__k", "__thr")

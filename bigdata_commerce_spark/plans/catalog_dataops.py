@@ -2716,3 +2716,58 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_quality_lang").cast("long").alias("n_quality_lang"),
         F.col("n_unique").cast("long").alias("n_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-aware upsampling (mixture factors > 1)
+# ---------------------------------------------------------------------------
+
+# Sweep integer-only, fractional-only, mixed, zero and default-rate
+# sources; generated thresholds are shared with the oracle below.
+_UPSAMPLE_FACTORS = {"src0": 0.0, "src1": 2.0, "src2": 2.5, "src3": 0.4}
+
+
+def _upsample_sql() -> str:
+    def wh(f):
+        return int(f)
+
+    def thr(f):
+        return int((f - int(f)) * (1 << 60))
+
+    k_case = " ".join(
+        f"WHEN source = '{s}' THEN {wh(f)}" for s, f in sorted(_UPSAMPLE_FACTORS.items())
+    )
+    t_case = " ".join(
+        f"WHEN source = '{s}' THEN CAST({thr(f)} AS BIGINT)"
+        for s, f in sorted(_UPSAMPLE_FACTORS.items())
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE {k_case} ELSE 1 END AS k,
+               CASE {t_case} ELSE CAST(0 AS BIGINT) END AS thr
+        FROM documents
+    ), exploded AS (
+        SELECT doc_id, source, k, thr, UNNEST(generate_series(0, k)) AS epoch
+        FROM base
+    )
+    SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM exploded
+    WHERE epoch < k
+       OR CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:'
+                                       || CAST(epoch AS VARCHAR)), 1, 15))
+               AS BIGINT) < thr
+    """
+
+
+@twin_query("docs_upsampled_epochs", oracle=_upsample_sql())
+def docs_upsampled_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware upsampled corpus (mixing.upsample_epochs): src1 x2,
+    src2 x2.5, src3 x0.4, src0 dropped, everything else x1 — integer
+    part as full epochs, fractional part a deterministic per-(id,
+    epoch) hash draw against thresholds the oracle regenerates from
+    the same dict. Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import upsample_epochs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return upsample_epochs(docs, _UPSAMPLE_FACTORS)

@@ -1664,3 +1664,43 @@ def test_curation_funnel_reconciles_with_curate(spark):
         # source's duplicates collapsed here — with distinct synthetic
         # texts per source it must not exceed the gate count
         assert r.n_unique <= r.n_quality_lang
+
+
+def test_upsample_epochs_expectation_nesting_and_determinism(spark):
+    from bigdata_commerce_spark.operators.mixing import upsample_epochs
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = upsample_epochs(df, {"a": 2.5, "b": 0.3})
+    per = {r.source: r.cnt for r in
+           out.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    # expectation: a -> 1000*2.5, b -> 1000*0.3; hash draw ~ binomial
+    assert 2300 <= per["a"] <= 2700
+    assert 200 <= per["b"] <= 400
+    # integer epochs are unconditional: every 'a' doc appears at
+    # epochs 0 and 1
+    from pyspark.sql import functions as F
+    full = out.where("source = 'a' and epoch < 2").groupBy("doc_id").count()
+    assert full.where("count != 2").count() == 0
+
+    # nesting: raising a factor only ADDS copies
+    small = {(r.doc_id, r.epoch) for r in
+             upsample_epochs(df, {"a": 1.2}).where("source='a'").collect()}
+    big = {(r.doc_id, r.epoch) for r in
+           upsample_epochs(df, {"a": 1.7}).where("source='a'").collect()}
+    assert small <= big
+
+    # determinism across partitionings
+    a = sorted((r.doc_id, r.epoch) for r in
+               upsample_epochs(df, {"a": 2.5, "b": 0.3}).collect())
+    b = sorted((r.doc_id, r.epoch) for r in
+               upsample_epochs(df.repartition(17, "doc_id"),
+                               {"a": 2.5, "b": 0.3}).collect())
+    assert a == b
+
+    # factor 0 drops; negative rejected
+    assert upsample_epochs(df, {"a": 0.0}).where("source='a'").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 0"):
+        upsample_epochs(df, {"a": -1.0})
