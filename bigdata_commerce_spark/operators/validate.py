@@ -61,7 +61,24 @@ class UniqueCheck:
     kind: str = "unique"
 
 
-Check = RowCheck | AggCheck | UniqueCheck
+@dataclass(frozen=True)
+class RefCheck:
+    """Referential integrity: every non-NULL value of ``col`` must
+    exist in a reference table's key column (the Deequ
+    isContainedIn-table form). Needs a join, so each RefCheck adds
+    one anti-join aggregate pass; the reference key side is reduced
+    to DISTINCT keys and broadcast when it fits (AQE). NULLs do not
+    violate — pair with not_null when they should."""
+
+    name: str
+    col: str
+    ref: DataFrame
+    ref_col: str
+
+    kind: str = "in_reference"
+
+
+Check = RowCheck | AggCheck | UniqueCheck | RefCheck
 
 
 def not_null(col: str, name: str | None = None) -> RowCheck:
@@ -92,6 +109,14 @@ def satisfies(name: str, condition: Column) -> RowCheck:
 
 def unique(*cols: str, name: str | None = None) -> UniqueCheck:
     return UniqueCheck(name or f"unique({','.join(cols)})", tuple(cols))
+
+
+def in_reference(
+    col: str, ref: DataFrame, ref_col: str, name: str | None = None
+) -> RefCheck:
+    """Every non-NULL value of ``col`` exists in ref[ref_col]
+    (foreign-key containment)."""
+    return RefCheck(name or f"in_reference({col})", col, ref, ref_col)
 
 
 def mean_in_range(col: str, lo, hi, name: str | None = None) -> AggCheck:
@@ -131,7 +156,8 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     (check_name, kind, n_rows, n_violations, passed).
 
     Row checks share ONE aggregate; each unique check adds one
-    grouped aggregate on its key. n_rows is the full row count for
+    grouped aggregate on its key; each referential check adds one
+    anti-join pass against its reference keys. n_rows is the full row count for
     row checks and for unique checks alike (uniqueness violations =
     surplus rows beyond one per key, so passed == every key occurs
     once)."""
@@ -140,6 +166,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     agg_checks = [c for c in checks if isinstance(c, AggCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniqueCheck)]
+    ref_checks = [c for c in checks if isinstance(c, RefCheck)]
     seen: set[str] = set()
     for c in checks:
         if c.name in seen:
@@ -186,6 +213,22 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
         rep = grouped.agg(
             F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
             F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"),
+        ).select(
+            F.lit(c.name).alias("check_name"),
+            F.lit(c.kind).alias("kind"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+        reports.append(rep)
+
+    for c in ref_checks:
+        keys = c.ref.select(F.col(c.ref_col).alias("__k")).distinct()
+        missing = (
+            df.where(F.col(c.col).isNotNull())
+            .join(keys, F.col(c.col) == F.col("__k"), "left_anti")
+        )
+        rep = df.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            missing.agg(F.count(F.lit(1)).alias("n_violations"))
         ).select(
             F.lit(c.name).alias("check_name"),
             F.lit(c.kind).alias("kind"),

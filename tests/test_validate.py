@@ -113,3 +113,35 @@ def test_agg_checks_share_the_pass(spark):
     # vacuous truth on empty input
     empty = _report(df.limit(0), [V.mean_in_range("x", 6, 8)])
     assert empty["mean_in_range(x)"].n_violations == 0
+
+
+def test_in_reference_check(spark):
+    """Foreign-key containment: non-NULL orphans violate, NULLs do
+    not; report shape matches the other check kinds."""
+    from bigdata_commerce_spark.operators import validate as V
+
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    fact = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (13, None), (14, 9)],
+        "id long, fk long",
+    )
+    rep = {r.check_name: r for r in V.validate(
+        fact,
+        [
+            V.in_reference("fk", dim, "k"),
+            V.not_null("fk"),
+        ],
+    ).collect()}
+    ref = rep["in_reference(fk)"]
+    assert ref.kind == "in_reference"
+    assert ref.n_rows == 5
+    assert ref.n_violations == 2  # the two fk=9 orphans; NULL exempt
+    assert not ref.passed
+    assert rep["not_null(fk)"].n_violations == 1
+
+    # all contained -> passes
+    ok = V.validate(
+        fact.where("fk IS NOT NULL AND fk < 3"),
+        [V.in_reference("fk", dim, "k")],
+    ).collect()[0]
+    assert ok.passed and ok.n_violations == 0
