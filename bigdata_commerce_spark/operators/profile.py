@@ -137,3 +137,72 @@ def profile_table(
             )
         )
     return wide.select(F.inline(F.array(*structs)))
+
+
+def join_key_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Pre-join diagnostic: how well do two tables' keys actually
+    line up? Returns ONE row — (n_left, n_right, left_keys,
+    right_keys, matched_keys, left_orphan_keys, right_orphan_keys,
+    left_match_rate, right_match_rate) — the numbers that decide
+    whether a planned join is inner-safe, needs an outer, or signals
+    an upstream extraction bug (90% orphans = wrong key column), and
+    which side a semi-join would prune.
+
+    Rates are row-weighted (share of ROWS whose key matches — the
+    number that predicts join output size), distinct-key counts are
+    exact. NULL keys never match anything (SQL join semantics) and
+    are counted as orphan rows.
+
+    Shape: each side collapses to (key, row_count) with one hash
+    aggregate — map-side combined, so the exchange carries distinct
+    keys, not rows; ONE full-outer join of the two key sets; one
+    final one-row aggregate. No row-level join ever happens.
+    """
+    lk = left.groupBy(F.col(left_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__ln")
+    )
+    rk = right.groupBy(F.col(right_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__rn")
+    )
+    # NULL keys must NOT match each other: join on null-UNsafe
+    # equality, so each side's NULL-key row survives as its own
+    # orphan (full outer keeps both)
+    j = lk.join(rk, lk["__k"] == rk["__k"], "full").select(
+        lk["__k"].alias("__lk"),
+        rk["__k"].alias("__rk"),
+        F.col("__ln"),
+        F.col("__rn"),
+    )
+    both = F.col("__lk").isNotNull() & F.col("__rk").isNotNull()
+    n_left = F.coalesce(F.sum("__ln"), F.lit(0))
+    n_right = F.coalesce(F.sum("__rn"), F.lit(0))
+    matched_l_rows = F.coalesce(F.sum(F.when(both, F.col("__ln"))), F.lit(0))
+    matched_r_rows = F.coalesce(F.sum(F.when(both, F.col("__rn"))), F.lit(0))
+    return j.agg(
+        n_left.cast("bigint").alias("n_left"),
+        n_right.cast("bigint").alias("n_right"),
+        F.sum(F.when(F.col("__ln").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("left_keys"),
+        F.sum(F.when(F.col("__rn").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("right_keys"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("matched_keys"),
+        F.sum(F.when(F.col("__ln").isNotNull() & ~both, 1).otherwise(0))
+        .cast("bigint")
+        .alias("left_orphan_keys"),
+        F.sum(F.when(F.col("__rn").isNotNull() & ~both, 1).otherwise(0))
+        .cast("bigint")
+        .alias("right_orphan_keys"),
+        F.round(
+            F.when(n_left > 0, matched_l_rows / n_left).otherwise(F.lit(0.0)), 6
+        ).alias("left_match_rate"),
+        F.round(
+            F.when(n_right > 0, matched_r_rows / n_right).otherwise(F.lit(0.0)), 6
+        ).alias("right_match_rate"),
+    )

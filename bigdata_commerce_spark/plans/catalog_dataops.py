@@ -2771,3 +2771,48 @@ def docs_upsampled_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return upsample_epochs(docs, _UPSAMPLE_FACTORS)
+
+
+# ---------------------------------------------------------------------------
+# Join-key overlap diagnostic
+# ---------------------------------------------------------------------------
+
+_KEY_OVERLAP_SQL = """
+WITH lk AS (SELECT o_custkey AS k, COUNT(*) AS ln FROM orders GROUP BY 1),
+rk AS (SELECT c_custkey AS k, COUNT(*) AS rn FROM customer GROUP BY 1),
+j AS (
+    SELECT lk.k AS lkk, rk.k AS rkk, ln, rn
+    FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
+)
+SELECT CAST(COALESCE(SUM(ln), 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(SUM(rn), 0) AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_keys,
+       CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_keys,
+       CAST(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+       CAST(SUM(CASE WHEN ln IS NOT NULL AND rkk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS left_orphan_keys,
+       CAST(SUM(CASE WHEN rn IS NOT NULL AND lkk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS right_orphan_keys,
+       ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
+                          THEN ln END), 0)
+             / CAST(COALESCE(SUM(ln), 0) AS DOUBLE), 6) AS left_match_rate,
+       ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
+                          THEN rn END), 0)
+             / CAST(COALESCE(SUM(rn), 0) AS DOUBLE), 6) AS right_match_rate
+FROM j
+"""
+
+
+@twin_query("orders_customer_key_overlap", oracle=_KEY_OVERLAP_SQL)
+def orders_customer_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join diagnostic for orders.o_custkey vs customer.c_custkey
+    (profile.join_key_overlap): each side collapses to distinct keys
+    with ONE map-side-combined aggregate, one key-set full-outer join,
+    one one-row report — no row-level join. Twin slot: driver catalog
+    is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.profile import join_key_overlap
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return join_key_overlap(orders, customer, "o_custkey", "c_custkey")

@@ -92,3 +92,34 @@ def test_boolean_and_ntz_columns_route_to_string_minmax(spark):
     assert (p["b"]["min_str"], p["b"]["max_str"]) == ("false", "true")
     assert p["t"]["min_str"] == "2024-01-02 03:04:05"
     assert p["t"]["max_str"] == "2024-06-07 08:09:10"
+
+
+def test_join_key_overlap_orphans_and_nulls(spark):
+    """Orphans on both sides, NULL keys never match (counted in row
+    totals but never in matched rates), rates row-weighted."""
+    from bigdata_commerce_spark.operators.profile import join_key_overlap
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (3,), (None,), (None,)], "k long"
+    )
+    r = join_key_overlap(left, right, "k", "k").collect()[0]
+    assert r.n_left == 5 and r.n_right == 4
+    assert r.left_keys == 4 and r.right_keys == 3   # NULL group counts as a key row
+    assert r.matched_keys == 1                       # only k=1
+    assert r.left_orphan_keys == 3                   # 2, 9, NULL
+    assert r.right_orphan_keys == 2                  # 3, NULL
+    assert r.left_match_rate == round(2 / 5, 6)      # two k=1 rows of 5
+    assert r.right_match_rate == round(1 / 4, 6)
+
+
+def test_join_key_overlap_empty_sides(spark):
+    from bigdata_commerce_spark.operators.profile import join_key_overlap
+
+    empty = spark.createDataFrame([], "k long")
+    full = spark.createDataFrame([(1,)], "k long")
+    r = join_key_overlap(empty, full, "k", "k").collect()[0]
+    assert (r.n_left, r.n_right) == (0, 1)
+    assert r.left_match_rate == 0.0 and r.right_match_rate == 0.0
