@@ -17,6 +17,7 @@ everywhere:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -84,3 +85,45 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
 def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
     """Sharded ORC export (one file per partition)."""
     df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def conform_schema(
+    df: DataFrame,
+    target: T.StructType,
+    strict: bool = False,
+) -> DataFrame:
+    """Normalize a heterogeneous drop to a target schema — the ingest
+    boundary between "whatever the vendor sent this week" and the
+    typed tables every operator here assumes. Column matching is BY
+    NAME (case-sensitive, like mergeSchema):
+
+    - missing target columns are added as typed NULLs;
+    - present columns are cast to the target type with try_cast —
+      unparseable values become NULL instead of failing the whole
+      batch under ANSI mode (Spark 4 default; the load must not die
+      on one bad row — pair with validate.not_null to QUANTIFY the
+      damage);
+    - extra input columns are dropped (lenient) or rejected
+      (``strict=True``) — silent extra columns are usually a renamed
+      field, which lenient mode would silently discard;
+    - output column ORDER is the target's, so unions and parquet
+      appends line up.
+
+    Pure projection: zero shuffle, whole-stage codegen.
+    """
+    extras = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    if strict and extras:
+        raise ValueError(
+            f"input has columns not in the target schema: {extras} "
+            "(strict=True; rename or drop them explicitly)"
+        )
+    cols = []
+    present = set(df.columns)
+    for f in target.fields:
+        if f.name in present:
+            cols.append(
+                F.col(f.name).try_cast(f.dataType).alias(f.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -106,3 +106,50 @@ def test_mixed_schema_directory_reads_with_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score", "batch"}
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_conform_schema_lenient_and_strict(spark):
+    """Missing columns -> typed NULLs; present columns try_cast (bad
+    values NULL, not an ANSI crash); extras dropped or rejected;
+    output order is the target's."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from bigdata_commerce_spark.sources.formats import conform_schema
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("1", "2.5", "x"), ("2", "oops", "y"), ("bad", "3.0", "z")],
+        "id string, price string, extra string",
+    )
+    out = conform_schema(df, target)
+    assert out.columns == ["id", "price", "note"]
+    assert [f.dataType for f in out.schema.fields] == [
+        T.LongType(), T.DoubleType(), T.StringType()
+    ]
+    rows = sorted(out.collect(), key=lambda r: (r.id is None, r.id))
+    assert [(r.id, r.price, r.note) for r in rows] == [
+        (1, 2.5, None),       # note missing -> NULL
+        (2, None, None),      # 'oops' -> NULL under try_cast
+        (None, 3.0, None),    # 'bad' id -> NULL
+    ]
+    with _pytest.raises(ValueError, match="extra"):
+        conform_schema(df, target, strict=True)
+
+
+def test_conform_schema_is_shuffle_free(spark):
+    from pyspark.sql import types as T
+
+    from bigdata_commerce_spark.sources.formats import conform_schema
+
+    target = T.StructType([T.StructField("id", T.LongType())])
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS id")
+    out = conform_schema(df, target)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
