@@ -219,3 +219,75 @@ def test_real_frame_sample_even_spacing(spark):
     want = hashlib.sha256(encode_ppm(frames[3])).hexdigest()[:16]
     assert {r.frame_sha for r in img} == {want}
     assert {r.offset_ms for r in img} == {0}
+
+
+def test_wav_roundtrip_and_rejects_garbage():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.codecs import decode_wav, encode_wav
+
+    t = np.sin(2 * np.pi * 440 * np.arange(1600) / 16000) * 0.5
+    b = encode_wav(t, sample_rate=16000, n_channels=1)
+    s, sr, ch = decode_wav(b)
+    assert (sr, ch, s.shape) == (16000, 1, (1600, 1))
+    assert abs(s[:, 0] - t).max() < 1e-4
+    # stereo interleave
+    stereo = np.stack([t, -t], axis=1)
+    s2, sr2, ch2 = decode_wav(encode_wav(stereo, 8000, 2))
+    assert (sr2, ch2, s2.shape) == (8000, 2, (1600, 2))
+    assert abs(s2 - stereo).max() < 1e-4
+    with _pytest.raises(ValueError, match="WAV"):
+        decode_wav(b"definitely not audio")
+
+
+def test_audio_features_real_path(spark):
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import audio_features
+
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 100 * np.arange(sr) / sr)   # 1s, 100 Hz
+    silence = np.zeros(sr // 2)                                 # 0.5s
+    rows = [
+        (1, bytearray(encode_wav(tone, sr))),
+        (2, bytearray(encode_wav(silence, sr))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in audio_features(df, decode="real").collect()}
+
+    t1 = got[1]
+    assert t1.duration_ms == 1000 and t1.sample_rate == sr and t1.n_channels == 1
+    f = t1.features
+    assert abs(f[3] - 0.5 / 2**0.5) < 1e-3     # RMS of a sine = a/sqrt(2)
+    assert abs(f[4] - 0.5) < 1e-3              # peak
+    assert abs(f[5] - 200 / sr) < 1e-3         # zcr = 2*freq/sr
+    s2 = got[2]
+    assert s2.duration_ms == 500
+    assert s2.features[3] == 0.0 and s2.features[4] == 0.0  # silence
+    n = got[3]
+    assert n.features is None and n.duration_ms is None and n.n_bytes == 0
+
+
+def test_audio_features_deterministic_mode_plumbing(spark):
+    from bigdata_commerce_spark.operators.multimodal import (
+        AUDIO_FEATURE_DIM,
+        audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"anything")), (2, bytearray(b"else"))],
+        "media_id long, content binary",
+    )
+    out = audio_features(df).collect()
+    assert all(len(r.features) == AUDIO_FEATURE_DIM for r in out)
+    # pure function of content bytes
+    again = audio_features(
+        spark.createDataFrame([(9, bytearray(b"anything"))],
+                              "media_id long, content binary")
+    ).collect()[0]
+    byid = {r.media_id: r for r in out}
+    assert list(again.features) == list(byid[1].features)
+    assert again.content_sha == byid[1].content_sha
