@@ -121,3 +121,93 @@ def _escape_partition_value(spark: SparkSession, value) -> str:
 
 def _key_type(spark: SparkSession, path: str, key_col: str) -> str:
     return dict(spark.read.parquet(path).dtypes)[key_col]
+
+
+def shred_encrypt(
+    df: DataFrame,
+    key_table: DataFrame,
+    cols: "Sequence[str]",
+    key_col: str = "user_id",
+    secret_col: str = "secret",
+) -> DataFrame:
+    """Crypto-shredding, encrypt side: the PII columns in ``cols``
+    are AES-encrypted with the owning key's per-key secret from
+    ``key_table`` (key_col, secret_col — 16/24/32-byte secrets).
+    Deleting that key row later makes the ciphertext permanently
+    unreadable — "forgetting" a user becomes a one-row delete in the
+    key table instead of a rewrite of every partition that ever
+    stored their rows (the complement of delete_keys_partitioned,
+    which physically rewrites; shredding is the answer when the data
+    sits in immutable/archived storage).
+
+    GCM (the Spark default) is authenticated but salted per call —
+    re-encrypting would produce different bytes. This uses ECB
+    deliberately: DETERMINISTIC ciphertext, so encrypted columns stay
+    join/dedup-stable and reruns are idempotent. The trade-off is
+    textbook (equal plaintexts within one key collide); acceptable
+    here because each key's corpus is small and the threat model is
+    post-deletion recovery, not chosen-plaintext. Rows with no key in
+    the table get NULL ciphertext (surfaced, not silently plaintext).
+
+    Shape: one equi-join against the key table (broadcast when it
+    fits) + a projection; scales with the fact side only.
+    """
+    joined = df.join(
+        key_table.select(
+            F.col(key_col), F.col(secret_col).alias("__secret")
+        ),
+        key_col,
+        "left",
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            out_cols.append(
+                F.base64(
+                    F.aes_encrypt(
+                        F.col(c).cast("string").cast("binary"),
+                        F.col("__secret").cast("binary"),
+                        F.lit("ECB"),
+                    )
+                ).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def shred_decrypt(
+    df: DataFrame,
+    key_table: DataFrame,
+    cols: "Sequence[str]",
+    key_col: str = "user_id",
+    secret_col: str = "secret",
+) -> DataFrame:
+    """Crypto-shredding, read side: decrypt ``cols`` for rows whose
+    key still exists in the key table; rows whose key was shredded
+    (deleted) — or whose ciphertext fails authentication — come back
+    with NULL in those columns via try_aes_decrypt, never an error:
+    the forgotten stay forgotten while the rest of the table reads
+    normally."""
+    joined = df.join(
+        key_table.select(
+            F.col(key_col), F.col(secret_col).alias("__secret")
+        ),
+        key_col,
+        "left",
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            out_cols.append(
+                F.try_aes_decrypt(
+                    F.unbase64(F.col(c)),
+                    F.col("__secret").cast("binary"),
+                    F.lit("ECB"),
+                )
+                .cast("string")
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

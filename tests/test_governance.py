@@ -97,3 +97,47 @@ def test_delete_missing_keys_is_noop(spark, tmp_path):
     audit = delete_keys_partitioned(spark, path, "user_id", [999], "dt")
     assert audit == {"partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
     assert _files_with_mtime(path) == before
+
+
+def test_crypto_shredding_roundtrip_and_forget(spark):
+    """Encrypt with per-user secrets; decrypt restores plaintext for
+    live keys; deleting a key row makes that user's columns NULL on
+    read (shredded) while others read normally; ciphertext is
+    deterministic (idempotent reruns); unkeyed rows encrypt to NULL."""
+    from bigdata_commerce_spark.sources.governance import (
+        shred_decrypt,
+        shred_encrypt,
+    )
+
+    keys = spark.createDataFrame(
+        [(1, "0123456789abcdef"), (2, "fedcba9876543210")],
+        "user_id long, secret string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "alice@example.com", 10.0),
+            (2, "bob@example.com", 20.0),
+            (3, "carol@example.com", 30.0),  # no key issued
+        ],
+        "user_id long, email string, amount double",
+    )
+    enc = shred_encrypt(df, keys, ["email"])
+    rows = {r.user_id: r for r in enc.collect()}
+    assert rows[1].email not in (None, "alice@example.com")
+    assert rows[3].email is None              # unkeyed -> surfaced as NULL
+    assert rows[1].amount == 10.0             # untouched column
+
+    # deterministic: re-encrypt produces identical ciphertext
+    enc2 = {r.user_id: r.email for r in shred_encrypt(df, keys, ["email"]).collect()}
+    assert enc2[1] == rows[1].email and enc2[2] == rows[2].email
+
+    # full key table: both users decrypt
+    dec = {r.user_id: r.email for r in shred_decrypt(enc, keys, ["email"]).collect()}
+    assert dec[1] == "alice@example.com" and dec[2] == "bob@example.com"
+
+    # FORGET user 1: drop the key row; their email is unrecoverable
+    remaining = keys.where("user_id != 1")
+    dec2 = {r.user_id: r.email for r in
+            shred_decrypt(enc, remaining, ["email"]).collect()}
+    assert dec2[1] is None
+    assert dec2[2] == "bob@example.com"
