@@ -652,3 +652,67 @@ def mine_hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neg_id", "score", "rank")
     )
+
+
+def ivf_projected_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF over a Johnson–Lindenstrauss-COMPRESSED coarse stage: the
+    quantizer trains, assigns and probes in ``out_dim`` projected
+    dimensions (4× less coarse-stage compute and centroid I/O at
+    out_dim=16 over 64-d vectors), and only the surviving candidates
+    are exactly re-ranked with the ORIGINAL full-width vectors — the
+    classic memory-bound ANN layout (FAISS's OPQ/PQ coarse stages are
+    the same shape with a learned codebook; JL is the training-free
+    form).
+
+    At 100 TB the coarse stage is the pass that touches every vector,
+    so its width is the cost driver; the exact re-rank touches only
+    candidates. JL preserves pairwise geometry in expectation, so
+    cell-coherence (and thus recall) degrades gracefully with
+    out_dim — recall-vs-exact is pinned by test, the same bound
+    discipline as ivf_kmeans_topk (iterative k-means: test-bounded,
+    not SQL-oracled).
+
+    Shape: both projections are pure map-side expressions; coarse
+    assignment broadcasts centroids (corpus never shuffles); the
+    candidate join and exact re-rank ride _ivf_search's machinery
+    unchanged.
+    """
+    proj_c = random_projection(
+        corpus, out_dim=out_dim, in_dim=in_dim, seed=seed,
+        id_col=id_col, vec_col=vec_col, out_col="projected", round_dp=None,
+    )
+    proj_p = random_projection(
+        probes, out_dim=out_dim, in_dim=in_dim, seed=seed,
+        id_col=id_col, vec_col=vec_col, out_col="projected", round_dp=None,
+    )
+    centroids = train_kmeans_centroids(
+        proj_c, n_centroids, vec_col="projected", seed=seed, max_iter=max_iter
+    )
+    c = proj_c.select(F.col(id_col).alias("corpus_id"), F.col("projected").alias("cvec"))
+    cent_row, id_type = _centroid_fold_row(centroids)
+    assigned = _assign_cells(c, "cvec", cent_row, id_type).select(
+        "corpus_id", "centroid_id"
+    )
+    p = proj_p.select(F.col(id_col).alias("probe_id"), F.col("projected").alias("pvec"))
+    probe_cells = _probe_cells(p, cent_row, nprobe)
+    candidates = (
+        F.broadcast(probe_cells)
+        .join(assigned, "centroid_id")
+        .where(F.col("corpus_id") != F.col("probe_id"))
+        .select("probe_id", "corpus_id")
+    )
+    # exact re-rank on the ORIGINAL vectors — the compressed space
+    # only decides WHO gets scored, never the score itself
+    return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)

@@ -950,3 +950,37 @@ def test_embedding_dedup_clusters_match_driver_union_find(spark):
     assert edges, "corpus must contain planted near-dups"
     survivors = {i for i, c in got.items() if i == c}
     assert survivors == set(want.values())
+
+
+def test_ivf_projected_recall_vs_bruteforce(spark):
+    """JL-compressed coarse stage + full-width exact re-rank must
+    recover most of the exact top-5 (the lsh/ivf recall discipline);
+    scores of returned pairs are the EXACT full-width cosines."""
+    from bigdata_commerce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_projected_topk,
+    )
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probes = emb.where("vec_id < 8")
+    exact = {
+        (r.probe_id, r.corpus_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    approx_rows = ivf_projected_topk(
+        emb, probes, k=5, out_dim=16, n_centroids=8, nprobe=4
+    ).collect()
+    approx = {(r.probe_id, r.corpus_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+    # returned scores are full-width exact cosines: spot-check against
+    # the brute-force score table
+    exact_scores = {
+        (r.probe_id, r.corpus_id): r.score
+        for r in cosine_topk(emb, probes, k=200).collect()
+    }
+    for r in approx_rows:
+        key = (r.probe_id, r.corpus_id)
+        if key in exact_scores:
+            assert abs(r.score - exact_scores[key]) < 1e-6
