@@ -591,7 +591,7 @@ def round5c_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     }
 
 
-def round5d_probes(spark, docs_path: str):
+def round5d_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     """Duplicate-span family (operators/dupspans.py): the detection
     pipeline (window fingerprints -> count agg -> mark join -> island
     merge) and the full scrub (detection + token-filter rebuild).
@@ -660,6 +660,51 @@ def round5d_probes(spark, docs_path: str):
             .collect()[0][0]
         )
 
+    from bigdata_commerce_spark.operators.drift import embedding_centroid_drift
+    from bigdata_commerce_spark.operators.mixing import upsample_epochs
+    from bigdata_commerce_spark.operators.profile import join_key_overlap
+    from bigdata_commerce_spark.operators.seqpairs import next_event_examples
+
+    emb = spark.read.parquet(emb_path)
+    ev = spark.read.parquet(ev_path)
+
+    def centroid_drift():
+        return int(
+            embedding_centroid_drift(
+                emb.where(F.col("vec_id") % 2 == 0),
+                emb.where(F.col("vec_id") % 2 == 1),
+            )
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    def funnel():
+        return int(
+            text_ops_funnel(docs).agg(F.sum("n_raw")).collect()[0][0]
+        )
+
+    def upsample():
+        return int(
+            upsample_epochs(
+                docs.select("doc_id", "source"),
+                {"src1": 2.0, "src2": 2.5, "src3": 0.4},
+            ).count()
+        )
+
+    def key_overlap():
+        return int(
+            join_key_overlap(ev, ev.select("user_id"), "user_id", "user_id")
+            .collect()[0]["matched_keys"]
+        )
+
+    def seqpairs():
+        return int(next_event_examples(ev, context_len=3).count())
+
+    def text_ops_funnel(d):
+        from bigdata_commerce_spark.operators.text import curation_funnel
+
+        return curation_funnel(d)
+
     return {
         "dupspans_detect": spans,
         "dupspans_scrub": scrub,
@@ -667,6 +712,11 @@ def round5d_probes(spark, docs_path: str):
         "tfidf_keywords": tfidf,
         "phrase_tags": phrase_tags,
         "contam_spans": contam,
+        "centroid_drift": centroid_drift,
+        "curation_funnel": funnel,
+        "upsample_epochs": upsample,
+        "key_overlap": key_overlap,
+        "next_event_examples": seqpairs,
     }
 
 
@@ -1028,8 +1078,19 @@ def main() -> None:
         )
     elif suite == "round5d":
         sf1 = build_relational_corpus(spark, docs10, emb10, 1)
-        p1 = round5d_probes(spark, os.path.join(sf1, "documents.parquet"))
-        p10 = round5d_probes(spark, docs10)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        p1 = round5d_probes(
+            spark,
+            os.path.join(sf1, "documents.parquet"),
+            os.path.join(sf1, "embeddings.parquet"),
+            os.path.join(sf1, "events.parquet"),
+        )
+        p10 = round5d_probes(
+            spark,
+            docs10,
+            emb10,
+            os.path.join(sf10, "events.parquet"),
+        )
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5d")
     elif suite == "streaming":
