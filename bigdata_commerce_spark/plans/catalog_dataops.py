@@ -2816,3 +2816,58 @@ def orders_customer_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     return join_key_overlap(orders, customer, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time dimension join
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH chg AS (
+    SELECT c_custkey, DATE '1992-01-01' AS ts, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, DATE '1995-06-01', c_mktsegment || '_V2' FROM customer
+), scd AS (
+    SELECT c_custkey, segment, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+    FROM chg
+)
+SELECT o.o_orderkey, s.segment, s.valid_from
+FROM orders o LEFT JOIN scd s
+  ON o.o_custkey = s.c_custkey
+ AND o.o_orderdate >= s.valid_from
+ AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+"""
+
+
+@twin_query("orders_scd2_segment", oracle=_SCD2_SQL)
+def orders_scd2_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order joined to the customer-segment VERSION current at
+    its own order date (operators/scd2.py): a two-version synthetic
+    change log (segment renamed mid-1995) -> changes_to_scd2 interval
+    build -> scd2_join equi-join with the interval as a residual
+    condition. Orders before 1995-06-01 carry the original segment,
+    later ones the _V2 rename — history is never rewritten by
+    today's dimension. Twin slot: driver catalog is at its 50-entry
+    cap."""
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2, scd2_join
+
+    cust = load_table(spark, "customer", sf_dir)
+    chg = cust.select(
+        "c_custkey",
+        F.lit("1992-01-01").cast("date").alias("ts"),
+        F.col("c_mktsegment").alias("segment"),
+    ).unionByName(
+        cust.select(
+            "c_custkey",
+            F.lit("1995-06-01").cast("date").alias("ts"),
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        )
+    )
+    dim = changes_to_scd2(chg, ["c_custkey"], "ts")
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    out = scd2_join(orders, dim, ["c_custkey"], "o_orderdate")
+    return out.select("o_orderkey", "segment", "valid_from")

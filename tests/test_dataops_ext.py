@@ -1704,3 +1704,57 @@ def test_upsample_epochs_expectation_nesting_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 0"):
         upsample_epochs(df, {"a": -1.0})
+
+
+def test_scd2_join_point_in_time_semantics(spark):
+    """Facts pick the version current AT THEIR TIME: before the first
+    version -> NULL dims; between changes -> v1; after the last
+    change -> the open-ended v2. Exactly one version matches any
+    instant. Duplicate change times are rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2, scd2_join
+
+    d = dt.date
+    chg = spark.createDataFrame(
+        [
+            (1, d(2020, 1, 1), "bronze"),
+            (1, d(2021, 1, 1), "gold"),
+            (2, d(2020, 6, 1), "silver"),
+        ],
+        "cust long, ts date, tier string",
+    )
+    dim = changes_to_scd2(chg, ["cust"], "ts")
+    rows = {(r.cust, r.valid_from): r.valid_to for r in dim.collect()}
+    assert rows[(1, d(2020, 1, 1))] == d(2021, 1, 1)
+    assert rows[(1, d(2021, 1, 1))] is None
+    assert rows[(2, d(2020, 6, 1))] is None
+
+    fact = spark.createDataFrame(
+        [
+            (100, 1, d(2019, 12, 31)),  # before first version
+            (101, 1, d(2020, 1, 1)),    # inclusive lower bound -> bronze
+            (102, 1, d(2020, 12, 31)),  # bronze
+            (103, 1, d(2021, 1, 1)),    # exclusive upper -> gold
+            (104, 2, d(2022, 1, 1)),    # open-ended silver
+            (105, 9, d(2022, 1, 1)),    # unknown key -> NULL
+        ],
+        "order_id long, cust long, odate date",
+    )
+    got = {r.order_id: r.tier for r in
+           scd2_join(fact, dim, ["cust"], "odate").collect()}
+    assert got == {
+        100: None, 101: "bronze", 102: "bronze",
+        103: "gold", 104: "silver", 105: None,
+    }
+    # exactly one row per fact (intervals partition the timeline)
+    assert scd2_join(fact, dim, ["cust"], "odate").count() == 6
+
+    dup = spark.createDataFrame(
+        [(1, d(2020, 1, 1), "a"), (1, d(2020, 1, 1), "b")],
+        "cust long, ts date, tier string",
+    )
+    with _pytest.raises(ValueError, match="same instant"):
+        changes_to_scd2(dup, ["cust"], "ts")
