@@ -2871,3 +2871,61 @@ def orders_scd2_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scd2_join(orders, dim, ["c_custkey"], "o_orderdate")
     return out.select("o_orderkey", "segment", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_BINS = 4
+
+
+def _rfm_sql() -> str:
+    fracs = ", ".join(str(i / _RFM_BINS) for i in range(1, _RFM_BINS))
+    return f"""
+    WITH per AS (
+        SELECT o_custkey AS customer, MAX(o_orderdate) AS last_ts,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ), anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    rec AS (
+        SELECT customer,
+               date_diff('day', last_ts, a) AS recency_days,
+               frequency, monetary,
+               CAST(date_diff('day', last_ts, a) AS DOUBLE) AS rec_d,
+               CAST(frequency AS DOUBLE) AS freq_d
+        FROM per, anchor
+    ), b AS (
+        SELECT quantile_cont(rec_d, [{fracs}]) AS rb,
+               quantile_cont(freq_d, [{fracs}]) AS fb,
+               quantile_cont(monetary, [{fracs}]) AS mb
+        FROM rec
+    ), scored AS (
+        SELECT customer, recency_days, frequency, ROUND(monetary, 2) AS monetary,
+               {_RFM_BINS} - len(list_filter(b.rb, x -> rec.rec_d > x)) AS r_score,
+               len(list_filter(b.fb, x -> rec.freq_d > x)) + 1 AS f_score,
+               len(list_filter(b.mb, x -> rec.monetary > x)) + 1 AS m_score
+        FROM rec, b
+    )
+    SELECT customer, CAST(recency_days AS INT) AS recency_days, frequency,
+           monetary,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """
+
+
+@twin_query("customer_rfm_segments", oracle=_rfm_sql())
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quartile scores over orders (operators/rfm.py):
+    one hash aggregate, exact-percentile boundaries broadcast as a
+    literal fold — never a global ntile window. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.rfm import rfm_scores
+
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_scores(orders, n_bins=_RFM_BINS)

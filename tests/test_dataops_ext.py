@@ -1758,3 +1758,35 @@ def test_scd2_join_point_in_time_semantics(spark):
     )
     with _pytest.raises(ValueError, match="same instant"):
         changes_to_scd2(dup, ["cust"], "ts")
+
+
+def test_rfm_scores_crafted(spark):
+    """4 customers engineered into distinct quartiles per axis; the
+    most-recent/most-frequent/biggest spender scores 444."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.rfm import rfm_scores
+
+    d = dt.date
+    rows = []
+    # customer c buys c times, amount 100*c each, last purchase
+    # c*10 days before the anchor (customer 4 = best on every axis)
+    for c in (1, 2, 3, 4):
+        for i in range(c):
+            rows.append((c, d(2024, 12, 31) - dt.timedelta(days=(5 - c) * 10 + i), 100.0 * c))
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    got = {r.customer: r for r in rfm_scores(df, n_bins=4).collect()}
+    assert got[4].rfm == "444"
+    assert got[1].r_score == 1 and got[1].f_score == 1 and got[1].m_score == 1
+    # monotone: better on every raw axis -> scores never decrease
+    for c in (1, 2, 3):
+        assert got[c + 1].r_score >= got[c].r_score
+        assert got[c + 1].f_score >= got[c].f_score
+        assert got[c + 1].m_score >= got[c].m_score
+    # anchor override shifts every recency by the same delta
+    # (corpus max ts is customer 4's last purchase, 2024-12-21)
+    delta = (d(2025, 1, 31) - d(2024, 12, 21)).days
+    shifted = {r.customer: r.recency_days for r in
+               rfm_scores(df, n_bins=4, asof=d(2025, 1, 31)).collect()}
+    for c in (1, 2, 3, 4):
+        assert shifted[c] == got[c].recency_days + delta
