@@ -2929,3 +2929,33 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     return rfm_scores(orders, n_bins=_RFM_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Variant (semi-structured) extraction
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS ad_id,
+       json_extract_string(props, '$.src') AS src
+FROM events
+"""
+
+
+@twin_query("events_variant_fields", oracle=_VARIANT_SQL)
+def events_variant_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from the JSON props payload through
+    Spark 4's VARIANT type (functions/semistructured.variant_extract
+    — parse ONCE, typed variant_get per field; malformed/missing ->
+    NULL, never an ANSI abort). Row-identical to the per-field
+    get_json_object path the commerce queries use, proven by the
+    DuckDB json oracle. Twin slot: driver catalog is at its 50-entry
+    cap."""
+    from bigdata_commerce_spark.functions.semistructured import variant_extract
+
+    ev = load_table(spark, "events", sf_dir)
+    out = variant_extract(
+        ev, "props", {"ad_id": ("$.k", "int"), "src": ("$.src", "string")}
+    )
+    return out.select("event_id", "ad_id", "src")

@@ -1790,3 +1790,48 @@ def test_rfm_scores_crafted(spark):
                rfm_scores(df, n_bins=4, asof=d(2025, 1, 31)).collect()}
     for c in (1, 2, 3, 4):
         assert shifted[c] == got[c].recency_days + delta
+
+
+def test_variant_extract_totality_and_malformed_report(spark):
+    from bigdata_commerce_spark.functions.semistructured import (
+        malformed_json_report,
+        parse_json_variant,
+        variant_extract,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "name": "x", "nested": {"d": 1.5}}'),
+            (2, '{"k": "not-an-int"}'),
+            (3, "{{{ definitely not json"),
+            (4, None),
+            (5, '{"other": 1}'),
+        ],
+        "id long, props string",
+    )
+    out = variant_extract(
+        df,
+        "props",
+        {
+            "k": ("$.k", "int"),
+            "name": ("$.name", "string"),
+            "d": ("$.nested.d", "double"),
+        },
+    )
+    got = {r.id: (r.k, r.name, r.d) for r in out.collect()}
+    assert got[1] == (7, "x", 1.5)
+    assert got[2] == (None, None, None)   # type mismatch -> NULL, no abort
+    assert got[3] == (None, None, None)   # malformed -> NULL
+    assert got[4] == (None, None, None)   # NULL input
+    assert got[5] == (None, None, None)   # missing path
+    assert out.columns == ["id", "props", "k", "name", "d"]
+
+    rep = malformed_json_report(df, "props").collect()[0]
+    assert (rep.n_rows, rep.n_null_input, rep.n_malformed) == (5, 1, 1)
+    assert rep.malformed_frac == 0.25     # 1 malformed of 4 non-NULL
+
+    # keep_variant exposes the parsed value for ad-hoc downstream use
+    v = variant_extract(df, "props", {"k": ("$.k", "int")}, keep_variant=True)
+    assert "__v" in v.columns
+    pj = parse_json_variant(df, "props")
+    assert pj.where("v IS NULL AND props IS NOT NULL").count() == 1  # row 3
