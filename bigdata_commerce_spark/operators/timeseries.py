@@ -466,3 +466,53 @@ def ewma_per_key(
 
     withe = withe.withColumn("__ys", F.aggregate("__items", init2, merge2)["ys"])
     return _emit(withe, [])
+
+
+def decayed_sum_per_key(
+    df: DataFrame,
+    half_life_seconds: float,
+    asof,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed sum and count per key, as of a fixed
+    anchor: sum(v * 2^(-(asof - t)/half_life)) — recency-weighted
+    popularity/affinity (the ranking-feature staple: an event loses
+    half its weight every ``half_life_seconds``). Unlike ewma_per_key
+    this needs NO order and NO sequential state: decay against a
+    FIXED anchor is a plain weighted sum, so it is ONE hash aggregate
+    with map-side partials — the cheap form to prefer whenever the
+    consumer wants "score now", not a per-event trajectory.
+
+    ``asof`` is an explicit datetime (pass one; an implicit max(ts)
+    would make two runs over growing data silently incomparable).
+    Events after ``asof`` are excluded — they have not happened yet
+    from the anchor's viewpoint. NULL ts/value rows are excluded.
+    Returns (key, decayed_sum, decayed_count, n_events), decayed
+    figures rounded to 6 dp.
+    """
+    if half_life_seconds <= 0:
+        raise ValueError("half_life_seconds must be > 0")
+    # fractional epoch seconds on BOTH engines: unix_timestamp would
+    # TRUNCATE the microsecond part that DuckDB's epoch() keeps, and
+    # the weights would drift
+    age = F.lit(asof).cast("timestamp").cast("double") - F.col(ts_col).cast(
+        "double"
+    )
+    w = F.pow(F.lit(2.0), -age / F.lit(float(half_life_seconds)))
+    eligible = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(ts_col) <= F.lit(asof))
+    )
+    return (
+        eligible.groupBy(key_col)
+        .agg(
+            F.round(F.sum(w * F.col(value_col).cast("double")), 6).alias(
+                "decayed_sum"
+            ),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

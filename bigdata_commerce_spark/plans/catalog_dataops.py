@@ -2959,3 +2959,42 @@ def events_variant_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "props", {"ad_id": ("$.k", "int"), "src": ("$.src", "string")}
     )
     return out.select("event_id", "ad_id", "src")
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed aggregates
+# ---------------------------------------------------------------------------
+
+_DECAY_ASOF = "2024-03-01 00:00:00"
+_DECAY_HL = 86400.0 * 7
+
+
+_DECAYED_SQL = f"""
+SELECT user_id,
+       ROUND(SUM(POW(2.0, -(epoch(TIMESTAMP '{_DECAY_ASOF}') - epoch(ts))
+                        / {_DECAY_HL}) * value), 6) AS decayed_sum,
+       ROUND(SUM(POW(2.0, -(epoch(TIMESTAMP '{_DECAY_ASOF}') - epoch(ts))
+                        / {_DECAY_HL})), 6) AS decayed_count,
+       COUNT(*) AS n_events
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+  AND ts <= TIMESTAMP '{_DECAY_ASOF}'
+GROUP BY user_id
+"""
+
+
+@twin_query("user_decayed_value", oracle=_DECAYED_SQL)
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value as of a fixed anchor
+    (timeseries.decayed_sum_per_key, 7-day half-life): decay against
+    a FIXED anchor is a plain weighted sum — ONE hash aggregate with
+    map-side partials, no order, no sequential state (the cheap
+    alternative to ewma when only 'score now' is needed). Twin slot:
+    driver catalog is at its 50-entry cap."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.timeseries import decayed_sum_per_key
+
+    ev = load_table(spark, "events", sf_dir)
+    asof = dt.datetime.fromisoformat(_DECAY_ASOF)
+    return decayed_sum_per_key(ev, _DECAY_HL, asof)

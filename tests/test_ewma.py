@@ -104,3 +104,35 @@ def test_bucket_boundaries_align_with_exact_first_value(spark):
     exact = _collect(ewma_per_key(df, 0.4, tiebreak_col="event_id"))
     buck = _collect(ewma_per_key(df, 0.4, tiebreak_col="event_id", bucket_seconds=5))
     assert exact == buck  # single-element folds: no re-association at all
+
+
+def test_decayed_sum_per_key_hand_computed(spark):
+    """Weights halve per half-life; future events excluded; NULLs
+    excluded; partitioning-independent at the rounded precision."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.timeseries import decayed_sum_per_key
+
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    hl = 3600.0
+    rows = [
+        (1, t0, 8.0),                                    # age 2h -> w=1/4
+        (1, t0 + dt.timedelta(hours=1), 8.0),            # age 1h -> w=1/2
+        (1, t0 + dt.timedelta(hours=2), 8.0),            # age 0 -> w=1
+        (1, t0 + dt.timedelta(hours=3), 999.0),          # future: excluded
+        (2, None, 5.0),                                  # NULL ts: excluded
+        (2, t0 + dt.timedelta(hours=2), None),           # NULL value: excluded
+        (2, t0 + dt.timedelta(hours=1, minutes=30), 4.0),  # w = 2^-0.5
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    asof = t0 + dt.timedelta(hours=2)
+    got = {r.user_id: r for r in
+           decayed_sum_per_key(df, hl, asof).collect()}
+    assert got[1].n_events == 3
+    assert got[1].decayed_sum == round(8.0 * (0.25 + 0.5 + 1.0), 6)
+    assert got[1].decayed_count == round(0.25 + 0.5 + 1.0, 6)
+    assert got[2].n_events == 1
+    assert got[2].decayed_sum == round(4.0 * 2 ** -0.5, 6)
+    again = {r.user_id: r.decayed_sum for r in
+             decayed_sum_per_key(df.repartition(7, "value"), hl, asof).collect()}
+    assert again == {k: v.decayed_sum for k, v in got.items()}
