@@ -465,3 +465,60 @@ def similarity_join(
             "jaccard",
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    key_expr: Column | None = None,
+) -> DataFrame:
+    """Provenance view of exact duplication: for every unordered
+    source pair, how many duplicate DOCUMENT PAIRS cross it (and how
+    many distinct contents are shared) — the report that tells a
+    curation team which feeds mirror which (agency syndication, site
+    scrapes re-crawled under two domains) and therefore which source
+    the dedup canonical policy is silently draining. ``key_expr``
+    swaps the content key — the full-text fingerprint by default; a
+    token-prefix fingerprint or a minhash band for near-dup-grade
+    provenance.
+
+    Returns (source_a, source_b, shared_fps, dup_pairs) with
+    source_a <= source_b; the diagonal row counts within-source
+    duplication (n choose 2 per content). Pair arithmetic is exact
+    integer counting — no pair is ever materialized.
+
+    Shape: ONE (fingerprint, source) hash aggregate (map-side
+    combined — the exchange carries contents x sources, not docs),
+    then a self equi-join ON THE FINGERPRINT whose per-key group size
+    is bounded by the number of SOURCES carrying that content (a
+    config-scale constant), then one small aggregate. The quadratic
+    term is sources-per-content, never corpus size.
+    """
+    from bigdata_commerce_spark.operators.text import fingerprint
+
+    key = key_expr if key_expr is not None else fingerprint(text_col)
+    per = (
+        df.groupBy(key.alias("__fp"), F.col(source_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    a = per.select(
+        F.col("__fp"), F.col(source_col).alias("source_a"), F.col("__n").alias("__na")
+    )
+    b = per.select(
+        F.col("__fp"), F.col(source_col).alias("source_b"), F.col("__n").alias("__nb")
+    )
+    joined = a.join(b, "__fp").where(F.col("source_a") <= F.col("source_b"))
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("__na") * (F.col("__na") - 1) / 2).cast("long"),
+    ).otherwise(F.col("__na") * F.col("__nb"))
+    return (
+        joined.select("source_a", "source_b", pairs.alias("__p"))
+        .where(F.col("__p") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.sum("__p").alias("dup_pairs"),
+        )
+    )

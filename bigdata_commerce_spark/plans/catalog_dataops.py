@@ -2998,3 +2998,48 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     asof = dt.datetime.fromisoformat(_DECAY_ASOF)
     return decayed_sum_per_key(ev, _DECAY_HL, asof)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+_DUP_MATRIX_SQL = r"""
+WITH f AS (
+    SELECT md5(array_to_string(
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '')[1:8], ' ')) AS fp,
+           source, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+), p AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CASE WHEN a.source = b.source
+                THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END AS pairs
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source <= b.source
+)
+SELECT source_a, source_b,
+       COUNT(*) AS shared_fps,
+       CAST(SUM(pairs) AS BIGINT) AS dup_pairs
+FROM p WHERE pairs > 0
+GROUP BY 1, 2
+"""
+
+
+@twin_query("source_dup_matrix", oracle=_DUP_MATRIX_SQL)
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-content pair counts per unordered source pair, keyed
+    on the 8-token prefix fingerprint (prefix-grade provenance — the
+    synthetic corpus has no FULL-text duplicates, so the twin keys on
+    the prefix to exercise real cross-source volume)
+    (dedup.cross_source_dup_matrix): one (fingerprint, source)
+    aggregate, a fingerprint self-join bounded by sources-per-content,
+    exact integer pair arithmetic — no pair materialized. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    prefix_fp = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    return cross_source_dup_matrix(docs, key_expr=prefix_fp)

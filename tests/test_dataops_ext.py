@@ -1835,3 +1835,28 @@ def test_variant_extract_totality_and_malformed_report(spark):
     assert "__v" in v.columns
     pj = parse_json_variant(df, "props")
     assert pj.where("v IS NULL AND props IS NOT NULL").count() == 1  # row 3
+
+
+def test_cross_source_dup_matrix_exact_pair_arithmetic(spark):
+    """Diagonal = C(n,2) within a source; off-diagonal = n_a*n_b;
+    unique contents contribute nothing; default key is the full-text
+    fingerprint."""
+    from bigdata_commerce_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        # content X: 3 copies in src_a, 2 in src_b
+        *[(i, "same text here", "src_a") for i in range(3)],
+        *[(10 + i, "same text here", "src_b") for i in range(2)],
+        # content Y: 2 copies, both in src_b
+        (20, "other dup", "src_b"), (21, "other dup", "src_b"),
+        # unique content
+        (30, "totally unique", "src_a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): (r.shared_fps, r.dup_pairs)
+           for r in cross_source_dup_matrix(df).collect()}
+    assert got == {
+        ("src_a", "src_a"): (1, 3),   # C(3,2)
+        ("src_a", "src_b"): (1, 6),   # 3*2
+        ("src_b", "src_b"): (2, 1 + 1),  # C(2,2)=1 for X copies + C(2,2)=1 for Y
+    }
