@@ -720,6 +720,79 @@ def round5d_probes(spark, docs_path: str, emb_path: str, ev_path: str):
     }
 
 
+def round5e_probes(spark, ord_path: str, cust_path: str, ev_path: str, emb_path: str):
+    """The commerce-classics wave: SCD2 point-in-time join, RFM
+    segmentation, time-decayed scores, VARIANT extraction, projected
+    IVF. Consumed through output aggregates (the catalog probe
+    discipline)."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.functions.semistructured import variant_extract
+    from bigdata_commerce_spark.operators.rfm import rfm_scores
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2, scd2_join
+    from bigdata_commerce_spark.operators.similarity import ivf_projected_topk
+    from bigdata_commerce_spark.operators.timeseries import decayed_sum_per_key
+
+    orders = spark.read.parquet(ord_path)
+    cust = spark.read.parquet(cust_path)
+    ev = spark.read.parquet(ev_path)
+    emb = spark.read.parquet(emb_path)
+
+    def scd2():
+        chg = cust.select(
+            "c_custkey",
+            F.lit("1992-01-01").cast("date").alias("ts"),
+            F.col("c_mktsegment").alias("segment"),
+        ).unionByName(
+            cust.select(
+                "c_custkey",
+                F.lit("1995-06-01").cast("date").alias("ts"),
+                F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+            )
+        )
+        dim = changes_to_scd2(chg, ["c_custkey"], "ts")
+        o = orders.withColumnRenamed("o_custkey", "c_custkey")
+        return int(
+            scd2_join(o, dim, ["c_custkey"], "o_orderdate")
+            .agg(F.count("segment"))
+            .collect()[0][0]
+        )
+
+    def rfm():
+        return int(
+            rfm_scores(orders).agg(F.count(F.lit(1))).collect()[0][0]
+        )
+
+    def decayed():
+        return int(
+            decayed_sum_per_key(ev, 86400.0 * 7, dt.datetime(2024, 3, 1))
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    def variant():
+        return int(
+            variant_extract(ev, "props", {"ad_id": ("$.k", "int")})
+            .agg(F.count("ad_id"))
+            .collect()[0][0]
+        )
+
+    def ivf_proj():
+        return int(
+            ivf_projected_topk(emb, emb.where("vec_id % 200 = 3"), k=5)
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    return {
+        "scd2_join": scd2,
+        "rfm_scores": rfm,
+        "decayed_sum": decayed,
+        "variant_extract": variant,
+        "ivf_projected": ivf_proj,
+    }
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -1093,6 +1166,23 @@ def main() -> None:
         )
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5d")
+    elif suite == "round5e":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+
+        def pth(d, t):
+            return os.path.join(d, f"{t}.parquet")
+
+        p1 = round5e_probes(
+            spark, pth(sf1, "orders"), pth(sf1, "customer"),
+            pth(sf1, "events"), pth(sf1, "embeddings"),
+        )
+        p10 = round5e_probes(
+            spark, pth(sf10, "orders"), pth(sf10, "customer"),
+            pth(sf10, "events"), pth(sf10, "embeddings"),
+        )
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5e")
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost
