@@ -477,10 +477,11 @@ def tfidf_top_terms(
     engine-portable comparison; ties broken by term text ascending so
     the top-k set is total-order deterministic.
 
-    Scale shape: one explode + ONE (doc, term) hash aggregate; the
-    document-frequency table is a second aggregate ON THE OUTPUT of
-    the first (distinct (doc, term) already materialized — no second
-    corpus scan); N is a broadcast one-row frame; top-k is a ranking
+    Scale shape: one explode + ONE (doc, term) hash aggregate,
+    PERSISTED (both the tf branch and the document-frequency branch
+    read it — the cache is what makes 'no second corpus scan' true in
+    the physical plan, not just the logical one); N is a broadcast
+    one-row frame; top-k is a ranking
     window partitioned BY DOCUMENT (bounded by distinct terms per
     doc, never corpus-wide — WindowGroupLimit prunes below the
     exchange). Returns (id, term, tfidf, rank).
@@ -496,9 +497,16 @@ def tfidf_top_terms(
         F.size("__tk").alias("__n"),
         F.explode("__tk").alias("term"),
     ).where(F.col("term") != "")
+    # persisted: BOTH the per-doc tf branch and the document-frequency
+    # branch consume this aggregate — without the cache Catalyst
+    # recomputes the whole explode+aggregate for each (two corpus
+    # scans, two exploded shuffles). A window-over-term alternative
+    # would avoid the join but buffers df(term) rows per partition —
+    # a stopword's partition is the whole corpus, the exact skew trap
+    # the join-with-aggregate shape avoids.
     doc_term = toks.groupBy(id_col, "term").agg(
         (F.count(F.lit(1)).cast("double") / F.first("__n")).alias("__tf")
-    )
+    ).persist()
     dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__N"))
     scored = (

@@ -233,3 +233,42 @@ def test_editdist_verify_is_banded_and_gram_path_joinful(spark):
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed \
         or "BroadcastHashJoin" in executed
+
+
+def test_scd2_join_plans_as_hash_join_with_residual(spark):
+    """The interval predicate must ride the KEY equi-join as a
+    residual condition — a BroadcastNestedLoopJoin here would be a
+    fact x dim cross product at 100 TB."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2, scd2_join
+
+    d = dt.date
+    chg = spark.createDataFrame(
+        [(i, d(2020, 1, 1), "a") for i in range(50)]
+        + [(i, d(2021, 1, 1), "b") for i in range(50)],
+        "cust long, ts date, tier string",
+    )
+    dim = changes_to_scd2(chg, ["cust"], "ts")
+    fact = spark.createDataFrame(
+        [(i, i % 50, d(2020, 6, 1)) for i in range(500)],
+        "oid long, cust long, odate date",
+    )
+    plan = scd2_join(fact, dim, ["cust"], "odate")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:800]
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_tfidf_shares_one_materialized_aggregate(spark):
+    """Both the tf branch and the document-frequency branch must read
+    the SAME cached (doc, term) aggregate — without the persist,
+    Catalyst recomputes the whole explode+aggregate per branch."""
+    from bigdata_commerce_spark.operators.text import tfidf_top_terms
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = tfidf_top_terms(docs, k=3)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan[:800]
