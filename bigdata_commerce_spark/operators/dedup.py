@@ -498,9 +498,12 @@ def cross_source_dup_matrix(
     from bigdata_commerce_spark.operators.text import fingerprint
 
     key = key_expr if key_expr is not None else fingerprint(text_col)
+    # persisted: both sides of the fingerprint self-join read this
+    # aggregate — without the cache the corpus scan+agg runs twice
     per = (
         df.groupBy(key.alias("__fp"), F.col(source_col))
         .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
     )
     a = per.select(
         F.col("__fp"), F.col(source_col).alias("source_a"), F.col("__n").alias("__na")

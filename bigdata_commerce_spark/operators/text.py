@@ -477,10 +477,9 @@ def tfidf_top_terms(
     engine-portable comparison; ties broken by term text ascending so
     the top-k set is total-order deterministic.
 
-    Scale shape: one explode + ONE (doc, term) hash aggregate,
-    PERSISTED (both the tf branch and the document-frequency branch
-    read it — the cache is what makes 'no second corpus scan' true in
-    the physical plan, not just the logical one); N is a broadcast
+    Scale shape: one explode + ONE (doc, term) hash-aggregate SHAPE,
+    physically computed once per consuming branch (measured cheaper
+    than caching it — see the inline note); N is a broadcast
     one-row frame; top-k is a ranking
     window partitioned BY DOCUMENT (bounded by distinct terms per
     doc, never corpus-wide — WindowGroupLimit prunes below the
@@ -497,16 +496,21 @@ def tfidf_top_terms(
         F.size("__tk").alias("__n"),
         F.explode("__tk").alias("term"),
     ).where(F.col("term") != "")
-    # persisted: BOTH the per-doc tf branch and the document-frequency
-    # branch consume this aggregate — without the cache Catalyst
-    # recomputes the whole explode+aggregate for each (two corpus
-    # scans, two exploded shuffles). A window-over-term alternative
-    # would avoid the join but buffers df(term) rows per partition —
-    # a stopword's partition is the whole corpus, the exact skew trap
-    # the join-with-aggregate shape avoids.
+    # MEASURED non-persist: the tf branch and the document-frequency
+    # branch both derive from this aggregate, and Catalyst recomputes
+    # the explode+agg per branch — but caching the (doc, term) frame
+    # was 2.6x SLOWER at 10x corpus (4.4s vs 1.7s: the cache
+    # write/read of millions of small rows costs more than the
+    # map-side-combined recompute). Contrast dupspans.duplicate_spans,
+    # where the recomputed projection is md5-heavy and the persist
+    # measured 1.8x FASTER — cache-vs-recompute is decided per
+    # operator by measurement, not doctrine. A window-over-term
+    # alternative would avoid the dual consumption entirely but
+    # buffers df(term) rows per partition — a stopword's partition is
+    # the whole corpus, the skew trap the join shape avoids.
     doc_term = toks.groupBy(id_col, "term").agg(
         (F.count(F.lit(1)).cast("double") / F.first("__n")).alias("__tf")
-    ).persist()
+    )
     dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__N"))
     scored = (

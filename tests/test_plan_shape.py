@@ -260,15 +260,19 @@ def test_scd2_join_plans_as_hash_join_with_residual(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
 
 
-def test_tfidf_shares_one_materialized_aggregate(spark):
-    """Both the tf branch and the document-frequency branch must read
-    the SAME cached (doc, term) aggregate — without the persist,
-    Catalyst recomputes the whole explode+aggregate per branch."""
+def test_tfidf_has_no_cache_and_no_window_over_term(spark):
+    """The cache-vs-recompute decision is MEASURED (see the operator's
+    inline note): no InMemoryRelation (caching the (doc,term) frame
+    was 2.6x slower at 10x), and no window partitioned by term (a
+    stopword's partition would be the whole corpus)."""
     from bigdata_commerce_spark.operators.text import tfidf_top_terms
     from bigdata_commerce_spark.sources.testdata import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001")
-    out = tfidf_top_terms(docs, k=3)
-    out.count()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") == 2, plan[:800]
+    plan = tfidf_top_terms(docs, k=3)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "InMemoryTableScan" not in plan
+    # one ranking Window (per DOC), with WindowGroupLimit pruning
+    # active below the exchange
+    assert plan.count("Window [") == 1, plan[:800]
+    assert "WindowGroupLimit" in plan
