@@ -280,3 +280,37 @@ def test_tag_phrases_rejects_empty_phrase(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokens"):
         tag_phrases(df, ["ok phrase", "   "])
+
+
+@_SETTINGS
+@given(
+    docs=tiny_corpus(),
+    dict_phrases=st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=1, max_size=3).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_tag_phrases_matches_bruteforce(spark, docs, dict_phrases):
+    """Every (doc, pos, phrase) hit, against a python sliding-window
+    reference, over dense tiny-alphabet corpora."""
+    from bigdata_commerce_spark.operators.dupspans import tag_phrases
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.pos, r.phrase)
+        for r in tag_phrases(df, dict_phrases).collect()
+    )
+    expected = []
+    for d, txt in docs:
+        tk = [t for t in re.split(r"\s+", (txt or "").lower()) if t]
+        for p in dict_phrases:
+            ptk = p.lower().split()
+            n = len(ptk)
+            for i in range(len(tk) - n + 1):
+                if tk[i : i + n] == ptk:
+                    expected.append((d, i, p))
+    assert got == sorted(expected)

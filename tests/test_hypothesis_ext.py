@@ -493,3 +493,56 @@ def test_ewma_bucketed_equivalence_hypothesis(spark, rows, bucket):
     assert set(exact) == set(buck)
     for k in exact:
         assert math.isclose(exact[k], buck[k], rel_tol=1e-11, abs_tol=1e-11), k
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+def test_tfidf_matches_bruteforce(spark, docs, k):
+    """tfidf_top_terms vs a python reference: same smoothed idf, same
+    rounding, same (score desc, term asc) tie order."""
+    import math
+    from collections import Counter
+
+    from bigdata_commerce_spark.operators.text import tfidf_top_terms
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.term, r.tfidf, r.rank)
+        for r in tfidf_top_terms(df, k=k).collect()
+    )
+    n_docs = len(docs)
+    tokenized = {i: [t for t in t_.split() if t] for i, t_ in rows}
+    dfreq = Counter()
+    for tk in tokenized.values():
+        dfreq.update(set(tk))
+    expected = []
+    for i, tk in tokenized.items():
+        if not tk:
+            continue
+        cnt = Counter(tk)
+        scored = sorted(
+            (
+                (
+                    round(
+                        c / len(tk) * (math.log((n_docs + 1) / (dfreq[t] + 1)) + 1),
+                        6,
+                    ),
+                    t,
+                )
+                for t, c in cnt.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (score, term) in enumerate(scored[:k], start=1):
+            expected.append((i, term, score, rank))
+    assert got == sorted(expected)
