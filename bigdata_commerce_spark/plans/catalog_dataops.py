@@ -3043,3 +3043,36 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix_fp = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
     return cross_source_dup_matrix(docs, key_expr=prefix_fp)
+
+
+# ---------------------------------------------------------------------------
+# Per-group percentile bands
+# ---------------------------------------------------------------------------
+
+_BANDS_SQL = """
+SELECT event_type,
+       COUNT(value) AS n,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       ROUND(MAX(value), 6) AS p100
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@twin_query("event_value_percentile_bands", oracle=_BANDS_SQL)
+def event_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99/max of value per event type — the SLO/latency-band
+    report shape: ONE hash aggregate, exact interpolated percentiles
+    (the same engine-portable `percentile` the drift machinery uses —
+    NOT a per-group sort or window). Twin slot: driver catalog is at
+    its 50-entry cap."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("p100"),
+    )
