@@ -1080,3 +1080,81 @@ def user_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_funnel(
         ev, ["view", "click", "purchase"], window_seconds=86400
     )
+
+
+@twin_query(
+    "events_value_winsorized",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < lo THEN lo
+                WHEN e.value > hi THEN hi
+                ELSE e.value END AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type percentile winsorization of the raw event
+    value (operators/robust.winsorize): exact interpolated
+    percentile bounds (the quantile_cont-proven pairing), rounded
+    before the clip so interpolation noise cannot flip a boundary
+    row, then a pure CASE projection — one aggregate, one join, no
+    window. Twin slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.robust import winsorize
+
+    ev = load_table(spark, "events", sf_dir)
+    return winsorize(
+        ev, ["value"], lower=0.05, upper=0.95, group_col="event_type"
+    ).select("event_id", "event_type", "value", "value_w")
+
+
+@twin_query(
+    "user_value_robust_anomalies",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value
+        FROM events WHERE user_id < 300 GROUP BY 1, 2
+    ), med AS (
+        SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS m
+        FROM series GROUP BY 1
+    ), dev AS (
+        SELECT s.user_id, s.bucket, s.value, m.m,
+               abs(s.value - m.m) AS ad
+        FROM series s JOIN med m USING (user_id)
+    ), mad AS (
+        SELECT user_id, ROUND(quantile_cont(ad, 0.5), 6) AS md
+        FROM dev GROUP BY 1
+    )
+    SELECT d.user_id, d.bucket, d.value,
+           CASE WHEN md > 0
+                THEN ROUND((d.value - d.m) / (1.4826 * md), 4) END AS rz,
+           COALESCE(CASE WHEN md > 0
+                         THEN abs(ROUND((d.value - d.m) / (1.4826 * md), 4)) > 3.0
+                    END, FALSE) AS is_anomaly
+    FROM dev d JOIN mad USING (user_id)
+    """,
+)
+def user_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly flags over each user's daily value
+    totals (operators/robust.robust_flag_anomalies) — the
+    outlier-resistant sibling of user_value_anomalies on the same
+    decimal-exact series: both percentile boundaries are rounded
+    before any comparison, so every float in the robust-z is
+    bit-identical across engines and partitionings. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.functions import money_sum
+    from bigdata_commerce_spark.operators.robust import robust_flag_anomalies
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 300)
+    series = (
+        ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(money_sum(F.col("value")).alias("value"))
+    )
+    return robust_flag_anomalies(series, key_col="user_id", z_threshold=3.0)
