@@ -1158,3 +1158,111 @@ def user_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money_sum(F.col("value")).alias("value"))
     )
     return robust_flag_anomalies(series, key_col="user_id", z_threshold=3.0)
+
+
+@twin_query(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+               'l_quantity' AS cx, 'l_extendedprice' AS cy FROM lineitem
+        UNION ALL
+        SELECT CAST(l_quantity AS DECIMAL(18,6)),
+               CAST(l_discount AS DECIMAL(18,6)),
+               'l_quantity', 'l_discount' FROM lineitem
+        UNION ALL
+        SELECT CAST(l_extendedprice AS DECIMAL(18,6)),
+               CAST(l_discount AS DECIMAL(18,6)),
+               'l_extendedprice', 'l_discount' FROM lineitem
+    ), s AS (
+        SELECT cx AS col_x, cy AS col_y,
+               COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_pairs,
+               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS DOUBLE) AS sy,
+               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * x END) AS DOUBLE) AS sxx,
+               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS DECIMAL(20,6)) * y END) AS DOUBLE) AS syy,
+               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * y END) AS DOUBLE) AS sxy
+        FROM q GROUP BY 1, 2
+    )
+    SELECT col_x, col_y, n_pairs,
+           CASE WHEN n_pairs > 1
+                 AND sqrt(greatest(CAST(n_pairs AS DOUBLE) * sxx - sx * sx, 0.0))
+                   * sqrt(greatest(CAST(n_pairs AS DOUBLE) * syy - sy * sy, 0.0)) > 0
+                THEN ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                         / (sqrt(greatest(CAST(n_pairs AS DOUBLE) * sxx - sx * sx, 0.0))
+                          * sqrt(greatest(CAST(n_pairs AS DOUBLE) * syy - sy * sy, 0.0))),
+                           6)
+           END AS corr
+    FROM s
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem's metric columns
+    (operators/stats.corr_matrix): every pair's six sufficient sums
+    in ONE scan / ONE aggregate, exact decimal partials, statistic
+    derived by an identical double-op sequence in both engines. Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@twin_query(
+    "user_value_trend",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value
+        FROM events WHERE user_id < 300 GROUP BY 1, 2
+    ), s AS (
+        SELECT user_id,
+               COUNT(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL THEN 1 END) AS n_points,
+               COUNT(DISTINCT CASE WHEN bucket IS NOT NULL AND value IS NOT NULL THEN bucket END) AS nt,
+               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(18,6)) END) AS DOUBLE) AS st,
+               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sy,
+               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(bucket AS DECIMAL(18,6)) END) AS DOUBLE) AS stt,
+               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS syy,
+               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sty
+        FROM series GROUP BY 1
+    )
+    SELECT user_id, n_points,
+           CASE WHEN n_points > 1 AND nt > 1
+                THEN ROUND((CAST(n_points AS DOUBLE) * sty - st * sy)
+                         / (CAST(n_points AS DOUBLE) * stt - st * st), 6) END AS slope,
+           CASE WHEN n_points > 1 AND nt > 1
+                THEN ROUND((sy - ((CAST(n_points AS DOUBLE) * sty - st * sy)
+                                / (CAST(n_points AS DOUBLE) * stt - st * st)) * st)
+                         / CAST(n_points AS DOUBLE), 6) END AS intercept,
+           CASE WHEN n_points > 1 AND nt > 1
+                 AND (CAST(n_points AS DOUBLE) * syy - sy * sy) > 0
+                THEN ROUND(((CAST(n_points AS DOUBLE) * sty - st * sy)
+                          * (CAST(n_points AS DOUBLE) * sty - st * sy))
+                         / ((CAST(n_points AS DOUBLE) * stt - st * st)
+                          * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+    FROM s
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend over the same decimal-exact daily value
+    series as user_value_anomalies (operators/stats.trend_per_key):
+    one grouped aggregate of exact sums; slope/intercept/r2 derived
+    by the identical double-op sequence in both engines (squares by
+    multiplication, never libm pow). Twin slot: driver catalog is at
+    its 50-entry cap."""
+    from bigdata_commerce_spark.functions import money_sum
+    from bigdata_commerce_spark.operators.stats import trend_per_key
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 300)
+    series = (
+        ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(money_sum(F.col("value")).alias("value"))
+    )
+    return trend_per_key(series, key_col="user_id", t_col="bucket", value_col="value")
