@@ -793,6 +793,60 @@ def round5e_probes(spark, ord_path: str, cust_path: str, ev_path: str, emb_path:
     }
 
 
+def round5f_probes(spark, li_path: str, ev_path: str):
+    """Robust/sufficient-statistics wave: winsorize, median/MAD
+    anomaly flags, pairwise correlation, per-key OLS trend. Consumed
+    through output aggregates (the catalog probe discipline)."""
+    from bigdata_commerce_spark.operators.robust import (
+        robust_flag_anomalies,
+        winsorize,
+    )
+    from bigdata_commerce_spark.operators.stats import corr_matrix, trend_per_key
+
+    li = spark.read.parquet(li_path)
+    ev = spark.read.parquet(ev_path)
+    daily = (
+        ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+    )
+
+    def wins():
+        return int(
+            winsorize(ev, ["value"], 0.05, 0.95, group_col="event_type")
+            .agg(F.count("value_w"))
+            .collect()[0][0]
+        )
+
+    def mad():
+        return int(
+            robust_flag_anomalies(daily, "user_id", "value", z_threshold=3.0)
+            .agg(F.sum(F.col("is_anomaly").cast("long")))
+            .collect()[0][0]
+        )
+
+    def corr():
+        return int(
+            corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+            .agg(F.count("corr"))
+            .collect()[0][0]
+        )
+
+    def trend():
+        return int(
+            trend_per_key(daily, "user_id", "bucket", "value")
+            .agg(F.count("slope"))
+            .collect()[0][0]
+        )
+
+    return {
+        "winsorize": wins,
+        "robust_mad_flags": mad,
+        "corr_matrix": corr,
+        "trend_per_key": trend,
+    }
+
+
 def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x")) -> dict:
     a, b = labels
     out = {"metric": headline, "copies": COPIES, "ops": {}}
@@ -1183,6 +1237,17 @@ def main() -> None:
         )
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5e")
+    elif suite == "round5f":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+
+        def pth(d, t):
+            return os.path.join(d, f"{t}.parquet")
+
+        p1 = round5f_probes(spark, pth(sf1, "lineitem"), pth(sf1, "events"))
+        p10 = round5f_probes(spark, pth(sf10, "lineitem"), pth(sf10, "events"))
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5f")
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost
