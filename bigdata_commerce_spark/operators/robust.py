@@ -64,6 +64,11 @@ def winsorize(
     percentile band — per ``group_col`` when given, else globally —
     appending ``<col>_w`` clipped columns. One aggregate computes
     every bound; NULLs pass through unclipped."""
+    if not cols or not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"winsorize needs columns and 0 <= lower <= upper <= 1, "
+            f"got cols={cols!r} lower={lower} upper={upper}"
+        )
     aggs = []
     for c in cols:
         aggs.append(
@@ -104,15 +109,22 @@ def robust_flag_anomalies(
 
     Returns the input columns plus (rz, is_anomaly).
     """
+    # med feeds the deviation pass AND the final join; mad is likewise
+    # read by the final join while its build re-reads med. Persist both
+    # — they are one row per key (the flag_anomalies stats-table class;
+    # no broadcast forced, AQE sizes the joins) — so the source is
+    # scanned 3× (med build, mad build, output), the two-pass minimum
+    # for MAD, instead of re-deriving the aggregates per consumer.
+    # LRU eviction reclaims them; at scale use MEMORY_AND_DISK.
     med = df.groupBy(key_col).agg(
         F.round(F.expr(f"percentile({value_col}, 0.5)"), round_dp).alias("__med")
-    )
+    ).persist()
     with_dev = df.join(med, key_col, "left").withColumn(
         "__ad", F.abs(F.col(value_col) - F.col("__med"))
     )
     mad = with_dev.groupBy(key_col).agg(
         F.round(F.expr("percentile(__ad, 0.5)"), round_dp).alias("__mad")
-    )
+    ).persist()
     rz = F.when(
         F.col("__mad") > 0,
         F.round(

@@ -83,6 +83,8 @@ def corr_matrix(
     in input order, complete-observations per pair. A pair with fewer
     than 2 complete rows or a zero-variance side has no defined
     correlation — corr NULL."""
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix needs >= 2 columns, got {cols!r}")
     pairs = list(combinations(cols, 2))
     aggs: list[Column] = []
     for i, (x, y) in enumerate(pairs):
