@@ -32,7 +32,7 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "trend_per_key"]
+__all__ = ["corr_matrix", "trend_per_key", "trend_sums", "trend_from_sums", "TREND_STATE_MEASURES"]
 
 # (18,6): products land at decimal(37,12) <= the 38-digit cap in BOTH
 # Spark and DuckDB, so Σx², Σxy stay exact end-to-end (a (38,8) cast
@@ -106,39 +106,63 @@ def corr_matrix(
     return sums.select(F.explode(rows).alias("p")).select("p.*")
 
 
-def trend_per_key(
-    df: DataFrame,
-    key_col: str,
-    t_col: str,
-    value_col: str,
-    round_dp: int = 6,
+# Merge spec for trend_sums partial state, in the
+# incremental_agg.merge_partials MeasureSpec shape: count/sums add,
+# the t-range bounds fold with min/max. Every trend statistic derives
+# from this state, so a materialized per-key trend refreshes from a
+# delta scan alone (incremental_agg's self-maintainability contract).
+TREND_STATE_MEASURES = {
+    "__n": ("count", None),
+    "__st": ("sum", "__st"),
+    "__sy": ("sum", "__sy"),
+    "__stt": ("sum", "__stt"),
+    "__syy": ("sum", "__syy"),
+    "__sty": ("sum", "__sty"),
+    "__tmin": ("min", "__tmin"),
+    "__tmax": ("max", "__tmax"),
+}
+
+
+def trend_sums(
+    df: DataFrame, key_col: str, t_col: str, value_col: str
 ) -> DataFrame:
-    """Per-key OLS line value ~ slope * t + intercept, plus r2, from
-    ONE grouped aggregate of exact decimal sums. ``t_col`` must be
-    numeric (bucket index, epoch day — the caller picks the time
-    axis). Keys with < 2 complete points or a single distinct t have
-    no defined fit — slope/intercept/r2 NULL. The degenerate-t guard
-    is a conditional COUNT(DISTINCT t) (a constant-t key is detected
-    exactly, never by a float epsilon on the variance)."""
+    """Per-key sufficient sums for the OLS fit, in MERGEABLE
+    partial-state form: count + five exact decimal sums + the t-range
+    bounds. The degenerate-t guard rides min/max (tmin != tmax ⟺ ≥2
+    distinct t — exact, mergeable, and cheaper than the COUNT(
+    DISTINCT) expand it replaces). Store this table and refresh it
+    with incremental_agg.merge_partials(…, TREND_STATE_MEASURES);
+    finalize with trend_from_sums."""
     both = F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
     tv = F.when(both, F.col(t_col).cast(_DEC))
     yv = F.when(both, F.col(value_col).cast(_DEC))
-    sums = df.groupBy(key_col).agg(
+    return df.groupBy(key_col).agg(
         F.count(F.when(both, F.lit(1))).alias("__n"),
-        F.count_distinct(F.when(both, F.col(t_col))).alias("__nt"),
         F.sum(tv).alias("__st"),
         F.sum(yv).alias("__sy"),
         F.sum(tv * tv).alias("__stt"),
         F.sum(yv * yv).alias("__syy"),
         F.sum(tv * yv).alias("__sty"),
+        F.min(F.when(both, F.col(t_col))).alias("__tmin"),
+        F.max(F.when(both, F.col(t_col))).alias("__tmax"),
     )
+
+
+def trend_from_sums(sums: DataFrame, key_col: str, round_dp: int = 6) -> DataFrame:
+    """Derive (n_points, slope, intercept, r2) from a trend_sums
+    state table — a pure projection, so finalizing a maintained
+    state costs no scan of history."""
     n = F.col("__n").cast("double")
     st = F.col("__st").cast("double")
     sy = F.col("__sy").cast("double")
     stt = F.col("__stt").cast("double")
     syy = F.col("__syy").cast("double")
     sty = F.col("__sty").cast("double")
-    ok = (F.col("__n") > 1) & (F.col("__nt") > 1)
+    ok = (
+        (F.col("__n") > 1)
+        & F.col("__tmin").isNotNull()
+        & (F.col("__tmin") != F.col("__tmax"))
+    )
     slope = (n * sty - st * sy) / (n * stt - st * st)
     intercept = (sy - slope * st) / n
     vy = n * syy - sy * sy
@@ -152,4 +176,22 @@ def trend_per_key(
         F.when(ok, F.round(slope, round_dp)).alias("slope"),
         F.when(ok, F.round(intercept, round_dp)).alias("intercept"),
         F.when(ok, F.round(r2, round_dp)).alias("r2"),
+    )
+
+
+def trend_per_key(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key OLS line value ~ slope * t + intercept, plus r2, from
+    ONE grouped aggregate of exact decimal sums. ``t_col`` must be
+    numeric (bucket index, epoch day — the caller picks the time
+    axis). Keys with < 2 complete points or a single distinct t have
+    no defined fit — slope/intercept/r2 NULL (detected exactly via
+    the t-range bounds, never by a float epsilon)."""
+    return trend_from_sums(
+        trend_sums(df, key_col, t_col, value_col), key_col, round_dp
     )

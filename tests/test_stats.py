@@ -64,3 +64,42 @@ def test_trend_known_fit_and_degenerates(spark):
     # flat line: slope 0, r2 undefined (zero value variance)
     assert out[4].slope == 0.0 and out[4].intercept == 5.0
     assert out[4].r2 is None
+
+
+def test_trend_state_is_incrementally_maintainable(spark):
+    # The sufficient-sums state refreshes from deltas through
+    # incremental_agg.merge_partials and finalizes to the EXACT batch
+    # fit — decimal sums are order/partitioning-independent, so the
+    # maintained and recomputed trends are bit-identical, and the
+    # min/max t-range guard (unlike COUNT(DISTINCT)) merges
+    # losslessly across deltas.
+    from pyspark.sql import Row
+
+    from bigdata_commerce_spark.operators.incremental_agg import merge_partials
+    from bigdata_commerce_spark.operators.stats import (
+        TREND_STATE_MEASURES,
+        trend_from_sums,
+        trend_per_key,
+        trend_sums,
+    )
+
+    rows = [
+        Row(k=k, t=t, v=round(0.7 * t + k + 0.1 * ((t * 7 + k) % 5), 2))
+        for k in range(1, 6)
+        for t in range(12)
+    ] + [Row(k=9, t=3, v=1.5), Row(k=9, t=3, v=2.5)]  # constant-t key
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+
+    # three refresh cycles over disjoint deltas, in a scrambled order
+    deltas = [df.where("t % 3 = " + str(i)) for i in (2, 0, 1)]
+    state = trend_sums(deltas[0], "k", "t", "v")
+    for d in deltas[1:]:
+        state = merge_partials(
+            state, trend_sums(d, "k", "t", "v"), ["k"], TREND_STATE_MEASURES
+        )
+    maintained = {r.k: r for r in trend_from_sums(state, "k").collect()}
+    batch = {r.k: r for r in trend_per_key(df, "k", "t", "v").collect()}
+    assert set(maintained) == set(batch)
+    for k in batch:
+        assert maintained[k] == batch[k]  # exact, not approximate
+    assert batch[9].slope is None  # constant-t guard survives the merge
