@@ -32,7 +32,16 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "trend_per_key", "trend_sums", "trend_from_sums", "TREND_STATE_MEASURES"]
+__all__ = [
+    "corr_matrix",
+    "corr_sums",
+    "corr_from_sums",
+    "corr_state_measures",
+    "trend_per_key",
+    "trend_sums",
+    "trend_from_sums",
+    "TREND_STATE_MEASURES",
+]
 
 # (18,6): products land at decimal(37,12) <= the 38-digit cap in BOTH
 # Spark and DuckDB, so Σx², Σxy stay exact end-to-end (a (38,8) cast
@@ -75,21 +84,37 @@ def _corr_from_sums(tag: str, round_dp: int) -> Column:
     )
 
 
-def corr_matrix(
-    df: DataFrame, cols: list[str], round_dp: int = 6
-) -> DataFrame:
-    """Pairwise Pearson correlation over ``cols`` in ONE scan/ONE
-    aggregate: (col_x, col_y, n_pairs, corr) for every unordered pair
-    in input order, complete-observations per pair. A pair with fewer
-    than 2 complete rows or a zero-variance side has no defined
-    correlation — corr NULL."""
+def corr_sums(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Every pair's six sufficient sums in ONE scan / ONE ungrouped
+    aggregate — MERGEABLE partial state (all counts and sums), so a
+    maintained correlation matrix refreshes from a delta scan via
+    incremental_agg.merge_partials(…, corr_state_measures(cols),
+    keys=[]); finalize with corr_from_sums."""
     if len(cols) < 2:
-        raise ValueError(f"corr_matrix needs >= 2 columns, got {cols!r}")
-    pairs = list(combinations(cols, 2))
+        raise ValueError(f"corr needs >= 2 columns, got {cols!r}")
     aggs: list[Column] = []
-    for i, (x, y) in enumerate(pairs):
+    for i, (x, y) in enumerate(combinations(cols, 2)):
         aggs.extend(_pair_sums(x, y, str(i)))
-    sums = df.agg(*aggs)
+    return df.agg(*aggs)
+
+
+def corr_state_measures(cols: list[str]) -> dict:
+    """incremental_agg MeasureSpec for a corr_sums state row: the
+    conditional counts merge by addition like the sums."""
+    out: dict = {}
+    for i in range(len(list(combinations(cols, 2)))):
+        out[f"__n_{i}"] = ("count", None)
+        for part in ("sx", "sy", "sxx", "syy", "sxy"):
+            out[f"__{part}_{i}"] = ("sum", f"__{part}_{i}")
+    return out
+
+
+def corr_from_sums(
+    sums: DataFrame, cols: list[str], round_dp: int = 6
+) -> DataFrame:
+    """Derive (col_x, col_y, n_pairs, corr) rows from a corr_sums
+    state row — a pure projection over one row."""
+    pairs = list(combinations(cols, 2))
     rows = F.array(
         *[
             F.struct(
@@ -104,6 +129,17 @@ def corr_matrix(
     # one result row -> pairs-many rows; the explode runs over a
     # constant-length in-row array, not over data
     return sums.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str], round_dp: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE scan/ONE
+    aggregate: (col_x, col_y, n_pairs, corr) for every unordered pair
+    in input order, complete-observations per pair. A pair with fewer
+    than 2 complete rows or a zero-variance side has no defined
+    correlation — corr NULL."""
+    return corr_from_sums(corr_sums(df, cols), cols, round_dp)
 
 
 # Merge spec for trend_sums partial state, in the

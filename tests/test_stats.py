@@ -103,3 +103,35 @@ def test_trend_state_is_incrementally_maintainable(spark):
     for k in batch:
         assert maintained[k] == batch[k]  # exact, not approximate
     assert batch[9].slope is None  # constant-t guard survives the merge
+
+
+def test_corr_state_is_incrementally_maintainable(spark):
+    # Same self-maintainability contract as the trend state: three
+    # delta refreshes through merge_partials (ungrouped: keys=[])
+    # finalize to the exact batch correlation matrix.
+    from pyspark.sql import Row
+
+    from bigdata_commerce_spark.operators.incremental_agg import merge_partials
+    from bigdata_commerce_spark.operators.stats import (
+        corr_from_sums,
+        corr_matrix,
+        corr_state_measures,
+        corr_sums,
+    )
+
+    cols = ["a", "b", "c"]
+    rows = [
+        Row(i=i, a=float(i), b=round(0.5 * i + 0.01 * ((i * 13) % 7), 2),
+            c=float((i * 31) % 11))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    deltas = [df.where("i % 3 = " + str(i)).drop("i") for i in (1, 2, 0)]
+    state = corr_sums(deltas[0], cols)
+    for d in deltas[1:]:
+        state = merge_partials(
+            state, corr_sums(d, cols), [], corr_state_measures(cols)
+        )
+    maintained = sorted(map(tuple, corr_from_sums(state, cols).collect()))
+    batch = sorted(map(tuple, corr_matrix(df.drop("i"), cols).collect()))
+    assert maintained == batch  # exact, not approximate
