@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_commerce_spark.operators import dedup, multimodal, similarity
+from bigdata_commerce_spark.operators import dedup, multimodal, similarity, urltools
 from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
 from bigdata_commerce_spark.operators import text as text_ops
 from bigdata_commerce_spark.plans.registry import query, twin_query
@@ -3076,3 +3076,159 @@ def event_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.round(F.max("value"), 6).alias("p100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / host-level curation (operators/urltools.py)
+# ---------------------------------------------------------------------------
+
+# The testdata carries no URL column, so the twins derive a messy URL
+# deterministically from (source, doc_id) — the SAME expression on
+# both sides — exercising every canonicalization rule: scheme/host
+# case, default ports, trailing FQDN dot, slash runs, trailing slash,
+# fragments, utm_*/exact tracking keys, and param reordering. Case 1
+# hits the multi-part public-suffix branch (example.co.uk); cases
+# 2/3/else collide across docs so URL-dedup and the dup-ratio report
+# have real duplicates to find.
+_URL_FIXTURE_CTE = """
+urls AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 5 = 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80/a//'
+                  || CAST(doc_id AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed'
+             WHEN doc_id % 5 = 1 THEN 'https://' || source || '.example.co.uk/path/'
+                  || CAST(doc_id AS VARCHAR) || '/#frag'
+             WHEN doc_id % 5 = 2 THEN 'https://' || source || '.example.com:443/a/b?b=2&a=1&fbclid=x'
+             WHEN doc_id % 5 = 3 THEN 'http://' || source || '.EXAMPLE.com./x?utm_campaign=c&gclid=1'
+             ELSE 'https://cdn.' || source || '.example.com/img/'
+                  || CAST(doc_id % 7 AS VARCHAR) || '?v=1'
+           END AS url
+    FROM documents
+)
+"""
+
+# DuckDB restatement of urltools' documented canonicalization rules
+# (module docstring, rules 1-5) and the registered-domain rule. The
+# tracking-key and multi-part-suffix literals are generated from the
+# SAME module constants the Spark operator uses, so the sides cannot
+# drift.
+_TRACKED = ", ".join(f"'{k}'" for k in sorted(urltools.TRACKING_PARAMS))
+_SUFFIXES = ", ".join(f"'{s}'" for s in sorted(urltools.MULTIPART_SUFFIXES))
+
+_URL_CANON_CTE = (
+    _URL_FIXTURE_CTE
+    + f""",
+url_parts AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{{2,}}', '/', 'g') AS path2,
+           array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                    AND NOT string_split(p, '=')[1] IN ({_TRACKED}))), '&') AS q
+    FROM urls
+), url_canon AS (
+    SELECT doc_id,
+           scheme || '://' || host ||
+             CASE WHEN path2 = '' THEN '/'
+                  WHEN path2 <> '/' THEN regexp_replace(path2, '/$', '')
+                  ELSE path2 END ||
+             CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+           host
+    FROM (
+        SELECT *,
+               regexp_replace(
+                 CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END, '\\.$', '') AS host
+        FROM url_parts
+    )
+), url_dom AS (
+    SELECT doc_id, canonical_url,
+           CASE WHEN len(labels) <= 2 THEN bare
+                WHEN labels[-2] || '.' || labels[-1] IN ({_SUFFIXES})
+                     THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+    FROM (
+        SELECT doc_id, canonical_url,
+               string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels,
+               regexp_replace(host, ':[0-9]+$', '') AS bare
+        FROM url_canon
+    )
+)
+"""
+)
+
+
+def _messy_url():
+    """Spark twin of _URL_FIXTURE_CTE — must stay expression-for-
+    expression identical to the SQL above."""
+    d, s = F.col("doc_id"), F.col("source")
+    ds = d.cast("string")
+    return (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("HTTP://"), F.upper(s), F.lit(".Example.COM:80/a//"),
+            ds, F.lit("/?id="), ds, F.lit("&utm_source=feed")))
+        .when(d % 5 == 1, F.concat(
+            F.lit("https://"), s, F.lit(".example.co.uk/path/"), ds, F.lit("/#frag")))
+        .when(d % 5 == 2, F.concat(
+            F.lit("https://"), s, F.lit(".example.com:443/a/b?b=2&a=1&fbclid=x")))
+        .when(d % 5 == 3, F.concat(
+            F.lit("http://"), s, F.lit(".EXAMPLE.com./x?utm_campaign=c&gclid=1")))
+        .otherwise(F.concat(
+            F.lit("https://cdn."), s, F.lit(".example.com/img/"),
+            (d % 7).cast("string"), F.lit("?v=1")))
+    )
+
+
+_CANON_URLS_SQL = f"WITH {_URL_CANON_CTE} SELECT doc_id, canonical_url, registered_domain FROM url_dom"
+
+
+@twin_query("documents_canonical_urls", oracle=_CANON_URLS_SQL)
+def documents_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical URL + registered domain — the crawl
+    pipeline's keying stage. Pure projection: zero shuffle, no UDF,
+    evaluated inside the scan (operators/urltools.py). Twin slot:
+    driver catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
+    out = urltools.with_registered_domain(urltools.with_canonical_url(docs))
+    return out.select("doc_id", "canonical_url", "registered_domain")
+
+
+_URL_DEDUP_SQL = f"""
+WITH {_URL_CANON_CTE}
+SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM url_canon GROUP BY canonical_url
+"""
+
+
+@twin_query("url_dedup_survivors", oracle=_URL_DEDUP_SQL)
+def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup survivors (min doc_id per canonical URL) — the
+    cheap pre-pass that runs BEFORE content dedup: one hash aggregate
+    on the canonical string, map-side partial min. Twin slot: driver
+    catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
+    return urltools.dedup_by_canonical_url(docs)
+
+
+_HOST_REPORT_SQL = f"""
+WITH {_URL_CANON_CTE}
+SELECT registered_domain,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT canonical_url) AS n_urls,
+       ROUND(1.0 - CAST(COUNT(DISTINCT canonical_url) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+FROM url_dom GROUP BY registered_domain
+"""
+
+
+@twin_query("url_host_report", oracle=_HOST_REPORT_SQL)
+def url_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rows / distinct-URL / dup-ratio stats —
+    the table a crawl operator reads to set per-domain quota caps
+    (mixing.cap_per_source). One hash aggregate keyed on the domain.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
+    return urltools.host_report(docs)

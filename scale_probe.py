@@ -1094,6 +1094,40 @@ def skew_probes(spark, ev_path: str, dim_path: str):
     }
 
 
+
+def round5g_probes(spark, docs_path: str):
+    """URL-curation wave: canonical-URL projection, URL-level dedup,
+    per-domain host report (operators/urltools.py). URLs are derived
+    from (source, doc_id) with the catalog twin's expression, so the
+    probe measures the operators, not a synthetic reader. Consumed
+    through output aggregates (the catalog probe discipline)."""
+    from bigdata_commerce_spark.operators import urltools
+    from bigdata_commerce_spark.plans.catalog_dataops import _messy_url
+
+    docs = spark.read.parquet(docs_path).withColumn("url", _messy_url())
+
+    def canon():
+        out = urltools.with_registered_domain(
+            urltools.with_canonical_url(docs)
+        )
+        return int(
+            out.agg(
+                F.sum(F.length("canonical_url"))
+                + F.sum(F.length("registered_domain"))
+            ).collect()[0][0]
+        )
+
+    def url_dedup():
+        return int(urltools.dedup_by_canonical_url(docs).count())
+
+    def hosts():
+        return int(
+            urltools.host_report(docs).agg(F.sum("n_urls")).collect()[0][0]
+        )
+
+    return {"url_canonicalize": canon, "url_dedup": url_dedup, "url_host_report": hosts}
+
+
 def main() -> None:
     suite = sys.argv[1] if len(sys.argv) > 1 else "dedup"
     spark = get_spark(app_name="scale_probe")
@@ -1248,6 +1282,12 @@ def main() -> None:
         p10 = round5f_probes(spark, pth(sf10, "lineitem"), pth(sf10, "events"))
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5f")
+    elif suite == "round5g":
+        docs1 = os.path.join(SF_DIR, "documents.parquet")
+        p1 = round5g_probes(spark, docs1)
+        p10 = round5g_probes(spark, docs10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round5g")
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost

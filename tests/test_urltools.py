@@ -1,0 +1,136 @@
+"""URL canonicalization / registered-domain / URL-dedup unit tests.
+
+Hand fixtures pin every documented canonicalization rule
+(operators/urltools.py module docstring); the DuckDB-oracle twins in
+tests/test_twin_queries.py check the same rules at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators import urltools
+
+
+def _canon_one(spark, url: str):
+    df = spark.createDataFrame([(url,)], "url string")
+    return urltools.with_canonical_url(df).head()["canonical_url"]
+
+
+CANON_CASES = [
+    # rule 1: scheme + host case
+    ("HTTP://WWW.Example.COM/A/B", "http://www.example.com/A/B"),
+    # rule 2: default ports stripped, non-default kept, trailing dot
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com./x", "https://example.com/x"),
+    # rule 3: slash runs, trailing slash, empty path
+    ("https://example.com//a///b/", "https://example.com/a/b"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    # rule 4: fragment dropped
+    ("https://example.com/a#sec-2", "https://example.com/a"),
+    # rule 5: tracking params out, the rest sorted; '?' dropped if empty
+    (
+        "https://example.com/a?z=1&utm_source=t&a=2&fbclid=xyz",
+        "https://example.com/a?a=2&z=1",
+    ),
+    ("https://example.com/a?utm_campaign=c&gclid=1", "https://example.com/a"),
+    ("https://example.com/a?", "https://example.com/a"),
+    # valueless param scrubbed by name; values untouched (case kept)
+    ("https://example.com/a?ref&B=UPPER", "https://example.com/a?B=UPPER"),
+    # param VALUES are not tracking keys: id=ref survives
+    ("https://example.com/a?id=ref", "https://example.com/a?id=ref"),
+]
+
+
+def test_canonicalization_rules(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["canonical_url"]
+        for r in urltools.with_canonical_url(df).collect()
+    }
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_non_absolute_urls_yield_null(spark):
+    bad = ["/relative/path", "mailto:a@example.com", "not a url", "http://", ""]
+    df = spark.createDataFrame([(u,) for u in bad], "url string")
+    rows = urltools.with_canonical_url(df).collect()
+    assert all(r["canonical_url"] is None for r in rows)
+
+
+def test_registered_domain_rules(spark):
+    cases = [
+        ("https://www.blog.example.com/x", "example.com"),
+        ("https://example.com/x", "example.com"),
+        # multi-part public suffix: last THREE labels
+        ("https://www.example.co.uk/x", "example.co.uk"),
+        ("https://example.co.uk/x", "example.co.uk"),
+        # single-label host (intranet): kept whole
+        ("http://localhost:8080/x", "localhost"),
+        # non-default port excluded from the domain
+        ("http://a.example.com:8080/x", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    out = urltools.with_registered_domain(urltools.with_canonical_url(df))
+    got = {r["i"]: r["registered_domain"] for r in out.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+    # NULL canonical -> NULL domain
+    null_df = spark.createDataFrame([("garbage",)], "url string")
+    out = urltools.with_registered_domain(urltools.with_canonical_url(null_df))
+    assert out.head()["registered_domain"] is None
+
+
+def test_dedup_keeps_min_id_and_drops_null_canonicals(spark):
+    rows = [
+        (1, "https://Example.com/a?utm_source=x"),
+        (2, "https://example.com:443/a"),   # same canonical as 1
+        (3, "https://example.com/b"),
+        (4, "not a url"),                   # NULL canonical: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canonical_url"]: r["doc_id"]
+        for r in urltools.dedup_by_canonical_url(df).collect()
+    }
+    assert out == {"https://example.com/a": 1, "https://example.com/b": 3}
+
+
+def test_host_report_counts_and_dup_ratio(spark):
+    rows = [
+        (1, "https://a.example.com/x"),
+        (2, "https://a.example.com/x?utm_source=t"),  # dup of 1
+        (3, "https://b.example.com/y"),
+        (4, "https://other.co.uk/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["registered_domain"]: (r["n_rows"], r["n_urls"], r["dup_ratio"])
+        for r in urltools.host_report(df).collect()
+    }
+    assert got == {
+        "example.com": (3, 2, round(1.0 - 2 / 3, 4)),
+        "other.co.uk": (1, 1, 0.0),
+    }
+
+
+def test_canonicalization_is_a_pure_projection(spark):
+    """Zero shuffle: the canonical+domain projection must plan as a
+    scan-stage Project with no Exchange."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".example.com/p")).alias(
+            "url"
+        )
+    )
+    out = urltools.with_registered_domain(urltools.with_canonical_url(df))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
