@@ -134,3 +134,89 @@ def test_canonicalization_is_a_pure_projection(spark):
     out = urltools.with_registered_domain(urltools.with_canonical_url(df))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis laws: idempotence + surface-variant invariance
+# ---------------------------------------------------------------------------
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_LABEL = st.from_regex(r"[a-z][a-z0-9-]{0,8}", fullmatch=True)
+_SEG = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True)
+
+
+@st.composite
+def url_families(draw):
+    """A clean canonical-ish URL plus randomized surface variants
+    that must all canonicalize to the SAME string: scheme/host case,
+    default port, trailing FQDN dot, duplicated slashes, trailing
+    slash, a fragment, tracking params, and param reordering."""
+    scheme = draw(st.sampled_from(["http", "https"]))
+    host = ".".join(draw(st.lists(_LABEL, min_size=2, max_size=4)))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=3))
+    params = draw(
+        st.lists(
+            st.tuples(_LABEL.filter(lambda k: not k.startswith("utm")), _SEG),
+            max_size=3,
+            unique_by=lambda kv: kv[0],
+        )
+    )
+    rng = random.Random(draw(st.integers(0, 2**32)))
+
+    def variant():
+        s = scheme.upper() if rng.random() < 0.5 else scheme
+        h = host.upper() if rng.random() < 0.5 else host
+        if rng.random() < 0.5:
+            h += "."
+        if rng.random() < 0.5:
+            h += ":80" if scheme == "http" else ":443"
+        path = "".join(
+            "/" * rng.randint(1, 3) + seg for seg in segs
+        )
+        if segs and rng.random() < 0.5:
+            path += "/"
+        q = list(params)
+        if rng.random() < 0.5:
+            q.append(("utm_source", "x"))
+        if rng.random() < 0.5:
+            q.append(("gclid", "y"))
+        rng.shuffle(q)
+        qs = "&".join(f"{k}={v}" for k, v in q)
+        frag = "#frag" if rng.random() < 0.5 else ""
+        return f"{s}://{h}{path}" + (f"?{qs}" if qs else "") + frag
+
+    return [variant() for _ in range(4)]
+
+
+@_SETTINGS
+@given(fams=st.lists(url_families(), min_size=1, max_size=6))
+def test_variants_canonicalize_identically_and_idempotently(spark, fams):
+    rows = [
+        (fi, vi, u) for fi, fam in enumerate(fams) for vi, u in enumerate(fam)
+    ]
+    df = spark.createDataFrame(rows, "family int, variant int, url string")
+    out = urltools.with_canonical_url(df).collect()
+    by_family: dict[int, set] = {}
+    for r in out:
+        assert r["canonical_url"] is not None, r["url"]
+        by_family.setdefault(r["family"], set()).add(r["canonical_url"])
+    for fam, canons in by_family.items():
+        assert len(canons) == 1, (fam, canons)
+    # Idempotence: the canonical form is a fixed point.
+    canon_df = spark.createDataFrame(
+        [(c,) for canons in by_family.values() for c in canons], "url string"
+    )
+    again = urltools.with_canonical_url(canon_df).collect()
+    assert all(r["canonical_url"] == r["url"] for r in again), [
+        (r["url"], r["canonical_url"]) for r in again if r["canonical_url"] != r["url"]
+    ]
