@@ -122,7 +122,8 @@ def _canonical_expr(url: Column) -> Column:
 def _domain_expr(canonical: Column) -> Column:
     """Registered domain of an already-canonical URL (NULL in → NULL
     out). Last two host labels, or last three when the last two form
-    a listed multi-part public suffix."""
+    a listed multi-part public suffix; IPv4-literal hosts have no
+    domain hierarchy and are kept whole."""
     host = F.regexp_extract(canonical, _HOSTPORT_RE, 1)
     bare = F.regexp_replace(host, ":[0-9]+$", "")  # non-default port stays in host
     labels = F.split(bare, r"\.")
@@ -132,6 +133,7 @@ def _domain_expr(canonical: Column) -> Column:
     suffixes = F.array(*[F.lit(s) for s in sorted(MULTIPART_SUFFIXES)])
     return (
         F.when(canonical.isNull(), F.lit(None).cast("string"))
+        .when(bare.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), bare)
         .when(n <= 2, bare)
         .when(F.array_contains(suffixes, last2), last3)
         .otherwise(last2)

@@ -3147,7 +3147,8 @@ url_parts AS (
     )
 ), url_dom AS (
     SELECT doc_id, canonical_url,
-           CASE WHEN len(labels) <= 2 THEN bare
+           CASE WHEN regexp_matches(bare, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN bare
+                WHEN len(labels) <= 2 THEN bare
                 WHEN labels[-2] || '.' || labels[-1] IN ({_SUFFIXES})
                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                 ELSE labels[-2] || '.' || labels[-1] END AS registered_domain

@@ -76,6 +76,8 @@ def test_registered_domain_rules(spark):
         ("http://localhost:8080/x", "localhost"),
         # non-default port excluded from the domain
         ("http://a.example.com:8080/x", "example.com"),
+        # IPv4 literal: no domain hierarchy, kept whole
+        ("http://192.168.10.4:8080/x", "192.168.10.4"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
