@@ -199,3 +199,29 @@ def host_report(
             1.0 - F.countDistinct("canonical_url") / F.count(F.lit(1)), 4
         ).alias("dup_ratio"),
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocked`` (a
+    one-column DataFrame of registered domains — the crawl blocklist;
+    NULL-canonical rows are dropped too, they cannot be vetted).
+    Returns the input columns plus canonical_url/registered_domain so
+    downstream stages (dedup, quota caps) reuse the parse.
+
+    ONE left-anti equi-join on the domain. No forced broadcast hint:
+    real blocklists range from tens (fits broadcast — AQE picks it)
+    to hundreds of millions of domains (shuffle join is the only
+    correct plan); size-based planning decides."""
+    canon = with_registered_domain(with_canonical_url(df, url_col)).where(
+        F.col("canonical_url").isNotNull()
+    )
+    key = blocked.columns[0]
+    return canon.join(
+        blocked.select(F.col(key).alias("registered_domain")).distinct(),
+        "registered_domain",
+        "left_anti",
+    )

@@ -3233,3 +3233,24 @@ def url_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Twin slot: driver catalog is at its 50-entry cap."""
     docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
     return urltools.host_report(docs)
+
+
+_BLOCKLIST_SQL = f"""
+WITH {_URL_CANON_CTE}
+SELECT registered_domain, COUNT(*) AS n_rows
+FROM url_dom WHERE registered_domain <> 'example.co.uk'
+GROUP BY registered_domain
+"""
+
+
+@twin_query("url_blocklist_survivors", oracle=_BLOCKLIST_SQL)
+def url_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering: rows per registered domain after
+    dropping a blocked domain — one left-anti equi-join (no forced
+    broadcast: blocklists range tens to hundreds of millions of
+    domains; AQE's size-based planning decides). Twin slot: driver
+    catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
+    blocked = spark.createDataFrame([("example.co.uk",)], "domain string")
+    out = urltools.filter_blocked_domains(docs, blocked)
+    return out.groupBy("registered_domain").agg(F.count(F.lit(1)).alias("n_rows"))

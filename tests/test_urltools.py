@@ -222,3 +222,17 @@ def test_variants_canonicalize_identically_and_idempotently(spark, fams):
     assert all(r["canonical_url"] == r["url"] for r in again), [
         (r["url"], r["canonical_url"]) for r in again if r["canonical_url"] != r["url"]
     ]
+
+
+def test_filter_blocked_domains_drops_blocked_and_unvettable(spark):
+    rows = [
+        (1, "https://a.spam.example/x"),
+        (2, "https://ok.example.com/y"),
+        (3, "https://sub.ok.example.com/z"),
+        (4, "not a url"),  # NULL canonical: unvettable, dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    out = urltools.filter_blocked_domains(df, blocked)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    assert {"canonical_url", "registered_domain"} <= set(out.columns)
