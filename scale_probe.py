@@ -1125,7 +1125,16 @@ def round5g_probes(spark, docs_path: str):
             urltools.host_report(docs).agg(F.sum("n_urls")).collect()[0][0]
         )
 
-    return {"url_canonicalize": canon, "url_dedup": url_dedup, "url_host_report": hosts}
+    def blocklist():
+        blocked = spark.createDataFrame([("example.co.uk",)], "domain string")
+        return int(urltools.filter_blocked_domains(docs, blocked).count())
+
+    return {
+        "url_canonicalize": canon,
+        "url_dedup": url_dedup,
+        "url_host_report": hosts,
+        "url_blocklist": blocklist,
+    }
 
 
 def main() -> None:
