@@ -310,6 +310,11 @@ def tag_phrases(
     """
     import hashlib
 
+    if not phrases:
+        raise ValueError(
+            "phrases must be non-empty — an empty dictionary has no "
+            "output schema to tag against"
+        )
     by_len: dict[int, list[tuple[str, str]]] = {}
     for p in phrases:
         tk = [t for t in (p or "").split() if t]

@@ -37,30 +37,40 @@ def changes_to_scd2(
     ts_col: str,
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    validate: bool = True,
 ) -> DataFrame:
     """Change log (one row per key per attribute change, stamped with
     the change time) -> SCD2 intervals: valid_from = the change time,
     valid_to = the NEXT change's time for that key (NULL = still
     current, half-open [from, to)). Duplicate change times within a
     key are rejected loudly — two versions current at one instant
-    has no meaning and would silently double-join downstream."""
+    has no meaning and would silently double-join downstream.
+
+    NOTE: ``validate=True`` (the default) runs an EAGER duplicate-
+    instant check — one extra aggregate scan of the change log AT
+    CALL TIME, unlike every other (lazy) builder in the package. At
+    100 TB that scan doubles the operator's read cost, so callers
+    whose change log is already validated (e.g. re-deriving intervals
+    from a log validated on first load) pass ``validate=False`` and
+    get a pure lazy plan with zero extra jobs."""
     keys = [F.col(k) for k in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
     out = changes.withColumn(valid_from_col, F.col(ts_col)).withColumn(
         valid_to_col, F.lead(ts_col).over(w)
     )
-    dup = (
-        changes.groupBy(*keys, ts_col)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"duplicate change timestamp for key {dup[0]} — two dimension "
-            "versions cannot be current at the same instant"
+    if validate:
+        dup = (
+            changes.groupBy(*keys, ts_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .limit(1)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"duplicate change timestamp for key {dup[0]} — two dimension "
+                "versions cannot be current at the same instant"
+            )
     return out.drop(ts_col) if ts_col not in (valid_from_col, valid_to_col) else out
 
 
@@ -81,8 +91,20 @@ def scd2_join(
 
     Column hygiene: ``dim``'s key columns are dropped from the output
     (they equal the fact's); validity columns are kept so consumers
-    can audit which version matched.
+    can audit which version matched. Any OTHER name shared between
+    fact and the kept dim columns is rejected up front — a silently
+    duplicated column name breaks every later by-name select.
     """
+    clash = sorted(
+        set(fact.columns) & (set(dim.columns) - set(key_cols))
+    )
+    if clash:
+        raise ValueError(
+            f"column name collision between fact and dim: {clash} — "
+            "rename the fact columns or drop/rename them on the dim "
+            "side before scd2_join (key columns are exempt: the dim "
+            "copies are dropped)"
+        )
     ts = F.col(f"__f.{fact_ts_col}")
     cond = None
     for k in key_cols:

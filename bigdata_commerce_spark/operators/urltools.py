@@ -52,9 +52,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Exact query keys that are tracking/attribution noise (the utm_*
-# family is matched by prefix instead — it is open-ended).
+# family is matched by prefix instead — it is open-ended). 'ref' /
+# 'ref_src' are deliberately NOT here: on major sites 'ref' selects
+# content (GitHub '?ref=branch'), so stripping it would merge
+# genuinely different resources; callers curating corpora where ref
+# is known-noise pass tracking_params=TRACKING_PARAMS | {'ref', ...}.
 TRACKING_PARAMS: frozenset[str] = frozenset(
-    {"fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src", "_ga"}
+    {"fbclid", "gclid", "msclkid", "mc_eid", "igshid", "_ga"}
 )
 
 # Multi-part public suffixes the registered-domain rule knows about.
@@ -73,10 +77,17 @@ MULTIPART_SUFFIXES: frozenset[str] = frozenset(
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Query = everything after the FIRST '?' that precedes any '#': the
+# leading [^#?]* refuses to skip past a '?' or into the fragment, so
+# 'https://h/p#sec?a=1' has NO query (the '?' is fragment content)
+# while 'https://h/p?a=1?b=2' keeps 'a=1?b=2' (RFC 3986: later '?'s
+# are query content).
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
-def _canonical_expr(url: Column) -> Column:
+def _canonical_expr(
+    url: Column, tracking_params: frozenset[str] = TRACKING_PARAMS
+) -> Column:
     """The canonical-URL Column expression. Pure built-ins; every
     step mirrors a numbered rule in the module docstring."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
@@ -99,7 +110,7 @@ def _canonical_expr(url: Column) -> Column:
     # Rule 5: split, scrub tracking keys, sort, rejoin. Fragment is
     # never captured (rule 4). Keys compare via the text before the
     # first '=' so valueless params ('flag') scrub by name too.
-    tracked = F.array(*[F.lit(p) for p in sorted(TRACKING_PARAMS)])
+    tracked = F.array(*[F.lit(p) for p in sorted(tracking_params)])
     kept = F.filter(
         F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
         lambda p: (p != "")
@@ -141,10 +152,18 @@ def _domain_expr(canonical: Column) -> Column:
 
 
 def with_canonical_url(
-    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    tracking_params: frozenset[str] = TRACKING_PARAMS,
 ) -> DataFrame:
-    """Add the canonical form of ``url_col``. Zero shuffle."""
-    return df.withColumn(out_col, _canonical_expr(F.col(url_col)))
+    """Add the canonical form of ``url_col``. Zero shuffle.
+    ``tracking_params`` widens/narrows the exact-key scrub set (the
+    default deliberately excludes content-significant keys like
+    'ref' — see TRACKING_PARAMS)."""
+    return df.withColumn(
+        out_col, _canonical_expr(F.col(url_col), tracking_params)
+    )
 
 
 def with_registered_domain(

@@ -3097,7 +3097,7 @@ urls AS (
              WHEN doc_id % 5 = 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80/a//'
                   || CAST(doc_id AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed'
              WHEN doc_id % 5 = 1 THEN 'https://' || source || '.example.co.uk/path/'
-                  || CAST(doc_id AS VARCHAR) || '/#frag'
+                  || CAST(doc_id AS VARCHAR) || '/#frag?notaquery=1'
              WHEN doc_id % 5 = 2 THEN 'https://' || source || '.example.com:443/a/b?b=2&a=1&fbclid=x'
              WHEN doc_id % 5 = 3 THEN 'http://' || source || '.EXAMPLE.com./x?utm_campaign=c&gclid=1'
              ELSE 'https://cdn.' || source || '.example.com/img/'
@@ -3125,7 +3125,7 @@ url_parts AS (
            regexp_replace(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{{2,}}', '/', 'g') AS path2,
            array_to_string(list_sort(list_filter(
-               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '&'),
                p -> p <> '' AND NOT starts_with(p, 'utm_')
                     AND NOT string_split(p, '=')[1] IN ({_TRACKED}))), '&') AS q
     FROM urls
@@ -3173,7 +3173,8 @@ def _messy_url():
             F.lit("HTTP://"), F.upper(s), F.lit(".Example.COM:80/a//"),
             ds, F.lit("/?id="), ds, F.lit("&utm_source=feed")))
         .when(d % 5 == 1, F.concat(
-            F.lit("https://"), s, F.lit(".example.co.uk/path/"), ds, F.lit("/#frag")))
+            F.lit("https://"), s,
+            F.lit(".example.co.uk/path/"), ds, F.lit("/#frag?notaquery=1")))
         .when(d % 5 == 2, F.concat(
             F.lit("https://"), s, F.lit(".example.com:443/a/b?b=2&a=1&fbclid=x")))
         .when(d % 5 == 3, F.concat(

@@ -1760,6 +1760,60 @@ def test_scd2_join_point_in_time_semantics(spark):
         changes_to_scd2(dup, ["cust"], "ts")
 
 
+def test_scd2_validate_off_is_lazy_and_skips_the_check(spark):
+    """validate=False: plan construction runs ZERO jobs (no eager
+    duplicate-instant scan) — the off-switch for callers whose change
+    log is already validated (100x: the check doubles read cost)."""
+    import datetime as dt
+
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2
+
+    d = dt.date
+    dup = spark.createDataFrame(
+        [(1, d(2020, 1, 1), "a"), (1, d(2020, 1, 1), "b")],
+        "cust long, ts date, tier string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    dim = changes_to_scd2(dup, ["cust"], "ts", validate=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "validate=False must not launch a job"
+    # the duplicate slips through by explicit caller choice
+    assert dim.count() == 2
+
+
+def test_scd2_join_rejects_column_name_collisions(spark):
+    """A non-key dim column sharing a fact column's name would emit a
+    duplicated output name — rejected up front."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.scd2 import changes_to_scd2, scd2_join
+
+    d = dt.date
+    chg = spark.createDataFrame(
+        [(1, d(2020, 1, 1), "bronze")], "cust long, ts date, tier string"
+    )
+    dim = changes_to_scd2(chg, ["cust"], "ts")
+    fact = spark.createDataFrame(
+        [(100, 1, d(2021, 1, 1), "keep")],
+        "order_id long, cust long, odate date, tier string",
+    )
+    with _pytest.raises(ValueError, match="collision.*tier"):
+        scd2_join(fact, dim, ["cust"], "odate")
+
+
+def test_tag_phrases_rejects_empty_dictionary(spark):
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.dupspans import tag_phrases
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        tag_phrases(df, [])
+
+
 def test_rfm_scores_crafted(spark):
     """4 customers engineered into distinct quartiles per axis; the
     most-recent/most-frequent/biggest spender scores 444."""

@@ -30,8 +30,13 @@ CANON_CASES = [
     ("https://example.com//a///b/", "https://example.com/a/b"),
     ("https://example.com", "https://example.com/"),
     ("https://example.com/", "https://example.com/"),
-    # rule 4: fragment dropped
+    # rule 4: fragment dropped — including SPA-style fragments that
+    # CONTAIN a '?': the query is only what precedes the '#'
     ("https://example.com/a#sec-2", "https://example.com/a"),
+    ("https://example.com/p#sec?a=1", "https://example.com/p"),
+    ("https://example.com/p#/route?x=1&utm_source=t", "https://example.com/p"),
+    # a second '?' is query CONTENT (RFC 3986), not a new query
+    ("https://example.com/p?a=1?b=2", "https://example.com/p?a=1?b=2"),
     # rule 5: tracking params out, the rest sorted; '?' dropped if empty
     (
         "https://example.com/a?z=1&utm_source=t&a=2&fbclid=xyz",
@@ -40,9 +45,12 @@ CANON_CASES = [
     ("https://example.com/a?utm_campaign=c&gclid=1", "https://example.com/a"),
     ("https://example.com/a?", "https://example.com/a"),
     # valueless param scrubbed by name; values untouched (case kept)
-    ("https://example.com/a?ref&B=UPPER", "https://example.com/a?B=UPPER"),
+    ("https://example.com/a?fbclid&B=UPPER", "https://example.com/a?B=UPPER"),
     # param VALUES are not tracking keys: id=ref survives
     ("https://example.com/a?id=ref", "https://example.com/a?id=ref"),
+    # 'ref' is content-significant (GitHub '?ref=branch') — NOT in the
+    # default scrub set; callers opt in via tracking_params
+    ("https://example.com/a?ref=main&z=1", "https://example.com/a?ref=main&z=1"),
 ]
 
 
@@ -222,6 +230,16 @@ def test_variants_canonicalize_identically_and_idempotently(spark, fams):
     assert all(r["canonical_url"] == r["url"] for r in again), [
         (r["url"], r["canonical_url"]) for r in again if r["canonical_url"] != r["url"]
     ]
+
+
+def test_tracking_params_is_a_parameter(spark):
+    """Corpora where 'ref' IS known noise opt in explicitly."""
+    df = spark.createDataFrame(
+        [("https://example.com/a?ref=feed&z=1",)], "url string"
+    )
+    widened = urltools.TRACKING_PARAMS | {"ref"}
+    out = urltools.with_canonical_url(df, tracking_params=widened)
+    assert out.head()["canonical_url"] == "https://example.com/a?z=1"
 
 
 def test_filter_blocked_domains_drops_blocked_and_unvettable(spark):
