@@ -33,23 +33,31 @@ the same rules):
    exact tracking keys in ``TRACKING_PARAMS`` are removed; the rest
    are sorted bytewise and rejoined (param ORDER never identifies a
    resource; param VALUES may, so values are untouched);
-6. userinfo (``user:pass@``) and punycode/IDN normalization are out
-   of scope — upstream fetchers already reject/resolve those.
+6. userinfo (``user:pass@``) is STRIPPED — credentials never
+   identify a resource and must not leak into dedup keys;
+7. hosts with non-ASCII (IDN/unicode) characters yield NULL —
+   quarantine, not mis-key. Corpora with internationalized hosts run
+   the ``with_idna_host`` pre-pass first (punycode/IDNA encoding,
+   the one step that genuinely needs Python), after which the host
+   is ASCII and every rule above applies.
 
 Only absolute ``scheme://host...`` URLs are canonicalized; anything
 else (relative refs, ``mailto:``, garbage) yields NULL so callers can
 quarantine rather than silently mis-key.
 
-``with_registered_domain`` approximates the public-suffix list with
-the handful of multi-part suffixes in ``MULTIPART_SUFFIXES``; a real
-deployment swaps in the full PSL as a broadcast set — the extraction
-expression is unchanged, only the literal set grows.
+``with_registered_domain`` implements the full Public Suffix List
+algorithm via ``operators/psl.py`` (exact + wildcard + exception
+rules, ICANN and PRIVATE sections, bundled snapshot swappable for
+the complete published file via ``psl.load_psl``).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators import psl
 
 # Exact query keys that are tracking/attribution noise (the utm_*
 # family is matched by prefix instead — it is open-ended). 'ref' /
@@ -61,18 +69,11 @@ TRACKING_PARAMS: frozenset[str] = frozenset(
     {"fbclid", "gclid", "msclkid", "mc_eid", "igshid", "_ga"}
 )
 
-# Multi-part public suffixes the registered-domain rule knows about.
-# Deliberately tiny (see module docstring) — the REAL artifact is the
-# expression shape: last-2 labels, or last-3 when last-2 is a listed
-# public suffix.
-MULTIPART_SUFFIXES: frozenset[str] = frozenset(
-    {
-        "co.uk", "org.uk", "gov.uk", "ac.uk",
-        "com.au", "net.au", "org.au",
-        "co.jp", "co.in", "co.kr", "co.nz", "co.za",
-        "com.br", "com.cn", "com.mx", "com.tr", "com.sg",
-    }
-)
+# Registered-domain extraction delegates to the Public Suffix List
+# machinery in operators/psl.py (full publicsuffix.org algorithm:
+# exact + wildcard + exception rules, ICANN + PRIVATE sections). The
+# bundled snapshot parses once; load_psl() swaps in the complete
+# published list with no other change.
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -91,7 +92,11 @@ def _canonical_expr(
     """The canonical-URL Column expression. Pure built-ins; every
     step mirrors a numbered rule in the module docstring."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    # Rule 6: userinfo stripped BEFORE lowering (credentials are
+    # dropped entirely, so their case never matters).
+    hostport = F.lower(
+        F.regexp_replace(F.regexp_extract(url, _HOSTPORT_RE, 1), "^[^@]*@", "")
+    )
     # Rule 2: default port, then trailing FQDN dot.
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
@@ -125,30 +130,29 @@ def _canonical_expr(
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
-    # Absolute http(s)-style URLs only; everything else is NULL so
-    # callers quarantine instead of mis-keying (module docstring).
-    return F.when((scheme != "") & (hostport != ""), canonical)
+    # Absolute http(s)-style URLs only, ASCII hosts only (rule 7 —
+    # IDN hosts quarantine until the with_idna_host pre-pass runs);
+    # everything else is NULL so callers quarantine instead of
+    # mis-keying (module docstring).
+    host_is_ascii = ~hostport.rlike(r"[^\x21-\x7e]")
+    return F.when((scheme != "") & (hostport != "") & host_is_ascii, canonical)
 
 
-def _domain_expr(canonical: Column) -> Column:
+def _domain_expr(canonical: Column, rules: "psl.PslRules | None" = None) -> Column:
     """Registered domain of an already-canonical URL (NULL in → NULL
-    out). Last two host labels, or last three when the last two form
-    a listed multi-part public suffix; IPv4-literal hosts have no
-    domain hierarchy and are kept whole."""
+    out), per the full Public Suffix List algorithm
+    (operators/psl.py): longest matching exact/wildcard rule,
+    exceptions win, the implicit ``*`` fallback otherwise. IP
+    literals and hosts that ARE public suffixes key as themselves
+    (psl module docstring documents the deviation from the spec's
+    NULL)."""
+    if rules is None:
+        rules = psl.default_rules()
     host = F.regexp_extract(canonical, _HOSTPORT_RE, 1)
     bare = F.regexp_replace(host, ":[0-9]+$", "")  # non-default port stays in host
-    labels = F.split(bare, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
-    suffixes = F.array(*[F.lit(s) for s in sorted(MULTIPART_SUFFIXES)])
-    return (
-        F.when(canonical.isNull(), F.lit(None).cast("string"))
-        .when(bare.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), bare)
-        .when(n <= 2, bare)
-        .when(F.array_contains(suffixes, last2), last3)
-        .otherwise(last2)
-    )
+    return F.when(
+        canonical.isNull(), F.lit(None).cast("string")
+    ).otherwise(psl.registered_domain_expr(bare, rules))
 
 
 def with_canonical_url(
@@ -170,10 +174,15 @@ def with_registered_domain(
     df: DataFrame,
     canonical_col: str = "canonical_url",
     out_col: str = "registered_domain",
+    rules: "psl.PslRules | None" = None,
 ) -> DataFrame:
     """Add the registered domain of an already-canonical URL column.
-    Zero shuffle."""
-    return df.withColumn(out_col, _domain_expr(F.col(canonical_col)))
+    Zero shuffle — the PSL is CONFIG, embedded as literal arrays, so
+    this stays a scan-stage projection. ``rules`` defaults to the
+    bundled snapshot; pass ``psl.load_psl(path)`` for the full
+    published list, or ``psl.default_rules(include_private=False)``
+    to key hosting-platform tenants under the platform domain."""
+    return df.withColumn(out_col, _domain_expr(F.col(canonical_col), rules))
 
 
 def dedup_by_canonical_url(
@@ -218,6 +227,68 @@ def host_report(
             1.0 - F.countDistinct("canonical_url") / F.count(F.lit(1)), 4
         ).alias("dup_ratio"),
     )
+
+
+def with_idna_host(
+    df: DataFrame, url_col: str = "url", out_col: str | None = None
+) -> DataFrame:
+    """Rewrite internationalized (non-ASCII) URL hosts to their
+    IDNA/punycode ASCII form in place (``out_col`` defaults to
+    ``url_col``), so rule 7's quarantine no longer fires and the
+    pure-expression canonicalizer applies. ASCII-host URLs pass
+    through byte-identical — the pre-pass is idempotent.
+
+    Why a pandas UDF (the package's second, after the ANN plane
+    projection): punycode (RFC 3492 bootstring) is an iterative
+    per-label ALGORITHM — no composition of built-in expressions
+    expresses it. Cost containment: corpora route only rows matching
+    the non-ASCII-host predicate through this pre-pass if they wish
+    (the predicate is a cheap rlike), and the UDF itself short-
+    circuits pure-ASCII batches with one vectorized str-check before
+    touching codecs — measured: ASCII-only batches run at Arrow
+    passthrough speed. Hosts that fail IDNA (empty labels, overlong)
+    are left unchanged, so canonicalization still quarantines them
+    to NULL instead of this op throwing mid-pipeline."""
+    out = out_col or url_col
+
+    @F.pandas_udf("string")
+    def _idna(urls: pd.Series) -> pd.Series:
+        import re
+
+        hostport_re = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$",
+                                 re.DOTALL)
+        nonascii = urls.notna() & ~urls.map(
+            lambda u: u.isascii() if isinstance(u, str) else True
+        )
+        if not nonascii.any():  # vectorized ASCII short-circuit
+            return urls
+
+        def enc(u: str) -> str:
+            m = hostport_re.match(u)
+            if not m:
+                return u
+            prefix, hostport, rest = m.groups()
+            userinfo, sep, hp = hostport.rpartition("@")
+            host, colon, port = hp.partition(":")
+            if host.isascii():
+                return u
+            parts = host.lower().rstrip(".").split(".")
+            if "" in parts:  # empty label: malformed, keep for quarantine
+                return u
+            try:
+                encoded = ".".join(
+                    lb.encode("idna").decode("ascii") if not lb.isascii() else lb
+                    for lb in parts
+                ) + ("." if host.endswith(".") else "")
+            except UnicodeError:
+                return u  # quarantined downstream by rule 7
+            return prefix + userinfo + sep + encoded + colon + port + rest
+
+        result = urls.copy()
+        result[nonascii] = urls[nonascii].map(enc)
+        return result
+
+    return df.withColumn(out, _idna(F.col(url_col)))
 
 
 def filter_blocked_domains(

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_commerce_spark.operators import dedup, multimodal, similarity, urltools
+from bigdata_commerce_spark.operators import (
+    dedup,
+    multimodal,
+    psl,
+    similarity,
+    urltools,
+)
 from bigdata_commerce_spark.plans.catalog import _EVENTS_ORACLE_CTE, _events
 from bigdata_commerce_spark.operators import text as text_ops
 from bigdata_commerce_spark.plans.registry import query, twin_query
@@ -3086,8 +3092,10 @@ def event_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministically from (source, doc_id) — the SAME expression on
 # both sides — exercising every canonicalization rule: scheme/host
 # case, default ports, trailing FQDN dot, slash runs, trailing slash,
-# fragments, utm_*/exact tracking keys, and param reordering. Case 1
-# hits the multi-part public-suffix branch (example.co.uk); cases
+# fragments (incl. a '?' INSIDE the fragment, pinning the rule-4 fix),
+# userinfo stripping, utm_*/exact tracking keys, and param
+# reordering. Case 1 hits a multi-part ICANN suffix (example.co.uk),
+# the ELSE case a PRIVATE-section suffix (<source>.github.io); cases
 # 2/3/else collide across docs so URL-dedup and the dup-ratio report
 # have real duplicates to find.
 _URL_FIXTURE_CTE = """
@@ -3098,9 +3106,9 @@ urls AS (
                   || CAST(doc_id AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed'
              WHEN doc_id % 5 = 1 THEN 'https://' || source || '.example.co.uk/path/'
                   || CAST(doc_id AS VARCHAR) || '/#frag?notaquery=1'
-             WHEN doc_id % 5 = 2 THEN 'https://' || source || '.example.com:443/a/b?b=2&a=1&fbclid=x'
+             WHEN doc_id % 5 = 2 THEN 'https://u:pw@' || source || '.example.com:443/a/b?b=2&a=1&fbclid=x'
              WHEN doc_id % 5 = 3 THEN 'http://' || source || '.EXAMPLE.com./x?utm_campaign=c&gclid=1'
-             ELSE 'https://cdn.' || source || '.example.com/img/'
+             ELSE 'https://cdn.' || source || '.github.io/img/'
                   || CAST(doc_id % 7 AS VARCHAR) || '?v=1'
            END AS url
     FROM documents
@@ -3108,12 +3116,12 @@ urls AS (
 """
 
 # DuckDB restatement of urltools' documented canonicalization rules
-# (module docstring, rules 1-5) and the registered-domain rule. The
-# tracking-key and multi-part-suffix literals are generated from the
-# SAME module constants the Spark operator uses, so the sides cannot
-# drift.
+# (module docstring, rules 1-7) and the PSL registered-domain
+# algorithm. The tracking-key literals and the entire suffix CASE
+# are GENERATED from the same module constants / parsed PslRules the
+# Spark operator uses, so the sides cannot drift.
 _TRACKED = ", ".join(f"'{k}'" for k in sorted(urltools.TRACKING_PARAMS))
-_SUFFIXES = ", ".join(f"'{s}'" for s in sorted(urltools.MULTIPART_SUFFIXES))
+_PSL_DOMAIN_SQL = psl.registered_domain_sql("bare", psl.default_rules())
 
 _URL_CANON_CTE = (
     _URL_FIXTURE_CTE
@@ -3121,7 +3129,9 @@ _URL_CANON_CTE = (
 url_parts AS (
     SELECT doc_id,
            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           lower(regexp_replace(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^[^@]*@', '')) AS hostport,
            regexp_replace(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{{2,}}', '/', 'g') AS path2,
            array_to_string(list_sort(list_filter(
@@ -3147,14 +3157,9 @@ url_parts AS (
     )
 ), url_dom AS (
     SELECT doc_id, canonical_url,
-           CASE WHEN regexp_matches(bare, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN bare
-                WHEN len(labels) <= 2 THEN bare
-                WHEN labels[-2] || '.' || labels[-1] IN ({_SUFFIXES})
-                     THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-                ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+           {_PSL_DOMAIN_SQL} AS registered_domain
     FROM (
         SELECT doc_id, canonical_url,
-               string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels,
                regexp_replace(host, ':[0-9]+$', '') AS bare
         FROM url_canon
     )
@@ -3176,11 +3181,11 @@ def _messy_url():
             F.lit("https://"), s,
             F.lit(".example.co.uk/path/"), ds, F.lit("/#frag?notaquery=1")))
         .when(d % 5 == 2, F.concat(
-            F.lit("https://"), s, F.lit(".example.com:443/a/b?b=2&a=1&fbclid=x")))
+            F.lit("https://u:pw@"), s, F.lit(".example.com:443/a/b?b=2&a=1&fbclid=x")))
         .when(d % 5 == 3, F.concat(
             F.lit("http://"), s, F.lit(".EXAMPLE.com./x?utm_campaign=c&gclid=1")))
         .otherwise(F.concat(
-            F.lit("https://cdn."), s, F.lit(".example.com/img/"),
+            F.lit("https://cdn."), s, F.lit(".github.io/img/"),
             (d % 7).cast("string"), F.lit("?v=1")))
     )
 

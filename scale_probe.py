@@ -1129,11 +1129,27 @@ def round5g_probes(spark, docs_path: str):
         blocked = spark.createDataFrame([("example.co.uk",)], "domain string")
         return int(urltools.filter_blocked_domains(docs, blocked).count())
 
+    def idna_prepass():
+        # ASCII corpus through the IDNA pandas-UDF pre-pass, then the
+        # same canonical+domain aggregate as `canon`: the wall delta
+        # vs url_canonicalize IS the pre-pass's passthrough overhead
+        # (the UDF's vectorized ASCII short-circuit claim, measured).
+        out = urltools.with_registered_domain(
+            urltools.with_canonical_url(urltools.with_idna_host(docs))
+        )
+        return int(
+            out.agg(
+                F.sum(F.length("canonical_url"))
+                + F.sum(F.length("registered_domain"))
+            ).collect()[0][0]
+        )
+
     return {
         "url_canonicalize": canon,
         "url_dedup": url_dedup,
         "url_host_report": hosts,
         "url_blocklist": blocklist,
+        "idna_prepass": idna_prepass,
     }
 
 

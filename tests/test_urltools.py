@@ -169,8 +169,9 @@ _SEG = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True)
 def url_families(draw):
     """A clean canonical-ish URL plus randomized surface variants
     that must all canonicalize to the SAME string: scheme/host case,
-    default port, trailing FQDN dot, duplicated slashes, trailing
-    slash, a fragment, tracking params, and param reordering."""
+    userinfo, default port, trailing FQDN dot, duplicated slashes,
+    trailing slash, a fragment (sometimes containing a '?'), tracking
+    params, and param reordering."""
     scheme = draw(st.sampled_from(["http", "https"]))
     host = ".".join(draw(st.lists(_LABEL, min_size=2, max_size=4)))
     segs = draw(st.lists(_SEG, min_size=0, max_size=3))
@@ -186,6 +187,8 @@ def url_families(draw):
     def variant():
         s = scheme.upper() if rng.random() < 0.5 else scheme
         h = host.upper() if rng.random() < 0.5 else host
+        if rng.random() < 0.3:
+            h = "user:pw@" + h  # rule 6: userinfo stripped
         if rng.random() < 0.5:
             h += "."
         if rng.random() < 0.5:
@@ -202,7 +205,11 @@ def url_families(draw):
             q.append(("gclid", "y"))
         rng.shuffle(q)
         qs = "&".join(f"{k}={v}" for k, v in q)
-        frag = "#frag" if rng.random() < 0.5 else ""
+        frag = (
+            rng.choice(["#frag", "#/route?x=1", "#sec?a=1&b=2"])
+            if rng.random() < 0.5
+            else ""
+        )
         return f"{s}://{h}{path}" + (f"?{qs}" if qs else "") + frag
 
     return [variant() for _ in range(4)]
