@@ -409,27 +409,42 @@ def registered_domain_expr(bare_host: Column, rules: PslRules) -> Column:
         return F.array_join(F.slice(labels, -k, k), ".")
 
     def match(k: int, values: list[str]) -> Column:
-        arr = F.array(*[F.lit(v) for v in values])
-        return (n >= k) & F.array_contains(arr, last_k(k))
+        # isin, NOT array_contains(array(<200 literals>)): the
+        # literal-array form inlines every string into the generated
+        # java and blows janino's 64KB method limit (measured: 277
+        # compile-failure log lines, whole-stage codegen falls back
+        # to interpreted eval — a per-row tax at 100 TB). isin
+        # optimizes to an InSet static hash-set lookup that codegen
+        # references, keeping the projection compiled.
+        return (n >= k) & last_k(k).isin(*values)
 
     # Longest matching exact/wildcard rule -> public-suffix label
-    # count; implicit '*' fallback = 1.
-    slen: Column = F.lit(1)
+    # count; implicit '*' fallback = 1. FLAT construction (one
+    # greatest() over independent per-rule-group candidates), NOT an
+    # iterative when(...).otherwise(prev) chain — the chained form
+    # embeds the previous expression twice per group, i.e. 2^groups
+    # copies of the base tree: measured as a 12k-line generated-java
+    # file that janino refuses, dropping the whole projection to
+    # interpreted eval.
+    candidates: list[Column] = [F.lit(1)]
     for k, vals in _by_label_count(rules.exact).items():
         if k == 1:
             continue  # 1-label exact rules coincide with the fallback
-        slen = F.when(match(k, vals), F.greatest(slen, F.lit(k))).otherwise(slen)
+        candidates.append(F.when(match(k, vals), F.lit(k)).otherwise(F.lit(1)))
     for b, vals in _by_label_count(rules.wildcard).items():
         # '*.base' makes ANY (base_labels+1)-label suffix public —
         # the host must supply that extra label.
-        slen = F.when(
-            match(b, vals) & (n >= b + 1), F.greatest(slen, F.lit(b + 1))
-        ).otherwise(slen)
-    # Exceptions beat everything: suffix = rule minus leftmost label.
-    for e, vals in sorted(
-        _by_label_count(rules.exception).items(), reverse=True
-    ):
-        slen = F.when(match(e, vals), F.lit(e - 1)).otherwise(slen)
+        candidates.append(
+            F.when(match(b, vals) & (n >= b + 1), F.lit(b + 1)).otherwise(F.lit(1))
+        )
+    base_slen = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
+    # Exceptions beat everything: suffix = rule minus leftmost label;
+    # longest matching exception first, then the greatest() fallback.
+    exc_whens = [
+        F.when(match(e, vals), F.lit(e - 1))
+        for e, vals in sorted(_by_label_count(rules.exception).items(), reverse=True)
+    ]
+    slen = F.coalesce(*exc_whens, base_slen) if exc_whens else base_slen
 
     # Dynamic slice: positive form, start = n - slen, len = slen + 1.
     registered = F.when(

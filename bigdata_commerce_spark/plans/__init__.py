@@ -19,4 +19,11 @@ from bigdata_commerce_spark.plans.registry import (
 # don't burn driver catalog slots).
 TWIN_ORACLES.setdefault("region_top3_parts_sql", ORACLES["region_top3_parts"])
 
+# Rotate this round's driver catalog: anchors stay, ~35 slots go to
+# queries the driver's independent gate has never checked (see
+# plans/rotation.py and ROTATION.md).
+from bigdata_commerce_spark.plans.rotation import apply_rotation  # noqa: E402
+
+apply_rotation()
+
 __all__ = ["QUERIES", "ORACLES", "TWIN_QUERIES", "TWIN_ORACLES"]

@@ -1,0 +1,160 @@
+"""Driver-catalog rotation: cycle overflow twins through the
+driver's independent CORRECTNESS gate.
+
+The driver checks at most ~50 catalog entries per round; the engine
+has 128 oracle-checked queries. Twins are verified by the repo's own
+pytest harness (tests/test_twin_queries.py) with the same row-count +
+schema + value-hash comparison — but a self-hosted oracle bug would
+be self-confirming, so each round re-slots the catalog: ~15 ANCHORS
+(one per operator family, stable across rounds so every round's
+CORRECTNESS json stays comparable on them) plus ~35 slots filled
+with queries the driver has never checked, rotating until every twin
+has at least one green driver row. ROTATION.md is the ledger.
+
+Demoted queries keep full oracle coverage — they move to
+TWIN_QUERIES and the twin pytest picks them up automatically (both
+sides share the registry contract).
+"""
+
+from __future__ import annotations
+
+from bigdata_commerce_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+    TWIN_ORACLES,
+    TWIN_QUERIES,
+)
+
+# One per family; stable across rounds. Flagship region_top3_parts
+# stays (it is __spark_entry__.entry()).
+ANCHORS: tuple[str, ...] = (
+    "pricing_summary",        # scan + agg + pushdown
+    "region_top3_parts",      # dims broadcast join + windowed top-k
+    "session_stats",          # commerce sessionization
+    "ad_cumulative_stats",    # streaming family (batch twin)
+    "dedup_minhash_lsh",      # shingle/LSH dedup
+    "dedup_clusters",         # connected components
+    "embedding_cosine_topk",  # exact similarity
+    "embedding_ann_ivf",      # ANN indexing
+    "multimodal_features",    # mapInPandas kernels
+    "text_quality_score",     # text analysis
+    "bpe_token_counts",       # tokenizer
+    "pack_sequences",         # sequence packing
+    "train_test_split",       # mixing/sampling
+    "corpus_curation",        # composed curation pipeline
+    "heavy_hitter_users",     # sketches
+)
+
+# Round 6: the 35 promoted twins had NEVER been driver-checked
+# (absent from CORRECTNESS_r01..r05); the 35 demoted driver queries
+# all carry >=1 green driver row from rounds 1-5.
+PROMOTE_R6: tuple[str, ...] = (
+    "documents_canonical_urls",
+    "url_dedup_survivors",
+    "url_host_report",
+    "url_blocklist_survivors",
+    "doc_duplicate_spans",
+    "docs_scrubbed_dupspans",
+    "doc_contaminated_spans",
+    "benchmark_contamination",
+    "doc_phrase_tags",
+    "bm25_doc_scores",
+    "hybrid_search_rrf",
+    "embedding_hard_negatives",
+    "embeddings_jl_projected",
+    "embeddings_quantized",
+    "doc_char_bigram_nll",
+    "doc_quality_linear_score",
+    "doc_tfidf_keywords",
+    "docs_weighted_sample",
+    "docs_group_split",
+    "source_capped_docs",
+    "docs_upsampled_epochs",
+    "mixture_sample",
+    "rate_capped_events",
+    "incremental_dedup_novel",
+    "docs_bloom_anti",
+    "docs_editdist_join",
+    "chunk_documents",
+    "documents_global_index",
+    "documents_shuffled_index",
+    "dedup_canonical_docs",
+    "user_hourly_ohlc",
+    "user_daily_value_locf",
+    "orders_scd2_segment",
+    "user_window_funnel",
+    "cohort_retention",
+)
+
+DEMOTE_R6: tuple[str, ...] = (
+    "ad_blacklist",
+    "ad_click_trend",
+    "ad_launch_window_counts",
+    "ad_minute_counts",
+    "ad_province_top3",
+    "approx_distinct_users",
+    "asof_click_attribution",
+    "commerce_area_top3",
+    "commerce_session_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_ann_lsh",
+    "embedding_neardup",
+    "event_rollup_ladder",
+    "events_pivot",
+    "exact_price_percentiles",
+    "lang_id",
+    "lineitem_cube",
+    "lineitem_rollup",
+    "local_supplier_volume",
+    "multimodal_frame_sample",
+    "page_funnel",
+    "pii_scrub",
+    "price_quantiles",
+    "repetition_stats",
+    "returned_item_customers",
+    "salted_user_event_counts",
+    "session_extract",
+    "supplier_window_suite",
+    "top_categories",
+    "top_orders_by_revenue",
+    "top_users_per_category",
+    "users_click_no_purchase",
+)
+
+DRIVER_SLOT_CAP = 50
+
+
+def apply_rotation(
+    promote: tuple[str, ...] = PROMOTE_R6, demote: tuple[str, ...] = DEMOTE_R6
+) -> None:
+    """Move ``demote`` driver entries to the twin registry and
+    ``promote`` twins into the driver catalog. Loud on any
+    inconsistency; asserts the slot cap and that anchors never move."""
+    overlap = set(promote) & set(demote)
+    if overlap:
+        raise ValueError(f"promote/demote overlap: {sorted(overlap)}")
+    moving_anchor = (set(promote) | set(demote)) & set(ANCHORS)
+    if moving_anchor:
+        raise ValueError(f"anchors are not rotatable: {sorted(moving_anchor)}")
+    for name in demote:
+        if name not in QUERIES:
+            raise KeyError(f"demote {name!r}: not in the driver catalog")
+        TWIN_QUERIES[name] = QUERIES.pop(name)
+        if name in ORACLES:
+            TWIN_ORACLES[name] = ORACLES.pop(name)
+    for name in promote:
+        if name not in TWIN_QUERIES:
+            raise KeyError(f"promote {name!r}: not in the twin registry")
+        QUERIES[name] = TWIN_QUERIES.pop(name)
+        if name in TWIN_ORACLES:
+            ORACLES[name] = TWIN_ORACLES.pop(name)
+    if len(QUERIES) > DRIVER_SLOT_CAP:
+        raise ValueError(
+            f"driver catalog over its {DRIVER_SLOT_CAP}-slot cap: {len(QUERIES)}"
+        )
+    missing_anchor = set(ANCHORS) - set(QUERIES)
+    if missing_anchor:
+        raise ValueError(f"anchor missing from driver catalog: {sorted(missing_anchor)}")

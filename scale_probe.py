@@ -1159,14 +1159,16 @@ def main() -> None:
     docs10, emb10 = build_corpus(spark)
 
     if suite == "relational":
-        from bigdata_commerce_spark.plans import QUERIES
+        # rotation-proof: the probed names may sit in either registry
+        from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
 
+        all_q = {**TWIN_QUERIES, **QUERIES}
         sf1 = build_relational_corpus(spark, docs10, emb10, 1)
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
         pairs = {
             name: (
-                lambda n=name: len(QUERIES[n](spark, sf1).collect()),
-                lambda n=name: len(QUERIES[n](spark, sf10).collect()),
+                lambda n=name: len(all_q[n](spark, sf1).collect()),
+                lambda n=name: len(all_q[n](spark, sf10).collect()),
             )
             for name in RELATIONAL_PROBE
         }

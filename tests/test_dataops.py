@@ -7,9 +7,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators import multimodal, similarity
-from bigdata_commerce_spark.plans import QUERIES
+from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
 from bigdata_commerce_spark.sources.testdata import load_table
 from tests.conftest import SF_SMOKE
+
+# rotation-proof lookups (plans/rotation.py moves names between the
+# driver catalog and the twin registry round to round)
+ALL_QUERIES = {**TWIN_QUERIES, **QUERIES}
 
 
 def test_ann_recall_vs_bruteforce(spark):
@@ -170,9 +174,13 @@ def test_dedup_finds_planted_near_dups(spark):
     and LSH output must be a subset of the exact pairs."""
     sf = "/root/testdata/sf0.01"
     exact = {
-        (r.id1, r.id2) for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+        (r.id1, r.id2)
+        for r in ALL_QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
     }
-    lsh = {(r.id1, r.id2) for r in QUERIES["dedup_minhash_lsh"](spark, sf).collect()}
+    lsh = {
+        (r.id1, r.id2)
+        for r in ALL_QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+    }
     assert exact, "no near-dup pairs found at >= 0.8 jaccard"
     assert lsh <= exact
     # banding with r=2 at j>=0.8 catches essentially everything
@@ -245,9 +253,7 @@ def test_approx_distinct_within_bounds(spark):
 
 
 def test_price_quantiles_bounds(spark):
-    from bigdata_commerce_spark.plans import QUERIES
-
-    rows = QUERIES["price_quantiles"](spark, "/root/testdata/sf0.01").collect()
+    rows = ALL_QUERIES["price_quantiles"](spark, "/root/testdata/sf0.01").collect()
     assert rows
     for r in rows:
         assert r.min_price <= r.p50_price <= r.p90_price <= r.p99_price <= r.max_price

@@ -51,8 +51,9 @@ def test_udtf_chunker_row_identical_to_expression_form(spark):
     """The Arrow UDTF chunker and the array-expression chunker are
     semantic twins — row-identical output, and the UDTF plan must use
     the Arrow-batched Python evaluator, not the pickled row path."""
-    udtf_df = TWIN_QUERIES["chunk_documents_udtf"](spark, SF_SMOKE)
-    expr_df = TWIN_QUERIES["chunk_documents"](spark, SF_SMOKE)
+    all_q = {**TWIN_QUERIES, **QUERIES}  # rotation-proof lookup
+    udtf_df = all_q["chunk_documents_udtf"](spark, SF_SMOKE)
+    expr_df = all_q["chunk_documents"](spark, SF_SMOKE)
     assert udtf_df.columns == expr_df.columns
     assert _sorted_rows(udtf_df) == _sorted_rows(expr_df)
     plan = udtf_df._jdf.queryExecution().executedPlan().toString()
