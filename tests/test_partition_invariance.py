@@ -1,0 +1,75 @@
+"""Task-retry determinism law, as one sweep: EVERY catalog query and
+twin must produce bit-identical results when its inputs arrive in
+different partition layouts and its shuffles use a different
+partition count.
+
+Why this matters at 100 TB: Spark re-evaluates partitions on task
+retry and may recompute a different split layout after executor loss
+or AQE re-planning. Any operator whose output depends on partition
+boundaries or intra-partition order (rand() sampling, first()/
+head-based survivor picks, unordered row_number ties) silently
+returns DIFFERENT rows on retry — corrupting downstream incremental
+state even though every single run "looks" correct. The engine's
+samplers/survivors claim md5-threshold determinism; this sweep makes
+the claim a law for all 128 queries instead of piecemeal tests.
+
+Mechanics: each query runs once under the session defaults and once
+with scan splits forced tiny (maxPartitionBytes 64KB, openCost 0 —
+every parquet file fragments into many input partitions, reordering
+row arrival) and a different shuffle width (7, coprime with the
+default 32). Results are canonicalized exactly like the driver's
+CORRECTNESS comparison (columns sorted by name, rows sorted, floats
+compared EXACTLY — the driver hashes values, so one flipped ULP is a
+real mismatch) and must be identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import _canon
+
+ALL_QUERIES = {**TWIN_QUERIES, **QUERIES}
+
+_PERTURB = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def _snapshot(df):
+    return _canon(list(df.columns), [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_partition_invariant(spark, name):
+    fn = ALL_QUERIES[name]
+    base = _snapshot(fn(spark, SF_SMOKE))
+    saved = {k: spark.conf.get(k, None) for k in _PERTURB}
+    try:
+        for k, v in _PERTURB.items():
+            spark.conf.set(k, v)
+        perturbed = _snapshot(fn(spark, SF_SMOKE))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert base[0] == perturbed[0], f"schema drift under repartitioning: {name}"
+    assert len(base[1]) == len(perturbed[1]), (
+        f"row count changed under repartitioning: {name}: "
+        f"{len(base[1])} != {len(perturbed[1])}"
+    )
+    diff = [
+        (i, b, p)
+        for i, (b, p) in enumerate(zip(base[1], perturbed[1]))
+        if b != p
+    ]
+    assert not diff, (
+        f"{name}: {len(diff)} rows differ under repartitioning; "
+        f"first 3: {diff[:3]}"
+    )
