@@ -39,6 +39,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Broadcast threshold must scale DOWN with executor memory: a
+    # fixed 64MB on a capped heap fails the broadcast build outright
+    # ("Not enough memory to build and broadcast", measured at 2g in
+    # the round-6 memory-pressure probe) — 1/48 of the heap keeps
+    # ~3 concurrent 64MB-class broadcasts + execution memory inside
+    # the default memory fractions. At the tuned 8g (and on real
+    # executors) this stays the 64MB ceiling.
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "8g").strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    heap_bytes = (
+        int(heap[:-1]) * units[heap[-1]] if heap[-1] in units else int(heap)
+    )
+    broadcast_threshold = min(64 * 1024 * 1024, heap_bytes // 48)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,7 +69,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(broadcast_threshold))
         # Columnar parquet IO: bigger scan partitions than the 128MB
         # default hurt nothing locally and keep task counts sane at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

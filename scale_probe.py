@@ -1153,9 +1153,124 @@ def round5g_probes(spark, docs_path: str):
     }
 
 
+def _spill_meter(spark):
+    """Cumulative (memoryBytesSpilled, diskBytesSpilled) across all
+    completed stages, via the UI REST API (the session must run with
+    spark.ui.enabled=true). Callers diff two readings around an op."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def read() -> tuple[int, int]:
+        url = f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE"
+        with urllib.request.urlopen(url) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+        )
+
+    return read
+
+
+def memory_probes(spark, docs10: str, ev_path: str) -> dict:
+    """Memory-pressure probe (round-6 verdict item 4): the heaviest
+    operator families under a capped executor heap, with spill bytes
+    read from the stage metrics. Run the suite twice —
+    SPARK_DRIVER_MEMORY=8g (the tuned default: no spill expected) and
+    a hard cap like 2g — and compare wall degradation vs spill volume.
+    In local mode the driver heap IS the executor heap, so the cap
+    models a 100x input-to-memory ratio: execution memory per task =
+    heap * memory.fraction / 32 threads."""
+    from bigdata_commerce_spark.operators.sessionize import sessionize
+
+    docs = spark.read.parquet(docs10)
+
+    # Fan the 10M-row events another 5x (50M rows, ~5 GB of payload
+    # through the sessionize sort) — the '100x-class' input-to-memory
+    # ratio a capped heap is probed against. Built once.
+    ev50 = str(SCRATCH / "events_50m.parquet")
+    if not os.path.exists(os.path.join(ev50, "_SUCCESS")):
+        base = spark.read.parquet(ev_path)
+        stride = int(base.agg(F.max("event_id")).collect()[0][0]) + 1
+        copies = spark.range(5).withColumnRenamed("id", "copy")
+        (
+            base.crossJoin(F.broadcast(copies))
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(stride))
+            .drop("copy")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(ev50)
+        )
+    ev = spark.read.parquet(ev50)
+    n_docs, n_ev = docs.count(), ev.count()
+
+    # Every op is consumed through an aggregate over its OUTPUT
+    # columns — a bare count() lets column pruning delete the window/
+    # join work entirely (first draft measured sessionize_exact at
+    # 0.19s for 10M rows: Catalyst had pruned the session ids).
+    def session_sum(bucket_seconds):
+        def fn():
+            s = sessionize(ev, gap_minutes=30, bucket_seconds=bucket_seconds)
+            # pmod before the sum: 50M raw xxhash64 values overflow
+            # the ANSI-mode long sum
+            h = F.pmod(F.xxhash64("user_id", "session_id"), F.lit(1_000_000))
+            return int(s.agg(F.sum(h)).collect()[0][0] % 1_000_000)
+
+        return fn
+
+    def minhash():
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+        return int(pairs.agg(F.sum(F.col("id1") + F.col("id2"))).collect()[0][0])
+
+    def clusters():
+        edges = dedup.jaccard_pairs(docs, threshold=0.8)
+        cc = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            edges,
+            node_col="id",
+            small_graph_threshold=0,  # force the distributed tier
+        )
+        return int(cc.agg(F.sum("cluster_id")).collect()[0][0] % 1_000_000)
+
+    ops = {
+        "dedup_minhash_lsh": minhash,
+        "sessionize_exact": session_sum(None),
+        "sessionize_bucketed_1h": session_sum(3600),
+        "dedup_clusters_distributed": clusters,
+    }
+    meter = _spill_meter(spark)
+    out = {
+        "heap": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "rows": {"documents": n_docs, "events": n_ev},
+        "ops": {},
+    }
+    for name, fn in ops.items():
+        fn()  # warm: reader/codegen cost out of the timed run
+        m0, d0 = meter()
+        t0 = time.perf_counter()
+        n = fn()
+        wall = time.perf_counter() - t0
+        m1, d1 = meter()
+        out["ops"][name] = {
+            "wall": round(wall, 2),
+            "rows": n,
+            "spill_mem_mb": round((m1 - m0) / 1048576, 1),
+            "spill_disk_mb": round((d1 - d0) / 1048576, 1),
+        }
+        print(f"# {name}: {wall:.2f}s spill_mem={(m1-m0)/1048576:.0f}MB "
+              f"spill_disk={(d1-d0)/1048576:.0f}MB", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     suite = sys.argv[1] if len(sys.argv) > 1 else "dedup"
-    spark = get_spark(app_name="scale_probe")
+    spark = get_spark(
+        app_name="scale_probe",
+        # the memory suite reads spill bytes from the UI REST API
+        extra_conf={"spark.ui.enabled": "true"} if suite == "memory" else None,
+    )
     docs10, emb10 = build_corpus(spark)
 
     if suite == "relational":
@@ -1315,6 +1430,13 @@ def main() -> None:
         p10 = round5g_probes(spark, docs10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5g")
+    elif suite == "memory":
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        ev_unif, _, _ = build_skew_corpus(spark, sf10)
+        out = {
+            "metric": "memory_pressure_probe",
+            **memory_probes(spark, docs10, ev_unif),
+        }
     elif suite == "streaming":
         # per-file batches (the soak cadence) vs one big batch: the
         # spread between the two rates is the per-batch FIXED cost
