@@ -118,21 +118,35 @@ def extract_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # None = ABSENT media: every report field is NULL — an
+            # absent file is not a 0-byte file (n_bytes 0 +
+            # sha256('') would silently conflate the two), and NULL
+            # propagation here matches what any SQL restatement of
+            # this report does naturally
             digests = pdf["content"].map(
-                lambda b: hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                lambda b: None if b is None else hashlib.sha256(bytes(b)).digest()
             )
             if decode == "real":
-                # None = absent media -> NULL features, not a decode crash
                 features = pdf["content"].map(
                     lambda b: None if b is None else _real_features(bytes(b))
                 )
             else:
-                features = digests.map(_fake_features)
+                features = digests.map(
+                    lambda d: None if d is None else _fake_features(d)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "content_sha": digests.map(lambda d: d.hex()[:16]),
+                    "n_bytes": pd.array(
+                        [
+                            len(b) if b is not None else None
+                            for b in pdf["content"]
+                        ],
+                        dtype="Int64",
+                    ),
+                    "content_sha": digests.map(
+                        lambda d: None if d is None else d.hex()[:16]
+                    ),
                     "features": features,
                 }
             )
@@ -174,16 +188,17 @@ def resize_media(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # None = absent media -> NULL fingerprint in BOTH modes
+            # (absent != 0-byte), matching extract_features' contract
             if decode == "real":
-                # None = absent media -> NULL fingerprint, not a crash
                 shas = pdf["content"].map(
                     lambda b: None if b is None else _real_resize_sha(bytes(b))
                 )
             else:
                 shas = pdf["content"].map(
-                    lambda b: hashlib.sha256(
-                        (bytes(b) if b is not None else b"") + tag
-                    ).hexdigest()[:16]
+                    lambda b: None
+                    if b is None
+                    else hashlib.sha256(bytes(b) + tag).hexdigest()[:16]
                 )
             yield pd.DataFrame(
                 {
@@ -251,10 +266,10 @@ def frame_sample(
                 for m, c in zip(pdf["meta"], pdf["content"])
             ]
             for mid, content, dur in zip(pdf["media_id"], pdf["content"], durations):
-                raw = bytes(content) if content is not None else b""
+                if content is None:
+                    continue  # absent media has no frames (both modes)
+                raw = bytes(content)
                 if decode == "real":
-                    if content is None:
-                        continue  # absent media has no frames
                     for i, off, sha in _real_frames(raw, dur):
                         out["media_id"].append(mid)
                         out["frame_no"].append(i)
@@ -325,8 +340,10 @@ def audio_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # None = absent media -> NULL n_bytes/sha too (absent is
+            # not a 0-byte payload), consistent with extract_features
             digests = pdf["content"].map(
-                lambda b: hashlib.sha256(bytes(b) if b is not None else b"").digest()
+                lambda b: None if b is None else hashlib.sha256(bytes(b)).digest()
             )
             dur, sr, ch, feats = [], [], [], []
             for b in pdf["content"]:
@@ -343,10 +360,13 @@ def audio_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None for b in pdf["content"]],
+                        dtype="Int64",
                     ),
-                    "content_sha": digests.map(lambda d: d.hex()[:16]),
+                    "content_sha": digests.map(
+                        lambda d: None if d is None else d.hex()[:16]
+                    ),
                     "duration_ms": dur,
                     "sample_rate": sr,
                     "n_channels": ch,

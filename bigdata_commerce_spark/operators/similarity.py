@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# |x| band where ROUND(x, 4) is engine-portable: x*10^4 stays under
+# 2^53, so Spark's exact BigDecimal round and a float-math round
+# (DuckDB) agree bit-for-bit. Beyond it rounding is sub-ULP noise and
+# the raw double is the stable representation.
+ROUND_SAFE_ABS = 1e11
+
+
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -598,6 +605,13 @@ def random_projection(
     before any rounding. Pure projection: zero shuffle, zero UDF,
     stays in whole-stage codegen. ``round_dp`` rounds for
     hash-stable reports; pass None for raw doubles.
+
+    Rounding applies only where |coord| < 1e11 — the band where a
+    4-dp fraction is representable AND every engine's ROUND agrees
+    (x*10^4 stays under 2^53; beyond it Spark's exact BigDecimal
+    round and a float-math round diverge by ULPs on e.g. 1e20-scale
+    inputs). Above the band the raw coordinate is returned: rounding
+    a 1e11+ double to 4 dp is sub-ULP noise, not information.
     """
     import numpy as np
 
@@ -610,7 +624,11 @@ def random_projection(
     for row in planes:
         plane = F.array(*[F.lit(float(x)) for x in row])
         c = _dot(v, plane) * F.lit(inv)
-        coords.append(F.round(c, round_dp) if round_dp is not None else c)
+        coords.append(
+            F.when(F.abs(c) < ROUND_SAFE_ABS, F.round(c, round_dp)).otherwise(c)
+            if round_dp is not None
+            else c
+        )
     return emb.select(F.col(id_col), F.array(*coords).alias(out_col))
 
 

@@ -39,7 +39,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines — ``AdverStat.scala:97-103``; here typed columns)."""
     return (
         load_table(spark, "events", sf_dir)
-        .withColumn("ad_id", F.get_json_object("props", "$.k").cast("int"))
+        # try_cast, not cast: a 100 TB event feed WILL contain
+        # {"k": "garbage"} rows, and under ANSI mode a plain cast
+        # aborts the whole job for one bad payload. Non-numeric and
+        # missing k become NULL ad_id (dropped by the notNull filters
+        # downstream) — total, like the rest of the ingest layer.
+        .withColumn("ad_id", F.get_json_object("props", "$.k").try_cast("int"))
         .withColumn("event_date", F.to_date("ts"))
         .withColumn("province", F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")))
         .withColumn("city", F.concat(F.lit("c"), (F.col("user_id") % 100).cast("string")))
@@ -49,7 +54,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_ORACLE_CTE = """
 events_n AS (
     SELECT *,
-           CAST(json_extract_string(props, '$.k') AS INT) AS ad_id,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT) AS ad_id,
            CAST(ts AS DATE) AS event_date,
            'p' || CAST(user_id % 10 AS VARCHAR) AS province,
            'c' || CAST(user_id % 100 AS VARCHAR) AS city
@@ -506,8 +512,12 @@ def ad_cumulative_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_EVENTS_ORACLE_CTE},
     counts AS (
+        -- ad_id IS NOT NULL: a click whose ad_id failed to parse is
+        -- not attributable to an ad; count reports keep the NULL
+        -- bucket as telemetry, but a top-ads RANKING only ranks real
+        -- ads (and NULL tie-break order differs across engines)
         SELECT event_date, province, ad_id, COUNT(*) AS click_count
-        FROM events_n WHERE event_type = 'click'
+        FROM events_n WHERE event_type = 'click' AND ad_id IS NOT NULL
         GROUP BY event_date, province, ad_id
     )
     SELECT event_date, province, ad_id, click_count, rank FROM (
@@ -519,8 +529,12 @@ def ad_cumulative_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ad_province_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Req 9: daily top-3 ads per province (the reference's SQL is
-    syntactically invalid — SURVEY.md §2.12/5; this is the intent)."""
-    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    syntactically invalid — SURVEY.md §2.12/5; this is the intent).
+    Unparseable ad_id clicks are excluded: rankings only rank real
+    ads (count reports keep the NULL bucket as parse telemetry)."""
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == "click") & F.col("ad_id").isNotNull()
+    )
     return adstats.province_top3(ev)
 
 

@@ -518,9 +518,12 @@ _BOILER_MIN_DOCS = 400
     "boilerplate_scrub",
     oracle=f"""
     WITH lines AS (
+      -- COALESCE restates the operator's NULL-text contract: a NULL
+      -- document keeps its output row (as ''), it does not vanish
+      -- through the unnest
       SELECT doc_id,
-             unnest(string_split(text, ' ')) AS line,
-             unnest(range(len(string_split(text, ' ')))) AS pos
+             unnest(string_split(COALESCE(text, ''), ' ')) AS line,
+             unnest(range(len(string_split(COALESCE(text, ''), ' ')))) AS pos
       FROM documents
     ), freq AS (
       SELECT lower(trim(line)) AS line_norm, COUNT(DISTINCT doc_id) AS df
@@ -814,16 +817,21 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_buckets_cte() -> str:
     """planes/v/bits/buckets CTEs shared by every sign-LSH oracle
     (ANN top-k and embedding near-dup): the seeded plane matrix is
-    embedded as full-precision double literals (repr round-trips
-    exactly), sign bits come from the same fold the cosine oracle
-    uses (summation-order differences vs numpy's matmul are ~1e-14 —
-    measured min |projection| on the testdata is 1.7e-5, so signs
-    cannot flip), then 4-bit banding exactly as _sign_buckets."""
+    embedded as CAST('…' AS DOUBLE) string casts — NOT bare numeric
+    literals, whose parse in DuckDB 1.0 lands 1 ULP off the true
+    double for ~11% of values (the varchar->double cast is correctly
+    rounded for all 1024 plane entries; measured). Sign bits come
+    from the same fold the cosine oracle uses (measured min
+    |projection| on the testdata is 1.7e-5, so ULP-scale noise cannot
+    flip signs — but the literals should be exact regardless), then
+    4-bit banding exactly as _sign_buckets."""
     import numpy as np
 
     planes = np.random.default_rng(42).standard_normal((16, 64))
     rows = ",\n        ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+        )
         for i, row in enumerate(planes)
     )
     return f"""
@@ -1060,6 +1068,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) * i // 4 AS BIGINT) AS offset_ms,
            substr(sha256(text || ':frame:' || CAST(i AS VARCHAR)), 1, 16) AS frame_sha
     FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+    WHERE text IS NOT NULL  -- operator contract: absent media has no frames
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2071,6 +2080,10 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY d.n_chars DESC, d.doc_id ASC
                ) AS rn
         FROM clusters c JOIN documents d USING (doc_id)
+        -- restates canonical_per_cluster's member contract: a NULL
+        -- order_col (n_chars) doc is neither survivor-eligible nor
+        -- counted in n_members
+        WHERE d.n_chars IS NOT NULL
     ) WHERE rn = 1
     """,
 )
@@ -2104,8 +2117,13 @@ def _jl_oracle() -> str:
     import numpy as np
 
     planes = np.random.default_rng(42).standard_normal((16, 64))
+    # CAST('…' AS DOUBLE), not bare literals: DuckDB 1.0's numeric-
+    # literal parse is 1 ULP off for ~11% of doubles; the varchar
+    # cast is correctly rounded (same fix as _lsh_buckets_cte)
     rows = ",\n        ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+        )
         for i, row in enumerate(planes)
     )
     return f"""
@@ -2113,12 +2131,28 @@ def _jl_oracle() -> str:
         SELECT * FROM (VALUES {rows})
     ), v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), proj AS (
+    ), raw AS (
+        -- 0.0 + … restates Spark's fold INITIAL value: without it a
+        -- zero vector's all-(-0.0) terms reduce to -0.0
+        -- (0*negative_plane = -0.0) while F.aggregate's 0.0 init
+        -- gives +0.0 — same number, different hash bits
         SELECT vec_id, plane_id,
-               ROUND(list_reduce(list_transform(list_zip(e, pv), q -> q[1] * q[2]),
-                                 (acc, x) -> acc + x)
-                     * CAST(0.25 AS DOUBLE), 4) AS c
+               (CAST(0.0 AS DOUBLE)
+                + list_reduce(list_transform(list_zip(e, pv), q -> q[1] * q[2]),
+                              (acc, x) -> acc + x))
+               * CAST(0.25 AS DOUBLE) AS r
         FROM v CROSS JOIN planes
+    ), proj AS (
+        -- the operator's ROUND_SAFE_ABS band: round only where
+        -- ROUND(x,4) is engine-portable (DuckDB's float-math round
+        -- drifts ULPs from Spark's exact BigDecimal round on 1e20-
+        -- scale coords); trailing + 0.0 canonicalizes DuckDB's
+        -- ROUND(-1e-31,4) = -0.0 to Spark's +0.0
+        SELECT vec_id, plane_id,
+               CASE WHEN abs(r) < 1e11
+                    THEN ROUND(r, 4) + CAST(0.0 AS DOUBLE)
+                    ELSE r END AS c
+        FROM raw
     )
     SELECT vec_id, list(c ORDER BY plane_id) AS projected
     FROM proj GROUP BY vec_id
@@ -2943,8 +2977,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INT) AS ad_id,
-       json_extract_string(props, '$.src') AS src
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT) AS ad_id,
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.src') END AS src
 FROM events
 """
 
@@ -3012,9 +3048,14 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_MATRIX_SQL = r"""
 WITH f AS (
-    SELECT md5(array_to_string(
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                           t -> t <> '')[1:8], ' ')) AS fp,
+    -- CASE len>0 restates the twin's explicit empty-token contract
+    -- (no content -> NULL fp); DuckDB's array_to_string([]) happens
+    -- to be NULL already, but the contract should not ride a quirk
+    SELECT CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     t -> t <> '')) > 0
+                THEN md5(array_to_string(
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '')[1:8], ' ')) END AS fp,
            source, COUNT(*) AS n
     FROM documents GROUP BY 1, 2
 ), p AS (
@@ -3047,7 +3088,14 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
-    prefix_fp = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    # empty token list -> NULL fingerprint: a no-content doc has no
+    # provenance key (pairing every empty doc corpus-wide would also
+    # be a quadratic hot key). Explicit here AND in the oracle —
+    # engines disagree by default (array_join([])='' vs
+    # array_to_string([])=NULL)
+    prefix_fp = F.when(
+        F.size(toks) > 0, F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    )
     return cross_source_dup_matrix(docs, key_expr=prefix_fp)
 
 
@@ -3207,7 +3255,9 @@ def documents_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_DEDUP_SQL = f"""
 WITH {_URL_CANON_CTE}
 SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS doc_id
-FROM url_canon GROUP BY canonical_url
+FROM url_canon
+WHERE canonical_url IS NOT NULL  -- operator contract: NULL canonicals excluded, not one bucket
+GROUP BY canonical_url
 """
 
 
@@ -3227,7 +3277,9 @@ SELECT registered_domain,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT canonical_url) AS n_urls,
        ROUND(1.0 - CAST(COUNT(DISTINCT canonical_url) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
-FROM url_dom GROUP BY registered_domain
+FROM url_dom
+WHERE canonical_url IS NOT NULL  -- operator contract: NULL canonicals excluded
+GROUP BY registered_domain
 """
 
 

@@ -775,9 +775,17 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id < 300 GROUP BY 1, 2
     ), sums AS (
         SELECT user_id, COUNT(value) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-                    AS DOUBLE) AS s2
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s,
+               -- one operand widened to (20,6): DuckDB runs
+               -- (18,6)x(18,6) in int64 and overflows on 1e9-scale
+               -- daily sums (squares ~1e18); Spark's (37,12) result
+               -- type needs no change, values stay exact/identical.
+               -- decimal->double goes THROUGH VARCHAR: DuckDB's direct
+               -- cast double-rounds (hugeint->double, then /10^scale)
+               -- and lands 1 ULP off Spark's single-rounded
+               -- BigDecimal.doubleValue on wide scale-12 sums
+               CAST(CAST(SUM(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS s2
         FROM series GROUP BY 1
     ), stats AS (
         SELECT user_id, s / n AS m,
@@ -884,7 +892,10 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
         SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, ts, value
-        FROM events WHERE user_id < 100
+        -- value IS NOT NULL restates the operator contract: NULL
+        -- values are not observations (no bar from NULL-only buckets,
+        -- n_obs counts real points)
+        FROM events WHERE user_id < 100 AND value IS NOT NULL
     ), ranked AS (
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY user_id, bucket
@@ -1095,7 +1106,9 @@ def user_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN e.value < lo THEN lo
                 WHEN e.value > hi THEN hi
                 ELSE e.value END AS value_w
-    FROM events e JOIN b USING (event_type)
+    -- LEFT JOIN restates the operator's totality: a NULL event_type
+    -- row keeps its output row, bounds NULL -> value unclipped
+    FROM events e LEFT JOIN b USING (event_type)
     """,
 )
 def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,11 +1191,14 @@ def user_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT cx AS col_x, cy AS col_y,
                COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_pairs,
-               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
-               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS DOUBLE) AS sy,
-               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * x END) AS DOUBLE) AS sxx,
-               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS DECIMAL(20,6)) * y END) AS DOUBLE) AS syy,
-               CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * y END) AS DOUBLE) AS sxy
+               -- decimal->double via VARCHAR: single correct rounding,
+               -- matching Spark's BigDecimal.doubleValue (DuckDB's
+               -- direct cast double-rounds wide scale-12 sums)
+               CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * x END) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS DECIMAL(20,6)) * y END) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * y END) AS VARCHAR) AS DOUBLE) AS sxy
         FROM q GROUP BY 1, 2
     )
     SELECT col_x, col_y, n_pairs,
@@ -1220,16 +1236,21 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                COUNT(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL THEN 1 END) AS n_points,
                COUNT(DISTINCT CASE WHEN bucket IS NOT NULL AND value IS NOT NULL THEN bucket END) AS nt,
-               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
-                             THEN CAST(bucket AS DECIMAL(18,6)) END) AS DOUBLE) AS st,
-               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
-                             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sy,
-               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
-                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(bucket AS DECIMAL(18,6)) END) AS DOUBLE) AS stt,
-               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
-                             THEN CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS syy,
-               CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
-                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sty
+               -- every decimal->double goes THROUGH VARCHAR: DuckDB's
+               -- direct cast double-rounds (hugeint->double, then
+               -- /10^scale) and lands 1 ULP off Spark's single-rounded
+               -- BigDecimal.doubleValue on wide sums (seen: an exact
+               -- integer stt surfacing as ...940.999999)
+               CAST(CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS st,
+               CAST(CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(bucket AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS stt,
+               CAST(CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CASE WHEN bucket IS NOT NULL AND value IS NOT NULL
+                             THEN CAST(bucket AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS sty
         FROM series GROUP BY 1
     )
     SELECT user_id, n_points,

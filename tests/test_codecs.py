@@ -268,7 +268,9 @@ def test_audio_features_real_path(spark):
     assert s2.duration_ms == 500
     assert s2.features[3] == 0.0 and s2.features[4] == 0.0  # silence
     n = got[3]
-    assert n.features is None and n.duration_ms is None and n.n_bytes == 0
+    # absent media -> every report field NULL (absent != 0-byte file)
+    assert n.features is None and n.duration_ms is None
+    assert n.n_bytes is None and n.content_sha is None
 
 
 def test_audio_features_deterministic_mode_plumbing(spark):

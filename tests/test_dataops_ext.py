@@ -1240,7 +1240,8 @@ def test_multimodal_real_mode_null_content_is_absent_media(spark):
     )
     feats = {r.media_id: r for r in multimodal.extract_features(media, decode="real").collect()}
     assert feats[0].features is not None and feats[1].features is None
-    assert feats[1].n_bytes == 0
+    # absent media -> NULL n_bytes/sha (absent != 0-byte payload)
+    assert feats[1].n_bytes is None and feats[1].content_sha is None
     rs = {r.media_id: r for r in multimodal.resize_media(media, 2, 2, decode="real").collect()}
     assert rs[0].resized_sha is not None and rs[1].resized_sha is None
     frames = multimodal.frame_sample(media, n_frames=3, decode="real").collect()
