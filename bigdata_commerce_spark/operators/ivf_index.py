@@ -55,6 +55,16 @@ def write_ivf_index(
     """
     if centroids is None:
         centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
+    # loud, not lazy: an empty corpus yields zero md5-picked centroids
+    # — no quantizer, so the index would be unreadable garbage. An
+    # EMPTY index is still legitimate (build-then-append): pass a
+    # trained/frozen `centroids=` table explicitly.
+    if not centroids.take(1):
+        raise ValueError(
+            "cannot build an IVF index from an empty/all-NULL corpus: "
+            "the quantizer needs at least one vector (pass centroids= "
+            "to seed an empty index for later append)"
+        )
     cent_row, id_type = _centroid_fold_row(centroids)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
@@ -63,6 +73,10 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/cells"
     )
+    # schema anchor: partitionBy on an empty frame writes NO data
+    # files, and a later read of cells/ would fail schema inference —
+    # a 0-row unpartitioned copy pins the schema for search_ivf_index
+    assigned.limit(0).write.mode("overwrite").parquet(f"{path}/cells_schema")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -155,9 +169,7 @@ def search_ivf_index(
     # broadcast-join form would read every partition and discard rows
     # after the fact unless runtime DPP happens to fire.
     wanted = sorted({r.centroid_id for r in probe_cells.select("centroid_id").collect()})
-    cells = spark.read.parquet(f"{path}/cells").where(
-        F.col("centroid_id").isin(wanted)
-    )
+    cells = _read_cells(spark, path).where(F.col("centroid_id").isin(wanted))
     candidates = (
         F.broadcast(probe_cells)
         .join(cells, "centroid_id")
@@ -170,6 +182,19 @@ def search_ivf_index(
     return _exact_rerank(candidates, index_vectors, probes, k, id_col, vec_col)
 
 
+def _read_cells(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned cell store with the schema pinned by the
+    0-row ``cells_schema`` anchor — an empty (seeded-for-append) index
+    has no cell data files to infer from. Indexes written before the
+    anchor existed fall back to inference."""
+    try:
+        cell_schema = spark.read.parquet(f"{path}/cells_schema").schema
+        reader = spark.read.schema(cell_schema)
+    except Exception:  # noqa: BLE001 — anchor absent in older indexes
+        reader = spark.read
+    return reader.parquet(f"{path}/cells")
+
+
 def cell_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-cell observability for quantizer drift: (centroid_id, n_rows,
     frac, skew) where ``skew`` = n_rows / mean-cell-size. The append
@@ -180,7 +205,7 @@ def cell_stats(spark: SparkSession, path: str) -> DataFrame:
     100 TB the scan reads only parquet footer row counts (count(*)
     per partition is metadata-only for parquet)."""
     counts = (
-        spark.read.parquet(f"{path}/cells")
+        _read_cells(spark, path)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
@@ -199,6 +224,6 @@ def pruned_cell_scan(
     """The raw partition-pruned scan of selected cells — exposed so
     plan tests (and downstream bulk jobs like per-cell compaction) can
     assert PartitionFilters directly."""
-    return spark.read.parquet(f"{path}/cells").where(
+    return _read_cells(spark, path).where(
         F.col("centroid_id").isin(cell_ids)
     )

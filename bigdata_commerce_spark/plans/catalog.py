@@ -249,25 +249,33 @@ def _session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_aggregates(sessionize(ev, gap_minutes=30))
 
 
-_HISTOGRAM_SELECT = """
-SELECT COUNT(*) AS session_count,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 1 AND 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_1s_3s,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 4 AND 6 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_4s_6s,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 7 AND 9 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_7s_9s,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 10 AND 30 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_10s_30s,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 31 AND 60 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_30s_60s,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 61 AND 180 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_1m_3m,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 181 AND 600 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_3m_10m,
-       ROUND(SUM(CASE WHEN visit_length BETWEEN 601 AND 1800 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_10m_30m,
-       ROUND(SUM(CASE WHEN visit_length >= 1801 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS visit_ratio_30m,
-       ROUND(SUM(CASE WHEN step_length BETWEEN 1 AND 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_1_3,
-       ROUND(SUM(CASE WHEN step_length BETWEEN 4 AND 6 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_4_6,
-       ROUND(SUM(CASE WHEN step_length BETWEEN 7 AND 9 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_7_9,
-       ROUND(SUM(CASE WHEN step_length BETWEEN 10 AND 30 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_10_30,
-       ROUND(SUM(CASE WHEN step_length BETWEEN 31 AND 60 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_30_60,
-       ROUND(SUM(CASE WHEN step_length >= 61 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) AS step_ratio_60
-FROM session_agg
-"""
+# generated: every band shares the functions.ratio contract (zero
+# sessions -> 0.0 ratios, reference Utils.formatDouble), which a bare
+# x/COUNT(*) would violate on an empty corpus (NULL in DuckDB)
+_HISTOGRAM_BANDS = [
+    ("visit_ratio_1s_3s", "visit_length BETWEEN 1 AND 3"),
+    ("visit_ratio_4s_6s", "visit_length BETWEEN 4 AND 6"),
+    ("visit_ratio_7s_9s", "visit_length BETWEEN 7 AND 9"),
+    ("visit_ratio_10s_30s", "visit_length BETWEEN 10 AND 30"),
+    ("visit_ratio_30s_60s", "visit_length BETWEEN 31 AND 60"),
+    ("visit_ratio_1m_3m", "visit_length BETWEEN 61 AND 180"),
+    ("visit_ratio_3m_10m", "visit_length BETWEEN 181 AND 600"),
+    ("visit_ratio_10m_30m", "visit_length BETWEEN 601 AND 1800"),
+    ("visit_ratio_30m", "visit_length >= 1801"),
+    ("step_ratio_1_3", "step_length BETWEEN 1 AND 3"),
+    ("step_ratio_4_6", "step_length BETWEEN 4 AND 6"),
+    ("step_ratio_7_9", "step_length BETWEEN 7 AND 9"),
+    ("step_ratio_10_30", "step_length BETWEEN 10 AND 30"),
+    ("step_ratio_30_60", "step_length BETWEEN 31 AND 60"),
+    ("step_ratio_60", "step_length >= 61"),
+]
+
+_HISTOGRAM_SELECT = "SELECT COUNT(*) AS session_count,\n" + ",\n".join(
+    f"       CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE "
+    f"ROUND(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 2) "
+    f"END AS {name}"
+    for name, cond in _HISTOGRAM_BANDS
+) + "\nFROM session_agg"
 
 
 @twin_query(
@@ -443,7 +451,11 @@ _FLOW = ("view", "click", "purchase")
     SELECT spec.step,
            spec.from_page || '_' || spec.to_page AS split,
            COALESCE(counts.split_count, 0) AS split_count,
-           ROUND(COALESCE(counts.split_count, 0) * 1.0 / start_count, 2) AS rate_vs_start
+           -- functions.ratio contract (reference Utils.formatDouble):
+           -- zero denominator -> 0.0 rate, not NULL
+           CASE WHEN start_count = 0 THEN 0.0
+                ELSE ROUND(COALESCE(counts.split_count, 0) * 1.0 / start_count, 2)
+           END AS rate_vs_start
     FROM spec LEFT JOIN counts USING (from_page, to_page) CROSS JOIN start
     """,
 )

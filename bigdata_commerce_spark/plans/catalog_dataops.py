@@ -2834,12 +2834,15 @@ SELECT CAST(COALESCE(SUM(ln), 0) AS BIGINT) AS n_left,
                 THEN 1 ELSE 0 END) AS BIGINT) AS left_orphan_keys,
        CAST(SUM(CASE WHEN rn IS NOT NULL AND lkk IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS right_orphan_keys,
-       ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
-                          THEN ln END), 0)
-             / CAST(COALESCE(SUM(ln), 0) AS DOUBLE), 6) AS left_match_rate,
-       ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
-                          THEN rn END), 0)
-             / CAST(COALESCE(SUM(rn), 0) AS DOUBLE), 6) AS right_match_rate
+       -- operator contract: an empty side reports rate 0.0, not NULL
+       CASE WHEN COALESCE(SUM(ln), 0) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
+                               THEN ln END), 0)
+                  / CAST(SUM(ln) AS DOUBLE), 6) END AS left_match_rate,
+       CASE WHEN COALESCE(SUM(rn), 0) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(SUM(CASE WHEN lkk IS NOT NULL AND rkk IS NOT NULL
+                               THEN rn END), 0)
+                  / CAST(SUM(rn) AS DOUBLE), 6) END AS right_match_rate
 FROM j
 """
 

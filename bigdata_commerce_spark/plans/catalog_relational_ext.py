@@ -527,13 +527,17 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_report",
     oracle="""
     WITH base AS (
+        -- COALESCE/COUNT=0 guards restate validate.py's vacuous-pass
+        -- contract: an EMPTY partition has zero violations and passes
+        -- every check (SUM/AVG over zero rows is NULL in raw SQL)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
-               CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-               CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-               CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-               CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
-               CAST(CASE WHEN AVG(l_quantity) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS v5
+               CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v0,
+               CAST(COALESCE(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v1,
+               CAST(COALESCE(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.06 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v2,
+               CAST(COALESCE(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END), 0) AS BIGINT) AS v3,
+               CAST(COALESCE(SUM(CASE WHEN l_extendedprice * (1 - l_discount) >= 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v4,
+               CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                         WHEN AVG(l_quantity) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS v5
         FROM lineitem
     ), uniq AS (
         SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
@@ -1200,8 +1204,16 @@ def user_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS DECIMAL(20,6)) * y END) AS VARCHAR) AS DOUBLE) AS syy,
                CAST(CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(20,6)) * y END) AS VARCHAR) AS DOUBLE) AS sxy
         FROM q GROUP BY 1, 2
+    ), spine(col_x, col_y) AS (
+        -- the operator's contract: one row for EVERY requested pair,
+        -- even over an empty/all-NULL corpus (Spark's ungrouped
+        -- aggregates always emit — a GROUP BY over zero rows doesn't)
+        VALUES ('l_quantity', 'l_extendedprice'),
+               ('l_quantity', 'l_discount'),
+               ('l_extendedprice', 'l_discount')
     )
-    SELECT col_x, col_y, n_pairs,
+    SELECT spine.col_x, spine.col_y,
+           CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
            CASE WHEN n_pairs > 1
                  AND sqrt(greatest(CAST(n_pairs AS DOUBLE) * sxx - sx * sx, 0.0))
                    * sqrt(greatest(CAST(n_pairs AS DOUBLE) * syy - sy * sy, 0.0)) > 0
@@ -1210,7 +1222,7 @@ def user_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * sqrt(greatest(CAST(n_pairs AS DOUBLE) * syy - sy * sy, 0.0))),
                            6)
            END AS corr
-    FROM s
+    FROM spine LEFT JOIN s USING (col_x, col_y)
     """,
 )
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

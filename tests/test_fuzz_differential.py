@@ -52,3 +52,84 @@ def test_every_oracle_paired_query_is_swept():
 def test_fuzz_matches_oracle(spark, fuzz_dir, name):
     df = ALL_QUERIES[name](spark, fuzz_dir)
     compare_to_oracle(spark, df, ALL_ORACLES[name], fuzz_dir)
+
+
+# ---------------------------------------------------------------------------
+# Empty-table profile: 100 TB pipelines hit empty sources/partitions
+# constantly; zero rows must mean an empty-but-correct report, a
+# documented loud error — never a crash or a silent engine divergence.
+# ---------------------------------------------------------------------------
+
+# Operators whose documented contract is a LOUD error on empty input
+# (an anchor/quantizer/binning cannot be derived from nothing).
+EMPTY_RAISES: dict[str, str] = {
+    "customer_rfm_segments": "recency anchor needs >= 1 order",
+    "price_distribution_psi": "binning needs a non-empty baseline",
+    "embedding_ann_ivf_indexed": "md5 quantizer needs >= 1 vector "
+    "(explicit centroids= seeds an empty index — covered below)",
+}
+
+# Spark emits NO grand-total row for rollup/cube/grouping sets over
+# zero input rows; DuckDB (and the SQL standard) emit the () group
+# with count 0. Engine-level divergence — Spark's behavior is this
+# engine's contract, so the oracle comparison is skipped on empty.
+EMPTY_ENGINE_DIVERGENCE = frozenset(
+    {"lineitem_rollup", "lineitem_cube", "events_grouping_sets"}
+)
+
+
+@pytest.fixture(scope="session")
+def empty_dir(tmp_path_factory) -> str:
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("emptydata")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        sch = pq.read_schema(f"{SF_SMOKE}/{t}.parquet")
+        pq.write_table(sch.empty_table(), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_empty_tables(spark, empty_dir, name):
+    if name in EMPTY_RAISES:
+        with pytest.raises(ValueError):
+            ALL_QUERIES[name](spark, empty_dir).collect()
+        return
+    if name in EMPTY_ENGINE_DIVERGENCE:
+        assert ALL_QUERIES[name](spark, empty_dir).count() == 0
+        return
+    df = ALL_QUERIES[name](spark, empty_dir)
+    compare_to_oracle(spark, df, ALL_ORACLES[name], empty_dir)
+
+
+def test_empty_ivf_index_with_explicit_centroids(spark, empty_dir, tmp_path):
+    """An EMPTY index is legitimate when the quantizer is supplied
+    (build-then-append lifecycle): write must leave a readable store
+    (the cells_schema anchor) and search must return zero rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators import ivf_index
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    empty = load_table(spark, "embeddings", empty_dir)
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 64)],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    path = str(tmp_path / "empty_ivf")
+    ivf_index.write_ivf_index(empty, path, centroids=cents)
+    probes = spark.createDataFrame(
+        [(7, [0.5] * 64)], "vec_id long, embedding array<float>"
+    ).withColumn("embedding", F.col("embedding"))
+    assert ivf_index.search_ivf_index(spark, path, probes, k=3).count() == 0
+    # and appending into the seeded index works + becomes searchable
+    delta = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    ivf_index.append_to_ivf_index(delta, path)
+    assert ivf_index.search_ivf_index(spark, path, probes, k=3).count() == 1
