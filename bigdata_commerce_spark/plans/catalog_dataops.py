@@ -311,7 +311,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(quality AS DECIMAL(20,4))) AS DOUBLE) AS quality_sum
+           -- via VARCHAR: DuckDB's direct wide-decimal->double cast
+           -- double-rounds (1 ULP off Spark) once the scaled hugeint
+           -- exceeds 2^53 — reachable here at ~1e9 docs per group
+           CAST(CAST(SUM(CAST(quality AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS quality_sum
     FROM scored GROUP BY 1, 2
     """,
 )
@@ -1718,9 +1721,12 @@ def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts CROSS JOIN tot
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
+           -- inner sum cast via VARCHAR: scale-8 decimal->double
+           -- double-rounds past 2^53/1e8 ~ 9e7 (a ~10 MB document's
+           -- log-prob sum reaches it)
            CAST(ROUND(
-               -CAST(SUM(CAST(COALESCE(lp, ROUND(ln(1 / (T + V + 1)), 8))
-                              AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+               -CAST(CAST(SUM(CAST(COALESCE(lp, ROUND(ln(1 / (T + V + 1)), 8))
+                              AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
            AS DOUBLE) AS nll
     FROM bg LEFT JOIN lm USING (bg) CROSS JOIN tot
     GROUP BY doc_id
