@@ -45,17 +45,27 @@ def parse_ad_log(lines: DataFrame, value_col: str = "value") -> DataFrame:
     (replaces ``AdverStat.scala:97-103``'s split-at-every-use; fixes
     SURVEY.md §2.12/6 — epoch millis parsed as a number, not
     ``new Date(String)``). Positions come from AD_LOG_FIELDS so a
-    wire-format change edits ONE constant, not hardcoded indices."""
+    wire-format change edits ONE constant, not hardcoded indices.
+
+    Total over garbage wire data: fields come out of the split via
+    get() (NULL past the end — getItem ANSI-aborts on a SHORT line)
+    and numerics via try_cast, never cast (a plain cast ANSI-aborts
+    on a non-numeric token). Either abort is fatal for a stream in a
+    way it isn't for batch: the restarted query re-reads the SAME
+    poisoned offset and dies again, wedging the pipeline permanently.
+    Garbage parses to NULL fields (NULL event_time/keys), which
+    downstream groupings keep as an observable 'unattributed'
+    bucket."""
     parts = F.split(F.col(value_col).cast("string"), " ")
-    pos = {name: parts.getItem(i) for i, name in enumerate(AD_LOG_FIELDS)}
-    ts = F.timestamp_millis(pos["ts_ms"].cast("bigint"))
+    pos = {name: F.get(parts, i) for i, name in enumerate(AD_LOG_FIELDS)}
+    ts = F.timestamp_millis(pos["ts_ms"].try_cast("bigint"))
     return lines.select(
         ts.alias("event_time"),
         F.to_date(ts).alias("event_date"),
         pos["province"].alias("province"),
         pos["city"].alias("city"),
-        pos["user_id"].cast("bigint").alias("user_id"),
-        pos["ad_id"].cast("bigint").alias("ad_id"),
+        pos["user_id"].try_cast("bigint").alias("user_id"),
+        pos["ad_id"].try_cast("bigint").alias("ad_id"),
     )
 
 

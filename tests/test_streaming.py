@@ -220,6 +220,28 @@ def test_parse_ad_log(spark):
     assert rows[0].event_date.isoformat() == "2024-01-01"
 
 
+def test_parse_ad_log_poison_line_does_not_abort(spark):
+    """One malformed wire line must parse to NULL fields, not
+    ANSI-abort the micro-batch: a restarted stream re-reads the SAME
+    poisoned offset and dies again, wedging the pipeline permanently.
+    Valid lines in the same batch survive untouched."""
+    lines = spark.createDataFrame(
+        [
+            ("1704067200000 p1 c11 42 7",),
+            ("not-a-timestamp p9 c99 abc xyz",),  # poison
+            ("",),                                # empty line
+            ("1704067205000 p2 c22 43 9",),
+        ],
+        "value string",
+    )
+    rows = ad_stream.parse_ad_log(lines).collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r.ad_id is not None]
+    assert {(r.user_id, r.ad_id) for r in good} == {(42, 7), (43, 9)}
+    poisoned = [r for r in rows if r.ad_id is None]
+    assert all(r.event_time is None and r.user_id is None for r in poisoned)
+
+
 def test_sink_epoch_replay_is_idempotent(spark, tmp_path):
     """Re-running the same epoch (micro-batch retry) must not change
     state — the guarantee the reference's JDBC DAOs lack."""
