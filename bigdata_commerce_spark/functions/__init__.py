@@ -43,9 +43,14 @@ def nullif_sentinel(col: Column | str, sentinel: int = -1) -> Column:
 def csv_to_array(col: Column | str) -> Column:
     """Comma-joined id string -> array<bigint> (reference keeps
     ``order_category_ids`` as ``"12,34"`` and re-splits at every use
-    site — ``SessionStat.scala:173-179``)."""
+    site — ``SessionStat.scala:173-179``). Per-element try_cast:
+    one garbage token ("12,abc,34") becomes a NULL element instead of
+    ANSI-aborting the whole ingest job."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.isNotNull() & (F.length(c) > 0), F.split(c, ",").cast("array<bigint>"))
+    return F.when(
+        c.isNotNull() & (F.length(c) > 0),
+        F.transform(F.split(c, ","), lambda x: x.try_cast("bigint")),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -251,13 +251,18 @@ def ensure_commerce_fixtures(
 def normalize_actions(raw: DataFrame) -> DataFrame:
     """Typed ingest boundary (SURVEY.md §1.4): -1/null sentinels ->
     real NULLs, CSV id strings -> array<bigint>, string times ->
-    TimestampType. Downstream operators never see the legacy encoding."""
+    TimestampType. Downstream operators never see the legacy encoding.
+
+    TOTAL over garbage input (try_to_date/try_to_timestamp/per-token
+    try_cast): a malformed date string or id token in one row becomes
+    NULL in that row — under ANSI mode the plain conversions would
+    abort the whole 100 TB load for it."""
     return raw.select(
-        F.to_date("date").alias("action_date"),
+        F.expr("try_to_date(date)").alias("action_date"),
         "user_id",
         "session_id",
         "page_id",
-        F.to_timestamp("action_time").alias("action_time"),
+        F.try_to_timestamp("action_time").alias("action_time"),
         "search_keyword",
         nullif_sentinel("click_category_id").alias("click_category_id"),
         nullif_sentinel("click_product_id").alias("click_product_id"),

@@ -41,6 +41,30 @@ def test_normalize_sentinels(tables):
     assert all(isinstance(x, int) for x in row.order_category_ids)
 
 
+def test_normalize_actions_total_over_garbage(spark):
+    """The typed ingest boundary must be TOTAL: a malformed date,
+    time, or id token in one legacy row becomes NULL in that row —
+    never an ANSI abort of the whole load."""
+    raw = spark.createDataFrame(
+        [
+            ("2024-01-01", 1, "s1", 10, "2024-01-01 10:00:00", None, 5, 7, "12,34", None, None, None, 3),
+            ("not-a-date", 2, "s2", 11, "garbage-time", None, -1, -1, "12,abc,34", "", None, None, 4),
+        ],
+        "date string, user_id long, session_id string, page_id long, "
+        "action_time string, search_keyword string, click_category_id long, "
+        "click_product_id long, order_category_ids string, order_product_ids string, "
+        "pay_category_ids string, pay_product_ids string, city_id long",
+    )
+    rows = {r.user_id: r for r in normalize_actions(raw).collect()}
+    good, bad = rows[1], rows[2]
+    assert good.action_date is not None and good.action_time is not None
+    assert good.order_category_ids == [12, 34]
+    assert bad.action_date is None and bad.action_time is None
+    assert bad.order_category_ids == [12, None, 34]  # garbage token -> NULL element
+    assert bad.order_product_ids is None              # empty string -> NULL array
+    assert bad.click_category_id is None              # -1 sentinel -> NULL
+
+
 def test_session_full_info_matches_pandas(tables, sessions):
     pdf = tables["raw_pd"]
     got = {r.session_id: (r.step_length, r.visit_length) for r in sessions.collect()}
