@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -85,10 +86,46 @@ def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    validate: bool = True,
 ) -> None:
     """Date/key-partitioned parquet — the scan-side contract for every
     date-ranged pipeline: Catalyst prunes partitions for
     ``col.between(start, end)`` predicates instead of reading 100 TB
-    and filtering."""
+    and filtering.
+
+    ``validate=True`` (default) scans the string partition columns for
+    EMPTY-STRING values and raises: Spark/Hive writes '' to the
+    __HIVE_DEFAULT_PARTITION__ directory, so it reads back as NULL —
+    '' and NULL rows silently merge on round-trip (measured). Map ''
+    to NULL (declare the merge) or to a sentinel before writing; a
+    caller that already guarantees non-empty values passes
+    ``validate=False`` to skip the one distinct-aggregate pre-scan
+    (map-side combined, partition columns are low-cardinality by
+    design — the write itself dwarfs it)."""
+    if validate:
+        str_cols = [
+            c for c in partition_cols if dict(df.dtypes).get(c) == "string"
+        ]
+        if str_cols:
+            empties = (
+                df.select(
+                    [
+                        F.max(F.col(c) == "").alias(c)  # noqa: E712 — Column op
+                        for c in str_cols
+                    ]
+                ).collect()[0]
+            )
+            bad = [c for c in str_cols if empties[c]]
+            if bad:
+                raise ValueError(
+                    f"partition column(s) {bad} contain empty-string values, "
+                    "which Spark writes to __HIVE_DEFAULT_PARTITION__ and "
+                    "reads back as NULL — '' and NULL rows would silently "
+                    "merge. Normalize ('' -> NULL or a sentinel) before "
+                    "writing, or pass validate=False to accept the merge."
+                )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

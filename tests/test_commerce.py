@@ -230,6 +230,31 @@ def test_partitioned_sink_prunes(tables, spark, tmp_path):
     spark.sql("DROP TABLE t_sink_check")
 
 
+def test_partitioned_sink_rejects_empty_string_partition(spark, tmp_path):
+    """Spark/Hive writes an empty-string partition value to
+    __HIVE_DEFAULT_PARTITION__, so it reads back as NULL — '' and NULL
+    rows silently merge on round-trip (measured on this box). The sink
+    must refuse by default and obey the explicit off-switch."""
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, ""), (3, None)], "id long, lang string"
+    )
+    out = str(tmp_path / "bad_parts")
+    with _pytest.raises(ValueError, match="empty-string"):
+        write_partitioned(df, out, ["lang"])
+    # the documented escape hatch accepts the merge
+    write_partitioned(df, out, ["lang"], validate=False)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert back.where(F.col("lang").isNull()).count() == 2  # '' merged into NULL
+    # NULL-free string partitions and non-string partitions skip clean
+    ok = spark.createDataFrame([(1, "en"), (2, None)], "id long, lang string")
+    write_partitioned(ok, str(tmp_path / "ok_parts"), ["lang"])
+
+
 def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     """df.write.jdbc end-to-end against embedded Derby (the reference
     lands every result in MySQL, ``SessionStat.scala:152-159``): write
