@@ -20,6 +20,27 @@ def _counts(spark, rows):
     return spark.createDataFrame(rows, "k string, v long")
 
 
+def test_hostile_key_values_roundtrip_exactly(spark, tmp_path):
+    """Key VALUES never enter SQL text (they travel through the
+    parameterized JDBC writer into the stage table; only identifiers
+    are interpolated), so quotes, injection-shaped strings, unicode,
+    NULL and '' must all merge and read back exactly — the audit that
+    a value-interpolating MERGE would fail on the first quote."""
+    be = _backend(spark, tmp_path, "hostile")
+    sink = be.accumulate_sink("t_hostile", ["k"], "v")
+    rows = [
+        ("o'quote", 1),
+        ("uni je 日本", 2),
+        ("semi;DROP TABLE x;--", 3),
+        (None, 4),
+        ("", 5),
+    ]
+    sink(_counts(spark, rows), 0)
+    sink(_counts(spark, rows), 1)
+    got = sorted(((r.k, r.v) for r in be.read_state("t_hostile").collect()), key=str)
+    assert got == sorted(((k, 2 * v) for k, v in rows), key=str)
+
+
 def test_accumulate_merge_and_replay(spark, tmp_path):
     be = _backend(spark, tmp_path, "acc")
     sink = be.accumulate_sink("t_acc", ["k"], "v")
