@@ -546,3 +546,55 @@ def test_tfidf_matches_bruteforce(spark, docs, k):
         for rank, (score, term) in enumerate(scored[:k], start=1):
             expected.append((i, term, score, rank))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# Totality laws for the round-6 ingest hardening: ARBITRARY garbage
+# strings must parse to NULL fields, never throw (under ANSI mode one
+# poison line otherwise aborts the batch — and permanently wedges a
+# stream, which re-reads the same offset on restart).
+# ---------------------------------------------------------------------------
+
+_WIRE_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+
+@_SETTINGS
+@given(lines=st.lists(_WIRE_TEXT, min_size=1, max_size=25))
+def test_parse_ad_log_total_over_arbitrary_lines(spark, lines):
+    from bigdata_commerce_spark.streaming.ad_stream import parse_ad_log
+
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    rows = parse_ad_log(df).collect()  # must never throw
+    assert len(rows) == len(lines)
+    for r in rows:
+        # typed or NULL — never a stringly field sneaking through
+        assert r.user_id is None or isinstance(r.user_id, int)
+        assert r.ad_id is None or isinstance(r.ad_id, int)
+
+
+@_SETTINGS
+@given(
+    dates=st.lists(_WIRE_TEXT, min_size=1, max_size=15),
+    idcsv=_WIRE_TEXT,
+)
+def test_normalize_actions_total_over_arbitrary_strings(spark, dates, idcsv):
+    from bigdata_commerce_spark.sources.commerce import normalize_actions
+
+    raw = spark.createDataFrame(
+        [
+            (d, i, f"s{i}", 1, d, None, -1, -1, idcsv, idcsv, None, None, 1)
+            for i, d in enumerate(dates)
+        ],
+        "date string, user_id long, session_id string, page_id long, "
+        "action_time string, search_keyword string, click_category_id long, "
+        "click_product_id long, order_category_ids string, order_product_ids string, "
+        "pay_category_ids string, pay_product_ids string, city_id long",
+    )
+    rows = normalize_actions(raw).collect()  # must never throw
+    assert len(rows) == len(dates)
+    for r in rows:
+        assert r.order_category_ids is None or all(
+            x is None or isinstance(x, int) for x in r.order_category_ids
+        )
