@@ -65,6 +65,12 @@ def money_sum(col: Column, scale: int = 2) -> Column:
     sum can differ in the last ulp and break value-hash comparison.
     Casting each addend to decimal makes the sum exact, then one
     deterministic rounding back to double.
+
+    NaN/Inf addends become NULL in the decimal cast (measured, Spark 4
+    ANSI) and are therefore silently SKIPPED by the sum — a non-finite
+    money value is corrupt upstream data, and the place to catch it is
+    the ingest gate (operators/validate.finite), not a job abort in
+    every downstream aggregate.
     """
     return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
 

@@ -101,6 +101,20 @@ def matches(col: str, pattern: str, name: str | None = None) -> RowCheck:
     )
 
 
+def finite(col: str, name: str | None = None) -> RowCheck:
+    """A double column carries no NaN/Inf (NULL passes — absent data
+    is a not_null() concern). The gate for the decimal-exact money
+    aggregates: non-finite addends NULL out in their decimal cast and
+    are silently SKIPPED by money_sum/money_avg downstream, so corrupt
+    upstream floats must be caught HERE, at the ingest boundary."""
+    c = F.col(col)
+    return RowCheck(
+        name or f"finite({col})",
+        "finite",
+        c.isNull() | (~F.isnan(c) & (c != float("inf")) & (c != float("-inf"))),
+    )
+
+
 def satisfies(name: str, condition: Column) -> RowCheck:
     """An arbitrary boolean expression over the row (cross-column
     invariants like ship_date <= receipt_date)."""

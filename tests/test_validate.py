@@ -40,6 +40,24 @@ def test_row_checks_null_counts_as_violation(spark):
     assert not got["not_null(id)"].passed
 
 
+def test_finite_flags_nan_and_inf_not_null(spark):
+    """finite(): NaN and +-Inf violate, NULL passes (absent data is a
+    not_null concern) — the gate for money_sum's documented behavior
+    of silently SKIPPING non-finite addends (their decimal cast NULLs
+    out, measured on Spark 4 ANSI)."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "v double",
+    )
+    got = _report(df, [V.finite("v")])
+    assert got["finite(v)"].n_violations == 3
+    assert not got["finite(v)"].passed
+    # and the documented downstream behavior this check guards:
+    from bigdata_commerce_spark.functions import money_sum
+
+    assert df.agg(money_sum(F.col("v")).alias("s")).collect()[0].s == 1.0
+
+
 def test_unique_counts_surplus_rows(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (None, "c"), (None, "c")],
