@@ -598,10 +598,18 @@ def curation_funnel(
         uniq_df = spark.createDataFrame(uniq.collect(), uniq.schema)
     finally:
         flagged.unpersist()
-    return base_df.join(uniq_df, source_col, "left").select(
-        source_col,
-        "n_raw",
-        "n_quality",
-        "n_quality_lang",
-        F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+    # null-SAFE source join: a NULL-source survivor belongs to the
+    # NULL-source funnel row (sources can be absent in real crawls);
+    # a plain equi-join would silently drop its n_unique count
+    return (
+        base_df.join(
+            uniq_df, base_df[source_col].eqNullSafe(uniq_df[source_col]), "left"
+        )
+        .select(
+            base_df[source_col].alias(source_col),
+            "n_raw",
+            "n_quality",
+            "n_quality_lang",
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+        )
     )

@@ -2735,14 +2735,20 @@ def _funnel_sql() -> str:
                    AS n_quality_lang
         FROM flagged GROUP BY source
     ), uniq AS (
+        -- struct-min, NOT arg_min(source, doc_id): DuckDB's arg_min
+        -- SKIPS rows whose arg is NULL, silently re-attributing a
+        -- NULL-source survivor to some other source; min over the
+        -- (doc_id, source) struct keeps the true min-id row
         SELECT source, COUNT(*) AS n_unique FROM (
-            SELECT arg_min(source, doc_id) AS source
+            SELECT (MIN(struct_pack(d := doc_id, s := source))).s AS source
             FROM flagged WHERE ql GROUP BY fp
         ) GROUP BY source
     )
     SELECT p.source, p.n_raw, p.n_quality, p.n_quality_lang,
            COALESCE(u.n_unique, 0) AS n_unique
-    FROM per_source p LEFT JOIN uniq u USING (source)
+    FROM per_source p
+    -- null-safe: the NULL-source funnel row keeps its unique count
+    LEFT JOIN uniq u ON p.source IS NOT DISTINCT FROM u.source
     """
 
 

@@ -249,18 +249,24 @@ def _events(rng: random.Random) -> dict:
     }
 
 
-def _documents(rng: random.Random) -> dict:
+def _documents(rng: random.Random, dup_rate: float = 0.2) -> dict:
     n = 400
     langs = ["en", "de", "fr", "zh", "es"]
     sources = [f"src{i}" for i in range(1, 21)]
+    # dup_rate splits evenly between exact and near duplicates; the
+    # dup-heavy profile (0.7) makes most of the corpus one tangle of
+    # duplicate chains — the regime where cluster merging, canonical
+    # survivor picks and incremental stores earn their keep
+    p_fresh = max(0.0, 0.78 - dup_rate) * (0.50 / 0.58)
+    p_exact = dup_rate / 2
     texts: list[str | None] = []
     for i in range(n):
         r = rng.random()
-        if r < 0.50:
+        if r < p_fresh:
             texts.append(_salad(rng, rng.randrange(10, 120)))
-        elif r < 0.60 and texts:
+        elif r < p_fresh + p_exact and texts:
             texts.append(rng.choice([t for t in texts if t] or ["fallback doc"]))  # exact dup
-        elif r < 0.70 and texts:
+        elif r < p_fresh + 2 * p_exact and texts:
             donor = rng.choice([t for t in texts if t and len(t) > 30] or ["fallback doc two"])
             words = donor.split()
             words[rng.randrange(len(words))] = rng.choice(_WORDS)  # near dup
@@ -314,11 +320,13 @@ def _embeddings(rng: random.Random) -> dict:
     }
 
 
-def generate(out_dir: str) -> str:
+def generate(out_dir: str, dup_rate: float = 0.2) -> str:
     """Write all ten fuzz tables as ``{out_dir}/{table}.parquet``.
 
-    Idempotent and deterministic: same SEED → same bytes-for-bytes
-    values (parquet metadata aside). Returns ``out_dir``.
+    Idempotent and deterministic: same SEED + dup_rate → same
+    bytes-for-bytes values (parquet metadata aside). ``dup_rate``
+    controls the documents table's duplicate density (0.7 = the
+    dup-heavy profile). Returns ``out_dir``.
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(SEED)
@@ -331,7 +339,7 @@ def generate(out_dir: str) -> str:
         "orders": _orders(rng),
         "lineitem": _lineitem(rng),
         "events": _events(rng),
-        "documents": _documents(rng),
+        "documents": _documents(rng, dup_rate),
         "embeddings": _embeddings(rng),
     }
     for name, cols in tables.items():

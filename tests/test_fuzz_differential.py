@@ -107,6 +107,62 @@ def test_empty_tables(spark, empty_dir, name):
     compare_to_oracle(spark, df, ALL_ORACLES[name], empty_dir)
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-heavy profile: 70% of the corpus is exact/near duplicate
+# chains — the regime where cluster merging, canonical survivor picks,
+# span scrubbing and incremental dedup stores do real work (the base
+# profile's ~20% duplication barely links anything). Restricted to the
+# dedup/similarity/span family; the other queries don't read text
+# structure and gain nothing from a third full sweep.
+# ---------------------------------------------------------------------------
+
+DUP_FAMILY = sorted(
+    set(ALL_ORACLES)
+    & {
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_canonical_docs",
+        "minhash_signatures",
+        "simhash_values",
+        "doc_fingerprints",
+        "doc_duplicate_spans",
+        "docs_scrubbed_dupspans",
+        "doc_contaminated_spans",
+        "benchmark_contamination",
+        "source_dup_matrix",
+        "incremental_dedup_novel",
+        "docs_bloom_anti",
+        "docs_bloom_semi",
+        "docs_editdist_join",
+        "cross_corpus_links",
+        "documents_canonical_urls",
+        "url_dedup_survivors",
+        "boilerplate_scrub",
+        "repetition_stats",
+        "corpus_curation",
+        "corpus_curation_funnel",
+    }
+)
+
+
+@pytest.fixture(scope="session")
+def dup_heavy_dir(tmp_path_factory) -> str:
+    return generate(str(tmp_path_factory.mktemp("dupheavy")), dup_rate=0.7)
+
+
+def test_dup_family_is_nonempty():
+    assert len(DUP_FAMILY) >= 20
+
+
+@pytest.mark.parametrize("name", DUP_FAMILY)
+def test_dup_heavy_matches_oracle(spark, dup_heavy_dir, name):
+    df = ALL_QUERIES[name](spark, dup_heavy_dir)
+    compare_to_oracle(spark, df, ALL_ORACLES[name], dup_heavy_dir)
+
+
 def test_empty_ivf_index_with_explicit_centroids(spark, empty_dir, tmp_path):
     """An EMPTY index is legitimate when the quantizer is supplied
     (build-then-append lifecycle): write must leave a readable store
