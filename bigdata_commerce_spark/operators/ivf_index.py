@@ -25,6 +25,7 @@ re-rank (asserted in tests).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -190,7 +191,11 @@ def _read_cells(spark: SparkSession, path: str) -> DataFrame:
     try:
         cell_schema = spark.read.parquet(f"{path}/cells_schema").schema
         reader = spark.read.schema(cell_schema)
-    except Exception:  # noqa: BLE001 — anchor absent in older indexes
+    except AnalysisException:  # anchor absent in older indexes
+        # Only the documented "index written before the anchor
+        # existed" case (PATH_NOT_FOUND / unreadable-as-table) may
+        # fall back to inference; a transient FS or permission error
+        # must surface, not silently degrade (round-6 advice).
         reader = spark.read
     return reader.parquet(f"{path}/cells")
 

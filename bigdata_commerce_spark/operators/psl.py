@@ -491,7 +491,13 @@ def registered_domain_sql(bare_host_sql: str, rules: PslRules) -> str:
             f"THEN {b + 1} ELSE 1 END"
         )
     slen = "GREATEST(" + ", ".join(greatest_args) + ")"
-    for e, vals in sorted(_by_label_count(rules.exception).items(), reverse=True):
+    # Wrap shortest-first so the LONGEST-label exception check ends up
+    # outermost — matching the Spark side's longest-first coalesce.
+    # (With nested exceptions like {!www.ck, !foo.www.ck}, wrapping
+    # longest-first put the shortest CASE outermost and it won; the
+    # bundled snapshot has no nested exceptions, but a swapped-in full
+    # PSL does — round-6 advice.)
+    for e, vals in sorted(_by_label_count(rules.exception).items()):
         slen = f"CASE WHEN {in_list(e, vals)} THEN {e - 1} ELSE {slen} END"
 
     return (

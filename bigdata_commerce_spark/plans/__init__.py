@@ -21,9 +21,15 @@ TWIN_ORACLES.setdefault("region_top3_parts_sql", ORACLES["region_top3_parts"])
 
 # Rotate this round's driver catalog: anchors stay, ~35 slots go to
 # queries the driver's independent gate has never checked (see
-# plans/rotation.py and ROTATION.md).
-from bigdata_commerce_spark.plans.rotation import apply_rotation  # noqa: E402
+# plans/rotation.py and ROTATION.md). Rotations apply in round order
+# so the ledger history stays executable.
+from bigdata_commerce_spark.plans.rotation import (  # noqa: E402
+    DEMOTE_R7,
+    PROMOTE_R7,
+    apply_rotation,
+)
 
-apply_rotation()
+apply_rotation()  # r6: PROMOTE_R6 / DEMOTE_R6
+apply_rotation(PROMOTE_R7, DEMOTE_R7)  # r7: closes the ledger
 
 __all__ = ["QUERIES", "ORACLES", "TWIN_QUERIES", "TWIN_ORACLES"]

@@ -1668,37 +1668,73 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "shuffle", "join"])
 
 
-@twin_query(
-    "embeddings_quantized",
-    oracle="""
-    WITH s AS (
+# Shared CTE: the int8 quantization replay (identical in the array-
+# shaped twin and the flattened driver form below).
+_QUANTIZE_CTE = """
+    s AS (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding,
                         x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
         FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               CAST(ROUND(sc, 8) AS DOUBLE) AS qscale_r,
+               CASE WHEN sc > 0
+                    THEN list_transform(embedding,
+                         x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS TINYINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+               END AS qvec
+        FROM s
     )
-    SELECT vec_id,
-           CAST(ROUND(sc, 8) AS DOUBLE) AS qscale_r,
-           CASE WHEN sc > 0
-                THEN list_transform(embedding,
-                     x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS TINYINT))
-                ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
-           END AS qvec
-    FROM s
-    """,
+"""
+
+
+@twin_query(
+    "embeddings_quantized_vec",
+    oracle=f"WITH {_QUANTIZE_CTE} SELECT vec_id, qscale_r, qvec FROM q",
 )
-def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embeddings_quantized_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding corpus
     (operators/quantize.py) — codes must be BIT-identical to the
     oracle's double-precision replay (float->double casts before any
-    arithmetic, round-half-away in both engines). Twin slot: driver
-    catalog is at its 50-entry cap."""
+    arithmetic, round-half-away in both engines). Array-shaped form:
+    a permanent twin — the driver's pandas canonicalizer cannot hash
+    top-level arrays (CORRECTNESS_r06 red rows), so driver slots get
+    the flattened `embeddings_quantized` below."""
     from bigdata_commerce_spark.operators.quantize import quantize_embeddings
 
     emb = load_table(spark, "embeddings", sf_dir)
     q = quantize_embeddings(emb)
     return q.select(
         "vec_id", F.round("qscale", 8).alias("qscale_r"), "qvec"
+    )
+
+
+@twin_query(
+    "embeddings_quantized",
+    oracle=f"""
+    WITH {_QUANTIZE_CTE}
+    SELECT vec_id, qscale_r,
+           CAST(g.i - 1 AS INT) AS dim_idx,
+           qvec[g.i] AS qvalue
+    FROM q, LATERAL (SELECT UNNEST(generate_series(1, len(qvec))) AS i) g
+    """,
+)
+def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot form of the int8 quantization: one scalar row per
+    (vector, dimension) — `posexplode` of the code array — because the
+    driver's pandas canonicalizer cannot sort/hash top-level array
+    columns (the r6 red rows). Values are the SAME bit-exact codes as
+    `embeddings_quantized_vec`; row-identity between the two shapes is
+    pytest-asserted."""
+    from bigdata_commerce_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("qscale", 8).alias("qscale_r"),
+        F.posexplode("qvec").alias("dim_idx", "qvalue"),
     )
 
 
@@ -2119,7 +2155,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _jl_oracle() -> str:
+def _jl_oracle(flat: bool = False) -> str:
     import numpy as np
 
     planes = np.random.default_rng(42).standard_normal((16, 64))
@@ -2131,6 +2167,13 @@ def _jl_oracle() -> str:
             i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
         )
         for i, row in enumerate(planes)
+    )
+    final = (
+        # flattened (driver-slot) shape: one scalar row per coordinate
+        "SELECT vec_id, CAST(plane_id AS INT) AS plane_id, c AS value FROM proj"
+        if flat
+        else "SELECT vec_id, list(c ORDER BY plane_id) AS projected\n"
+        "    FROM proj GROUP BY vec_id"
     )
     return f"""
     WITH planes(plane_id, pv) AS (
@@ -2160,20 +2203,34 @@ def _jl_oracle() -> str:
                     ELSE r END AS c
         FROM raw
     )
-    SELECT vec_id, list(c ORDER BY plane_id) AS projected
-    FROM proj GROUP BY vec_id
+    {final}
     """
 
 
-@twin_query("embeddings_jl_projected", oracle=_jl_oracle())
-def embeddings_jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+@twin_query("embeddings_jl_projected_vec", oracle=_jl_oracle())
+def embeddings_jl_projected_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-d → 16-d Johnson–Lindenstrauss projection of the embedding
     corpus (similarity.random_projection): the SAME seeded plane
     matrix as the sign-LSH family, sequential-fold dot products
     bit-identical to the oracle's list_reduce, 1/sqrt(16) distance
-    scaling. Twin slot: driver catalog is at its 50-entry cap."""
+    scaling. Array-shaped form: permanent twin — the driver's pandas
+    canonicalizer cannot hash top-level arrays (CORRECTNESS_r06 red
+    rows); driver slots get the flattened form below."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.random_projection(emb)
+
+
+@twin_query("embeddings_jl_projected", oracle=_jl_oracle(flat=True))
+def embeddings_jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot form of the JL projection: `posexplode` to one
+    scalar row per (vec_id, plane_id) — same bit-exact coordinates as
+    `embeddings_jl_projected_vec` (row-identity pytest-asserted), in a
+    shape the driver's pandas canonicalizer can sort and hash."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.random_projection(emb)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("plane_id", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2620,24 +2677,28 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence training examples (next-event prediction pairs)
 # ---------------------------------------------------------------------------
 
-_SEQPAIRS_SQL = """
-WITH seqs AS (
+_SEQPAIRS_CTE = """
+seqs AS (
     SELECT user_id, list(event_type ORDER BY ts, event_id) AS ev
     FROM events WHERE ts IS NOT NULL GROUP BY user_id
+), pairs AS (
+    SELECT user_id, i AS target_idx, ev[i - 2 : i] AS context, ev[i + 1] AS target
+    FROM seqs,
+         LATERAL (SELECT UNNEST(generate_series(3, len(ev) - 1)) AS i) g
 )
-SELECT user_id, i AS target_idx, ev[i - 2 : i] AS context, ev[i + 1] AS target
-FROM seqs,
-     LATERAL (SELECT UNNEST(generate_series(3, len(ev) - 1)) AS i) g
 """
 
 
-@twin_query("user_next_event_examples", oracle=_SEQPAIRS_SQL)
-def user_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+@twin_query(
+    "user_next_event_examples_vec",
+    oracle=f"WITH {_SEQPAIRS_CTE} SELECT * FROM pairs",
+)
+def user_next_event_examples_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(context, target) training pairs for next-event models
     (operators/seqpairs.py): per user, every event with a full
     3-event history becomes one example — one key shuffle, map-side
-    window construction, total (ts, event_id) order. Twin slot:
-    driver catalog is at its 50-entry cap."""
+    window construction, total (ts, event_id) order. Array-shaped
+    form: permanent twin (driver slots must emit scalar columns)."""
     from bigdata_commerce_spark.operators.seqpairs import next_event_examples
 
     ev = load_table(spark, "events", sf_dir)
@@ -2646,6 +2707,35 @@ def user_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("target_idx").cast("long").alias("target_idx"),
         "context",
+        "target",
+    )
+
+
+@twin_query(
+    "user_next_event_examples",
+    oracle=f"""
+    WITH {_SEQPAIRS_CTE}
+    SELECT user_id, target_idx,
+           array_to_string(list_transform(context, x -> COALESCE(x, '')),
+                           chr(1)) AS context,
+           target
+    FROM pairs
+    """,
+)
+def user_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot form of the next-event training pairs: the 3-token
+    context window serialized with a \\x01 separator (the driver's
+    pandas canonicalizer cannot hash array columns). Token-identical
+    to `user_next_event_examples_vec` — row-identity pytest-asserted;
+    the context is always exactly 3 tokens so the join is lossless."""
+    from bigdata_commerce_spark.operators.seqpairs import next_event_examples
+
+    ev = load_table(spark, "events", sf_dir)
+    out = next_event_examples(ev, context_len=3)
+    return out.select(
+        "user_id",
+        F.col("target_idx").cast("long").alias("target_idx"),
+        F.array_join("context", "\x01", "").alias("context"),
         "target",
     )
 

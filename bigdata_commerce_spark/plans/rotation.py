@@ -124,6 +124,62 @@ DEMOTE_R6: tuple[str, ...] = (
     "users_click_no_purchase",
 )
 
+# Round 7 closes the ledger: promote EVERY remaining never-driver-
+# checked twin. Of the 36-query pool, three stay twins with explicit
+# row-identity pins to driver-verified siblings instead of burning a
+# slot (the driver catalog is full at 15 anchors + the 33 below + the
+# two re-slotted flattened embedding queries):
+#   - chunk_documents_udtf  == chunk_documents        (driver r6)
+#   - asof_skew_bounded     == asof_click_attribution (driver r1-r5)
+#   - sessionize_skew_bounded == the exact sessionize path that
+#     feeds the session_stats anchor (driver r1-r6)
+# (pins asserted in tests/test_twin_queries.py).
+PROMOTE_R7: tuple[str, ...] = (
+    "boilerplate_scrub",
+    "corpus_curation_funnel",
+    "corpus_report",
+    "cross_corpus_links",
+    "customer_rfm_segments",
+    "data_quality_report",
+    "docs_bloom_semi",
+    "embedding_centroid_drift",
+    "event_value_percentile_bands",
+    "events_agg_refresh",
+    "events_ewma_value",
+    "events_grouping_sets",
+    "events_key_skew",
+    "events_profile",
+    "events_running_value",
+    "events_snapshot_diff",
+    "events_value_winsorized",
+    "events_variant_fields",
+    "group_concat_distinct_udaf",
+    "latest_user_events",
+    "lineitem_corr_matrix",
+    "lineitem_unpivot",
+    "orders_customer_key_overlap",
+    "parts_bought_together",
+    "price_distribution_psi",
+    "source_dup_matrix",
+    "top_bigrams",
+    "ts_similar_users",
+    "user_decayed_value",
+    "user_next_event_examples",
+    "user_value_anomalies",
+    "user_value_robust_anomalies",
+    "user_value_trend",
+)
+
+# The r6 promotions demote after their green r6 rows — EXCEPT the two
+# embedding queries, whose r6 rows were red (array-output driver
+# crash): their now-flattened forms stay slotted to earn the green
+# row in r7.
+DEMOTE_R7: tuple[str, ...] = tuple(
+    q
+    for q in PROMOTE_R6
+    if q not in ("embeddings_jl_projected", "embeddings_quantized")
+)
+
 DRIVER_SLOT_CAP = 50
 
 

@@ -15,8 +15,21 @@ join handler deals with hot keys without manual salting.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+_HEAP_UNITS = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+_DEFAULT_HEAP_BYTES = 8 * 1024**3
+
+
+def _heap_bytes(value: str) -> int:
+    """Parse a JVM memory string the way Spark does ("8g", "8gb",
+    "512mb", bare bytes, any case). An unparseable value falls back
+    to the 8g default instead of crashing session construction
+    (round-6 advice: "8gb" hit ``int("8gb")``, "" hit ``heap[-1]``)."""
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", value.strip().lower())
+    return int(m.group(1)) * _HEAP_UNITS[m.group(2)] if m else _DEFAULT_HEAP_BYTES
 
 
 def get_spark(
@@ -46,11 +59,7 @@ def get_spark(
     # ~3 concurrent 64MB-class broadcasts + execution memory inside
     # the default memory fractions. At the tuned 8g (and on real
     # executors) this stays the 64MB ceiling.
-    heap = os.environ.get("SPARK_DRIVER_MEMORY", "8g").strip().lower()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    heap_bytes = (
-        int(heap[:-1]) * units[heap[-1]] if heap[-1] in units else int(heap)
-    )
+    heap_bytes = _heap_bytes(os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     broadcast_threshold = min(64 * 1024 * 1024, heap_bytes // 48)
 
     builder = (

@@ -65,9 +65,40 @@ def _canon(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     return cols_sorted, data
 
 
+def assert_driver_compatible(query_df: DataFrame, name: str = "") -> None:
+    """Driver-slot output contract: scalar top-level columns only.
+
+    The driver's pandas-based canonicalizer crashes on top-level
+    array/map/struct columns (`TypeError: unhashable type: 'list'` —
+    the CORRECTNESS_r06 red rows), while this replica's ``_norm``
+    tuple-izes them, so without this guard a driver-slotted query can
+    pass pytest and still go red in the driver. Twins may keep
+    nested shapes; anything slotted into the <=50 driver catalog must
+    flatten (posexplode / array_join) first.
+    """
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in query_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"driver-slotted query {name!r} emits non-scalar top-level columns "
+        f"(the driver's pandas canonicalizer cannot sort/hash them): {bad}; "
+        f"flatten with posexplode/array_join or demote to a twin slot"
+    )
+
+
 def compare_to_oracle(
-    spark: SparkSession, query_df: DataFrame, oracle: str, sf_dir: str
+    spark: SparkSession,
+    query_df: DataFrame,
+    oracle: str,
+    sf_dir: str,
+    driver_slot: bool = False,
 ) -> None:
+    if driver_slot:
+        assert_driver_compatible(query_df)
     spark_rows = [tuple(r) for r in query_df.collect()]
     spark_cols = list(query_df.columns)
 

@@ -182,3 +182,39 @@ def test_rules_are_hashable_and_cached(include_private):
     a = psl.default_rules(include_private)
     b = psl.default_rules(include_private)
     assert a is b  # lru_cache
+
+
+def test_nested_exception_rules_agree_across_engines(spark):
+    """Round-6 advice regression: with NESTED exception rules
+    (!www.ck and !foo.www.ck) the DuckDB restatement wrapped its
+    CASEs so the SHORTEST exception ended outermost and won, while
+    the Spark coalesce is longest-first — host foo.www.ck drifted
+    (Spark foo.www.ck, DuckDB www.ck). Unreachable with the bundled
+    snapshot (no nested exceptions), latent for a swapped-in full
+    PSL. Both engines must pick the longest matching exception."""
+    rules = psl.PslRules(
+        exact=frozenset({"ck"}),
+        wildcard=frozenset({"ck", "www.ck"}),
+        exception=frozenset({"www.ck", "foo.www.ck"}),
+    )
+    cases = [
+        ("www.ck", "www.ck"),            # !www.ck cancels *.ck
+        ("foo.www.ck", "foo.www.ck"),    # !foo.www.ck (longest) must win
+        ("x.foo.www.ck", "foo.www.ck"),
+        ("bar.www.ck", "www.ck"),        # !www.ck matches last-2 labels
+                                         # (exception beats *.www.ck)
+        ("a.ck", "a.ck"),                # *.ck wildcard -> itself
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, host string"
+    )
+    out = df.withColumn("dom", psl.registered_domain_expr(df.host, rules))
+    got_spark = {r["i"]: r["dom"] for r in out.collect()}
+    sql = psl.registered_domain_sql("h", rules)
+    con = duckdb.connect()
+    for i, (host, want) in enumerate(cases):
+        got_duck = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS h)", [host]
+        ).fetchone()[0]
+        assert got_spark[i] == want, f"spark {host!r}: {got_spark[i]!r}"
+        assert got_duck == want, f"duckdb {host!r}: {got_duck!r}"

@@ -61,6 +61,76 @@ def test_udtf_chunker_row_identical_to_expression_form(spark):
     assert "BatchEvalPythonUDTF" not in plan
 
 
+def test_flattened_driver_forms_row_identical_to_array_twins(spark):
+    """The driver-slot (scalar-column) forms of the array-shaped
+    queries must carry exactly the same values as their `_vec` twins:
+    exploding the twin's array reproduces the flattened rows bit for
+    bit (ROTATION.md r7 — the r6 red-row fix)."""
+    from pyspark.sql import functions as F
+
+    all_q = {**TWIN_QUERIES, **QUERIES}  # rotation-proof lookup
+
+    flat = all_q["embeddings_quantized"](spark, SF_SMOKE)
+    vec = all_q["embeddings_quantized_vec"](spark, SF_SMOKE).select(
+        "vec_id",
+        "qscale_r",
+        F.posexplode("qvec").alias("dim_idx", "qvalue"),
+    )
+    assert flat.columns == vec.columns
+    assert _sorted_rows(flat) == _sorted_rows(vec)
+
+    flat = all_q["embeddings_jl_projected"](spark, SF_SMOKE)
+    vec = all_q["embeddings_jl_projected_vec"](spark, SF_SMOKE).select(
+        "vec_id", F.posexplode("projected").alias("plane_id", "value")
+    )
+    assert flat.columns == vec.columns
+    assert _sorted_rows(flat) == _sorted_rows(vec)
+
+    flat = all_q["user_next_event_examples"](spark, SF_SMOKE)
+    vec = all_q["user_next_event_examples_vec"](spark, SF_SMOKE).select(
+        "user_id",
+        "target_idx",
+        F.array_join("context", "\x01", "").alias("context"),
+        "target",
+    )
+    assert flat.columns == vec.columns
+    assert _sorted_rows(flat) == _sorted_rows(vec)
+
+
+def test_skew_bounded_twins_row_identical_to_exact_siblings(spark):
+    """ROTATION.md r7 pins: the two `*_skew_bounded` twins never burn
+    a driver slot because they are row-identical to driver-verified
+    exact paths — the bucketized time-spine stitch must be invisible.
+
+    - asof_skew_bounded == asof_click_attribution (driver r1-r5)
+    - sessionize_skew_bounded == the exact sessionize that feeds the
+      session_stats anchor (driver-verified every round)
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_commerce_spark.operators.sessionize import sessionize
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    def rows_nullsafe(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda r: tuple((x is None, str(x)) for x in r),
+        )
+
+    all_q = {**TWIN_QUERIES, **QUERIES}
+    bucketized = all_q["asof_skew_bounded"](spark, SF_SMOKE)
+    exact = all_q["asof_click_attribution"](spark, SF_SMOKE)
+    assert bucketized.columns == exact.columns
+    assert rows_nullsafe(bucketized) == rows_nullsafe(exact)
+
+    bucketized = all_q["sessionize_skew_bounded"](spark, SF_SMOKE)
+    ev = load_table(spark, "events", SF_SMOKE).select("user_id", "ts")
+    exact = sessionize(ev, gap_minutes=30)
+    assert bucketized.columns == exact.columns
+    assert _sorted_rows(bucketized) == _sorted_rows(exact)
+
+
 def test_ivf_indexed_matches_in_memory_form(spark):
     """Persisted partition-pruned IVF index returns exactly what the
     in-memory IVF search returns (same quantizer, same re-rank)."""
