@@ -30,40 +30,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.sources.sinks import JdbcConfig
+from bigdata_commerce_spark.streaming.dialects import (
+    EPOCH_COL,
+    KH_COL,
+    SqlDialect,
+    dialect_for_url,
+)
 from bigdata_commerce_spark.streaming.sinks import BatchFn
 
-
-def _q(name: str) -> str:
-    # Spark's JDBC writer creates case-exact quoted identifiers; raw
-    # SQL must quote the same way or Derby upper-cases and misses.
-    return '"' + name + '"'
-
-
-# Hidden column on append-only state tables recording the inserting
-# epoch — what lets read_state(before_epoch=...) replay a historical
-# view (the parquet backend gets the same property from its per-epoch
-# snapshot dirs).
-EPOCH_COL = "__epoch"
+# EPOCH_COL: hidden column on append-only state tables recording the
+# inserting epoch — what lets read_state(before_epoch=...) replay a
+# historical view (the parquet backend gets the same property from its
+# per-epoch snapshot dirs). Defined in dialects.py; re-exported here
+# for the tests and sinks that import it from this module.
 
 # Stored stand-in for NULL in string columns (see _stage): a bare NUL
 # character, which no parsed log field or aggregate key produces.
 NULL_SENTINEL = "\x00"
 
-# Hidden surrogate-key column: md5 of the JSON-encoded key struct,
-# computed Spark-side at staging. The null-safe OR form of the key
-# equality (below) defeats every RDBMS's index planner, so a MERGE
-# against a growing state table degenerates to a nested-loop join —
-# measured on this topology: the accumulate merges went 0.4s (empty
-# state) -> 21-23s by epoch 1 at ~10k state rows, quadratic from
-# there. Leading the ON clause with `t.__kh = s.__kh` (indexed at DDL
-# time) restores index lookups; the null-safe per-column conjuncts
-# stay as residual predicates, so semantics — including NULL keys
-# merging as equal and md5-collision safety — are unchanged.
-# to_json(struct(keys)) is injective for a fixed field set (absent
-# fields are dropped by name, so every NULL pattern serializes
+# KH_COL (defined in dialects.py): hidden surrogate-key column — md5
+# of the JSON-encoded key struct, computed Spark-side at staging. The
+# null-safe OR form of the key equality defeats every RDBMS's index
+# planner, so a MERGE against a growing state table degenerates to a
+# nested-loop join — measured on this topology: the accumulate merges
+# went 0.4s (empty state) -> 21-23s by epoch 1 at ~10k state rows,
+# quadratic from there. Leading the ON clause with `t.__kh = s.__kh`
+# (indexed at DDL time) restores index lookups; the null-safe
+# per-column conjuncts stay as residual predicates, so semantics —
+# including NULL keys merging as equal and md5-collision safety — are
+# unchanged. to_json(struct(keys)) is injective for a fixed field set
+# (absent fields are dropped by name, so every NULL pattern serializes
 # distinctly) and stable across Spark versions for the key types the
 # sinks use (string/date/timestamp/numeric).
-KH_COL = "__kh"
 
 
 def _with_key_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -72,23 +70,24 @@ def _with_key_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def _on_clause(key_cols: list[str]) -> str:
-    # Leading indexable equality + null-safe residuals (KH_COL note).
-    return " AND ".join(
-        [f"t.{_q(KH_COL)} = s.{_q(KH_COL)}"]
-        + [
-            f"(t.{_q(k)} = s.{_q(k)} OR (t.{_q(k)} IS NULL AND s.{_q(k)} IS NULL))"
-            for k in key_cols
-        ]
-    )
-
-
 class JdbcStateBackend:
-    """Factory for the four merge-mode sinks over one JDBC database."""
+    """Factory for the four merge-mode sinks over one JDBC database.
 
-    def __init__(self, spark, config: JdbcConfig) -> None:
+    All SQL strings come from the ``dialect`` (inferred from the JDBC
+    URL when not given): embedded Derby is the integration-tested
+    path; MySQL — the reference's actual sink database
+    (``JdbcHelper.scala``) — is statement-string-tested
+    (``tests/test_jdbc_dialects.py``) since no server exists in the
+    sandbox. The staging step, epoch ledger, transaction shape, and
+    replay semantics are dialect-independent.
+    """
+
+    def __init__(
+        self, spark, config: JdbcConfig, dialect: SqlDialect | None = None
+    ) -> None:
         self._spark = spark
         self._cfg = config
+        self._dialect = dialect or dialect_for_url(config.url)
         self._kh_migrated: set[str] = set()
 
     # -- raw driver-side connection (py4j) --------------------------------
@@ -122,10 +121,13 @@ class JdbcStateBackend:
             # partition writer (the trend sink stages ~100k rows/batch)
             .option("batchsize", "10000")
         )
-        # Spark's Derby dialect maps string -> CLOB, which cannot be a
-        # MERGE/join key; declare VARCHAR for every string column.
+        # Spark's Derby dialect maps string -> CLOB and its MySQL
+        # dialect -> TEXT; neither can be a MERGE/join/index key —
+        # declare the dialect's indexable type for every string column.
         varchars = ", ".join(
-            f"{c} VARCHAR(1024)" for c, t in batch_df.dtypes if t == "string"
+            f"{c} {self._dialect.string_stage_type}"
+            for c, t in batch_df.dtypes
+            if t == "string"
         )
         if varchars:
             w = w.option("createTableColumnTypes", varchars)
@@ -152,42 +154,33 @@ class JdbcStateBackend:
         ``migrate_ddl`` statements run (errors-ignored) after the lazy
         CREATEs — the upgrade hook for schema additions on tables
         created by earlier code versions."""
+        d = self._dialect
         conn = self._connect()
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
             # Lazy DDL: state table cloned from staging's shape, ledger
-            # keyed by epoch. Derby has no IF NOT EXISTS -> X0Y32.
+            # keyed by epoch. Derby has no IF NOT EXISTS — ignorable
+            # error markers come from the dialect.
             self._exec_ignore(
-                st,
-                f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
-                ("X0Y32", "already exists"),
+                st, d.create_state_table(table, stage), d.exists_ok_markers
             )
             # The index behind the MERGE's leading __kh equality (KH_COL
             # note). Pre-__kh legacy tables were already upgraded by
             # _ensure_key_hash before any statement got here.
-            self._exec_ignore(
-                st,
-                f"CREATE INDEX {table}_kh_idx ON {table}({_q(KH_COL)})",
-                ("X0Y32", "already exists", "42X14", "42X04"),
-            )
+            self._exec_ignore(st, d.create_kh_index(table), d.exists_ok_markers)
             for ddl in migrate_ddl:
-                self._exec_ignore(st, ddl, ("X0Y32", "already exists", "42X14", "42Z93"))
+                self._exec_ignore(st, ddl, d.exists_ok_markers)
             self._exec_ignore(
-                st,
-                f"CREATE TABLE {table}_epochs "
-                "(epoch BIGINT NOT NULL PRIMARY KEY)",
-                ("X0Y32", "already exists"),
+                st, d.create_epoch_ledger(table), d.exists_ok_markers
             )
             conn.commit()
             try:
                 # Atomic epoch claim: a duplicate key means this batch
                 # already committed (micro-batch replay) -> skip.
-                st.executeUpdate(
-                    f"INSERT INTO {table}_epochs VALUES ({int(epoch_id)})"
-                )
+                st.executeUpdate(d.insert_epoch(table, epoch_id))
             except Exception as e:
-                if "23505" in str(e) or "duplicate key" in str(e):
+                if any(m in str(e) for m in d.dup_key_markers):
                     conn.rollback()
                     return False
                 raise
@@ -215,7 +208,7 @@ class JdbcStateBackend:
             raw = read_jdbc(self._spark, table, self._cfg)
             raw.schema
         except Exception as e:
-            if "does not exist" in str(e) or "42X05" in str(e):
+            if any(m in str(e) for m in self._dialect.missing_table_markers):
                 self._kh_migrated.add(table)  # first write creates it hashed
                 return
             raise
@@ -232,15 +225,15 @@ class JdbcStateBackend:
                 )
         hashed = _with_key_hash(decoded, key_cols)
         stage = self._stage(hashed, f"{table}_mig")
-        cols = ", ".join(_q(c) for c in hashed.columns)
+        cols = ", ".join(self._dialect.quote(c) for c in hashed.columns)
         conn = self._connect()
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
             self._exec_ignore(
                 st,
-                f"ALTER TABLE {table} ADD COLUMN {_q(KH_COL)} VARCHAR(32)",
-                ("X0Y32", "already exists", "42X14"),
+                self._dialect.add_column(table, KH_COL, "VARCHAR(32)"),
+                self._dialect.exists_ok_markers,
             )
             st.executeUpdate(f"DELETE FROM {table}")
             st.executeUpdate(
@@ -279,7 +272,7 @@ class JdbcStateBackend:
             df = read_jdbc(self._spark, table, self._cfg)
             df.schema  # force table resolution
         except Exception as e:
-            if "does not exist" in str(e) or "42X05" in str(e):
+            if any(m in str(e) for m in self._dialect.missing_table_markers):
                 return None
             raise
         if KH_COL in df.columns:  # hidden surrogate key, never surfaced
@@ -314,19 +307,10 @@ class JdbcStateBackend:
                 key_cols,
             )
             stage = self._stage(new, table)
-            on = _on_clause(key_cols)
-            ins = [*key_cols, value_col, KH_COL]
-            cols = ", ".join(_q(c) for c in ins)
-            vals = ", ".join(f"s.{_q(c)}" for c in ins)
             self._apply(
                 table,
                 stage,
-                [
-                    f"MERGE INTO {table} t USING {stage} s ON {on} "
-                    f"WHEN MATCHED THEN UPDATE SET {_q(value_col)} = "
-                    f"t.{_q(value_col)} + s.{_q(value_col)} "
-                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
-                ],
+                self._dialect.upsert_accumulate(table, stage, key_cols, value_col),
                 epoch_id,
             )
 
@@ -349,22 +333,18 @@ class JdbcStateBackend:
             self._ensure_key_hash(table, key_cols)
             hashed = _with_key_hash(batch_df, key_cols)
             stage = self._stage(hashed, table)
-            on = _on_clause(key_cols)
-            # __kh rides data_cols: re-SET on match is a no-op (equal
-            # keys hash equally) and keeps the statement uniform
-            sets = ", ".join(
-                f"{_q(c)} = s.{_q(c)}" for c in [*data_cols, KH_COL]
-            )
-            cols = ", ".join(_q(c) for c in hashed.columns)
-            vals = ", ".join(f"s.{_q(c)}" for c in hashed.columns)
+            # __kh rides the SET list: re-SET on match is a no-op
+            # (equal keys hash equally) and keeps the statement uniform
             self._apply(
                 table,
                 stage,
-                [
-                    f"MERGE INTO {table} t USING {stage} s ON {on} "
-                    f"WHEN MATCHED THEN UPDATE SET {sets} "
-                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
-                ],
+                self._dialect.upsert_overwrite(
+                    table,
+                    stage,
+                    key_cols,
+                    [*data_cols, KH_COL],
+                    list(hashed.columns),
+                ),
                 epoch_id,
             )
 
@@ -378,24 +358,18 @@ class JdbcStateBackend:
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             # __kh here hashes the PARTITION columns (rows of one
-            # partition share it), indexing the DELETE's correlate
+            # partition share it), indexing the DELETE's correlate;
+            # the dialect keeps the null-safe residuals — a NULL
+            # (non-string) partition value must still replace its rows
             self._ensure_key_hash(table, partition_cols)
             stage = self._stage(_with_key_hash(batch_df, partition_cols), table)
-            # null-safe, like _on_clause: a NULL (non-string) partition
-            # value must still replace its old rows
-            corr = " AND ".join(
-                [f"s.{_q(KH_COL)} = t.{_q(KH_COL)}"]
-                + [
-                    f"(s.{_q(p)} = t.{_q(p)} OR (s.{_q(p)} IS NULL AND t.{_q(p)} IS NULL))"
-                    for p in partition_cols
-                ]
-            )
             self._apply(
                 table,
                 stage,
                 [
-                    f"DELETE FROM {table} t WHERE EXISTS "
-                    f"(SELECT 1 FROM {stage} s WHERE {corr})",
+                    self._dialect.delete_matching_partitions(
+                        table, stage, partition_cols
+                    ),
                     f"INSERT INTO {table} SELECT * FROM {stage}",
                 ],
                 epoch_id,
@@ -416,26 +390,22 @@ class JdbcStateBackend:
                 key_cols,
             )
             stage = self._stage(new, table)
-            on = _on_clause(key_cols)
-            ins_cols = [*key_cols, EPOCH_COL, KH_COL]
-            cols = ", ".join(_q(c) for c in ins_cols)
-            vals = ", ".join(f"s.{_q(c)}" for c in ins_cols)
             self._apply(
                 table,
                 stage,
-                [
-                    f"MERGE INTO {table} t USING {stage} s ON {on} "
-                    f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
-                ],
+                self._dialect.insert_missing(
+                    table, stage, key_cols, [*key_cols, EPOCH_COL, KH_COL]
+                ),
                 epoch_id,
                 # upgrade path: a table created before the epoch stamp
-                # existed gains the column with DEFAULT -1 — Derby
-                # backfills existing rows with the default, so legacy
-                # rows read as epoch -1 and appear in EVERY
+                # existed gains the column with DEFAULT -1 — the
+                # backend backfills existing rows with the default, so
+                # legacy rows read as epoch -1 and appear in EVERY
                 # before_epoch view (they predate all epochs)
                 migrate_ddl=(
-                    f"ALTER TABLE {table} ADD COLUMN {_q(EPOCH_COL)} "
-                    "BIGINT DEFAULT -1",
+                    self._dialect.add_column(
+                        table, EPOCH_COL, "BIGINT DEFAULT -1"
+                    ),
                 ),
             )
 
