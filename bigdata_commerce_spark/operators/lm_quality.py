@@ -120,3 +120,131 @@ def char_bigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    head: float = 1 / 3,
+    middle: float = 2 / 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): within
+    each language, split documents into ``head`` / ``middle`` /
+    ``tail`` by LM score terciles — head (lowest perplexity) is the
+    highest-quality slice, the standard curriculum/selection knob for
+    web corpora. CCNet uses a Wikipedia-trained KenLM per language;
+    here the score is the corpus's own char-bigram NLL
+    (:func:`char_bigram_nll`), which keeps the operator self-contained
+    and oracle-exact.
+
+    Boundaries are EXACT interpolated percentiles per language — one
+    tiny hash aggregate (one row per language) broadcast back onto
+    the scored corpus, never a global sort/window. Boundaries are
+    rounded (6dp, like the nll itself) BEFORE comparison — the
+    engine-portability discipline for percentile cutpoints. NULL
+    languages form their own bucket group (sentinel-keyed through the
+    join, surfaced as NULL). Documents shorter than 2 characters have
+    no bigrams and are absent, matching char_bigram_nll's contract.
+    """
+    scored = char_bigram_nll(docs, None, id_col, text_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    # sentinel-key the language so NULL groups survive the equi-join
+    # (both Spark equi-joins and SQL USING drop NULL keys); chr(1)
+    # collides with no real language tag
+    grp = F.coalesce(F.col(lang_col), F.lit("\x01"))
+    keyed = scored.withColumn("__grp", grp)
+    bounds = keyed.groupBy("__grp").agg(
+        F.round(F.expr(f"percentile(nll, {head!r})"), 6).alias("__p_head"),
+        F.round(F.expr(f"percentile(nll, {middle!r})"), 6).alias("__p_mid"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("__p_head"), "head")
+        .when(F.col("nll") <= F.col("__p_mid"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        keyed.join(F.broadcast(bounds), "__grp")
+        .select(id_col, lang_col, "nll", bucket.alias("bucket"))
+    )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_fraction: float = 0.25,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its features are under a model
+    of the TARGET distribution than under the raw-corpus model —
+    ``logratio = sum_f [log p_target(f) - log p_raw(f)]`` over the
+    document's char-bigram features — then keep the top
+    ``keep_fraction`` by weight. The published recipe uses hashed
+    n-gram bag features; char bigrams keep the operator oracle-exact
+    with the same structure.
+
+    Shape: two Laplace-smoothed bigram LMs (tiny — one row per
+    distinct bigram) broadcast onto ONE exploded-bigram pass of the
+    raw corpus; per-bigram terms rounded to 8dp and decimal-summed
+    (the bm25 discipline, so float sum order cannot drift the hash);
+    the keep threshold is ONE exact global percentile broadcast back
+    — never a global sort. Documents shorter than 2 characters have
+    no features and are absent.
+    """
+    bg = _doc_bigrams(raw, id_col, text_col).persist()
+    lm_raw = _train_from_bigrams(bg)
+    lm_tgt = train_char_bigram_lm(target, id_col, text_col)
+    consts = (
+        lm_raw.agg(
+            F.coalesce(F.max("unseen_logp"), F.lit(0.0)).alias("__u_raw")
+        ).crossJoin(
+            lm_tgt.agg(
+                F.coalesce(F.max("unseen_logp"), F.lit(0.0)).alias("__u_tgt")
+            )
+        )
+    )
+    scored = (
+        bg.join(
+            F.broadcast(lm_tgt.select("bg", F.col("logp").alias("__lp_tgt"))),
+            "bg",
+            "left",
+        )
+        .join(
+            F.broadcast(lm_raw.select("bg", F.col("logp").alias("__lp_raw"))),
+            "bg",
+            "left",
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    term = F.round(
+        F.coalesce(F.col("__lp_tgt"), F.col("__u_tgt"))
+        - F.coalesce(F.col("__lp_raw"), F.col("__u_raw")),
+        8,
+    )
+    # round in the DECIMAL domain, then cast: the 8dp-decimal sum
+    # lands exactly on 7th-decimal half-boundaries ~1 in 10 docs, and
+    # rounding the double instead diverges between engines there
+    # (Spark rounds the shortest repr, DuckDB the binary value —
+    # caught by fuzz: 4.0404515 -> 4.040452 vs 4.040451)
+    weights = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum(term.cast("decimal(20,8)")), 6)
+        .cast("double")
+        .alias("logratio"),
+    )
+    cut = weights.agg(
+        F.round(
+            F.expr(f"percentile(logratio, {1.0 - keep_fraction!r})"), 6
+        ).alias("__cut")
+    )
+    return weights.crossJoin(F.broadcast(cut)).select(
+        id_col,
+        "n_bigrams",
+        "logratio",
+        (F.col("logratio") >= F.col("__cut")).alias("keep"),
+    )

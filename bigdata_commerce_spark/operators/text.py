@@ -30,6 +30,17 @@ CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
 PUNCT_CLASS = r"[^.,!?;:]"
 DIGIT_CLASS = r"[^0-9]"
 
+# The Gopher rule constants (Rae et al. 2021, appendix A1.1 — the
+# published pretraining quality-filter recipe, also the base of
+# Dolma's and RefinedWeb's filters). Module-level so the oracle SQL
+# is generated from the same values.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_BULLET_CHARS: tuple[str, ...] = ("-", "*", "•")
+
 
 def normalize_text(col: Column | str) -> Column:
     """lower + trim + collapse whitespace — the canonical form used by
@@ -196,6 +207,115 @@ def repetition_stats(
         _dup_of(1).alias("dup_token_frac"),
         _dup_of(2).alias("dup_2gram_frac"),
         _dup_of(3).alias("dup_3gram_frac"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021 §A1.1) as one
+    boolean flag per rule plus the combined verdict — the standard
+    pretraining document filter (Dolma and RefinedWeb derive theirs
+    from the same table):
+
+    - ``flag_word_count``     word count in [min_words, max_words]
+    - ``flag_mean_word_len``  mean word length in [3, 10]
+    - ``flag_symbol_ratio``   (# + ellipsis) per word <= 0.1
+    - ``flag_bullet_lines``   <= 90% of lines start with a bullet
+    - ``flag_ellipsis_lines`` <= 30% of lines end with an ellipsis
+    - ``flag_alpha_words``    >= 80% of words contain a letter
+    - ``flag_stopwords``      >= 2 distinct Gopher stopwords present
+    - ``flag_dup_lines``      <= 30% of lines are duplicates
+    - ``passes_gopher``       AND of all eight
+
+    Engine-parity design: every ratio threshold is restated as pure
+    INTEGER arithmetic (e.g. symbol/word <= 0.1  <=>  10*symbols <=
+    words), so there is no float anywhere and the DuckDB oracle
+    cannot drift by a ULP. Words = non-empty whitespace splits of the
+    raw text (case kept for the letter test, lowercased only for the
+    stopword test); lines = non-empty trimmed newline splits; NULL
+    text behaves as '' (zero words -> fails the word-count rule). One
+    projection — array expressions only, no shuffle, no UDF, stays in
+    whole-stage codegen at any corpus size.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(raw, r"\s+"), lambda x: x != "")
+    # single-arg lambda, NOT bare F.trim: transform passes (element,
+    # index) to two-parameter callables, and F.trim's second parameter
+    # is the trim-character set — bare F.trim silently trimmed the
+    # stringified index instead of whitespace (caught by fuzz)
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    # one-element explode barrier (the repetition_stats trick): words
+    # and lines feed many expressions below; without it each one
+    # re-splits the text.
+    barrier = df.select(
+        id_col,
+        F.explode(
+            F.array(F.struct(words.alias("w"), lines.alias("l"), raw.alias("t")))
+        ).alias("x"),
+    )
+    w, line_arr, t = F.col("x.w"), F.col("x.l"), F.col("x.t")
+
+    n_words = F.size(w).cast("long")
+    n_lines = F.size(line_arr).cast("long")
+    sum_word_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # symbols: '#' chars + '…' chars + literal '...' occurrences
+    # (each replace removes a fixed width, so the divisions are exact)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_uni_ellipsis = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dot_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    symbols = (n_hash + n_uni_ellipsis).cast("long") + n_dot_ellipsis
+    alpha_words = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    bullet_lines = F.size(
+        F.filter(
+            line_arr,
+            lambda x: F.substring(x, 1, 1).isin(*GOPHER_BULLET_CHARS),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(line_arr, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("long")
+    dup_lines = n_lines - F.size(F.array_distinct(line_arr)).cast("long")
+
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (n_words > 0)
+        & (3 * n_words <= sum_word_len)
+        & (sum_word_len <= 10 * n_words),
+        "flag_symbol_ratio": 10 * symbols <= n_words,
+        "flag_bullet_lines": 10 * bullet_lines <= 9 * n_lines,
+        "flag_ellipsis_lines": 10 * ellipsis_lines <= 3 * n_lines,
+        "flag_alpha_words": 5 * alpha_words >= 4 * n_words,
+        "flag_stopwords": stop_hits >= 2,
+        "flag_dup_lines": 10 * dup_lines <= 3 * n_lines,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return barrier.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[c.alias(name) for name, c in flags.items()],
+        passes.alias("passes_gopher"),
     )
 
 

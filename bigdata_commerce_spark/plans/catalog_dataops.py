@@ -1738,35 +1738,52 @@ def embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@twin_query(
-    "doc_char_bigram_nll",
-    oracle="""
-    WITH low AS (
-        SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) > 1
-    ), bg AS (
+# The Laplace-smoothed char-bigram LM replay, parameterized by a
+# suffix so a second model (e.g. DSIR's target LM) can coexist in one
+# query. The self-perplexity nll CTE (`nll_docs`) reuses the '' model.
+def _bigram_lm_cte(suffix: str = "", source_filter: str = "") -> str:
+    s = suffix
+    return f"""
+    low{s} AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(lower(text)) > 1 {source_filter}
+    ), bg{s} AS (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, length(t) - 1),
                                      i -> substr(t, i, 2))) AS bg
-        FROM low
-    ), counts AS (
-        SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1
-    ), tot AS (
-        SELECT SUM(c) AS T, COUNT(*) AS V FROM counts
-    ), lm AS (
+        FROM low{s}
+    ), counts{s} AS (
+        SELECT bg, COUNT(*) AS c FROM bg{s} GROUP BY 1
+    ), tot{s} AS (
+        SELECT SUM(c) AS T, COUNT(*) AS V FROM counts{s}
+    ), lm{s} AS (
         SELECT bg, ROUND(ln((c + 1) / (T + V + 1)), 8) AS lp
-        FROM counts CROSS JOIN tot
+        FROM counts{s} CROSS JOIN tot{s}
     )
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           -- inner sum cast via VARCHAR: scale-8 decimal->double
-           -- double-rounds past 2^53/1e8 ~ 9e7 (a ~10 MB document's
-           -- log-prob sum reaches it)
-           CAST(ROUND(
-               -CAST(CAST(SUM(CAST(COALESCE(lp, ROUND(ln(1 / (T + V + 1)), 8))
-                              AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
-           AS DOUBLE) AS nll
-    FROM bg LEFT JOIN lm USING (bg) CROSS JOIN tot
-    GROUP BY doc_id
-    """,
+    """
+
+
+_NLL_DOCS_CTE = f"""
+    {_bigram_lm_cte()},
+    nll_docs AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               -- inner sum cast via VARCHAR: scale-8 decimal->double
+               -- double-rounds past 2^53/1e8 ~ 9e7 (a ~10 MB document's
+               -- log-prob sum reaches it)
+               CAST(ROUND(
+                   -CAST(CAST(SUM(CAST(COALESCE(lp, ROUND(ln(1 / (T + V + 1)), 8))
+                                  AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6)
+               AS DOUBLE) AS nll
+        FROM bg LEFT JOIN lm USING (bg) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+"""
+
+
+@twin_query(
+    "doc_char_bigram_nll",
+    oracle=f"WITH {_NLL_DOCS_CTE} SELECT * FROM nll_docs",
 )
 def doc_char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scores (operators/lm_quality.py):
@@ -3417,3 +3434,158 @@ def url_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame([("example.co.uk",)], "domain string")
     out = urltools.filter_blocked_domains(docs, blocked)
     return out.groupBy("registered_domain").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Published curation recipes: Gopher rules, CCNet buckets, DSIR weights
+# ---------------------------------------------------------------------------
+
+
+def _gopher_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in text_ops.GOPHER_STOPWORDS)
+    bullets = ", ".join(f"'{b}'" for b in text_ops.GOPHER_BULLET_CHARS)
+    lo, hi = text_ops.GOPHER_MIN_WORDS, text_ops.GOPHER_MAX_WORDS
+    flags = {
+        "flag_word_count": f"(n_words >= {lo} AND n_words <= {hi})",
+        "flag_mean_word_len": (
+            "(n_words > 0 AND 3 * n_words <= sum_word_len"
+            " AND sum_word_len <= 10 * n_words)"
+        ),
+        "flag_symbol_ratio": "(10 * symbols <= n_words)",
+        "flag_bullet_lines": "(10 * bullet_lines <= 9 * n_lines)",
+        "flag_ellipsis_lines": "(10 * ellipsis_lines <= 3 * n_lines)",
+        "flag_alpha_words": "(5 * alpha_words >= 4 * n_words)",
+        "flag_stopwords": "(stop_hits >= 2)",
+        "flag_dup_lines": "(10 * dup_lines <= 3 * n_lines)",
+    }
+    flag_cols = ",\n           ".join(f"{e} AS {n}" for n, e in flags.items())
+    passes = " AND ".join(flags.values())
+    return rf"""
+    WITH g AS (
+        SELECT doc_id,
+               COALESCE(text, '') AS t,
+               list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                           x -> x <> '') AS w,
+               list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS l
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                    AS BIGINT) AS sum_word_len,
+               CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                 + CAST(length(t) - length(replace(t, '…', '')) AS BIGINT)
+                 + CAST((length(t) - length(replace(t, '...', ''))) // 3
+                        AS BIGINT) AS symbols,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS BIGINT) AS alpha_words,
+               len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                                  [{stops}])) AS stop_hits,
+               CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ({bullets})))
+                    AS BIGINT) AS bullet_lines,
+               CAST(len(list_filter(l, x -> ends_with(x, '...')
+                                         OR ends_with(x, '…')))
+                    AS BIGINT) AS ellipsis_lines,
+               CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS dup_lines
+        FROM g
+    )
+    SELECT doc_id, n_words, n_lines,
+           {flag_cols},
+           ({passes}) AS passes_gopher
+    FROM c
+    """
+
+
+@twin_query("gopher_quality_flags", oracle=_gopher_sql())
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher pretraining quality-filter rules (Rae et al. 2021
+    §A1.1; the base of Dolma/RefinedWeb filters) as one flag per rule
+    + combined verdict (operators/text.py). Engine-parity by
+    construction: every ratio threshold is integer arithmetic (10 *
+    symbols <= n_words), so no float exists to drift. One projection,
+    no shuffle, no UDF. Twin slot: driver catalog is at its 50-entry
+    cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.gopher_quality_flags(docs)
+
+
+_CCNET_SQL = f"""
+WITH {_NLL_DOCS_CTE},
+j AS (
+    SELECT n.doc_id, n.nll, d.lang, COALESCE(d.lang, chr(1)) AS grp
+    FROM nll_docs n JOIN documents d USING (doc_id)
+), b AS (
+    SELECT grp,
+           ROUND(quantile_cont(nll, 1.0 / 3), 6) AS p_head,
+           ROUND(quantile_cont(nll, 2.0 / 3), 6) AS p_mid
+    FROM j GROUP BY grp
+)
+SELECT doc_id, lang, nll,
+       CASE WHEN nll <= p_head THEN 'head'
+            WHEN nll <= p_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN b USING (grp)
+"""
+
+
+@twin_query("ccnet_perplexity_buckets", oracle=_CCNET_SQL)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2019) per language (operators/lm_quality.perplexity_buckets):
+    char-bigram self-NLL + per-language exact tercile boundaries
+    (one tiny agg, broadcast back — never a global sort), boundaries
+    rounded before comparison per the percentile discipline. Twin
+    slot: driver catalog is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.lm_quality import perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    return perplexity_buckets(docs)
+
+
+_DSIR_SQL = f"""
+WITH {_bigram_lm_cte()},
+{_bigram_lm_cte("_t", "AND lang = 'en'")},
+terms AS (
+    SELECT b.doc_id,
+           ROUND(COALESCE(lt.lp,
+                          COALESCE(ROUND(ln(1 / (tt.T + tt.V + 1)), 8), 0.0))
+               - COALESCE(lr.lp,
+                          COALESCE(ROUND(ln(1 / (tr.T + tr.V + 1)), 8), 0.0)),
+                 8) AS term
+    FROM bg b
+    LEFT JOIN lm_t lt USING (bg)
+    LEFT JOIN lm lr USING (bg)
+    CROSS JOIN tot_t tt CROSS JOIN tot tr
+), w AS (
+    -- ROUND the DECIMAL sum (exact half-away), THEN go to double via
+    -- VARCHAR: rounding after the double cast diverges on the
+    -- 7th-decimal half-boundaries an 8dp-decimal sum hits ~1 in 10
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(CAST(ROUND(SUM(CAST(term AS DECIMAL(20,8))), 6) AS VARCHAR)
+                AS DOUBLE) AS logratio
+    FROM terms GROUP BY doc_id
+), cut AS (
+    SELECT ROUND(quantile_cont(logratio, 0.75), 6) AS c FROM w
+)
+SELECT doc_id, n_bigrams, logratio, (logratio >= c) AS keep
+FROM w CROSS JOIN cut
+"""
+
+
+@twin_query("dsir_importance_weights", oracle=_DSIR_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) with the English slice as
+    the target distribution (operators/lm_quality.dsir_logratio): two
+    broadcast char-bigram LMs scored over ONE exploded pass of the
+    corpus, per-bigram terms 8dp-rounded then decimal-summed (the
+    bm25 discipline), keep = top quartile by exact global percentile
+    (broadcast threshold, no global sort). Twin slot: driver catalog
+    is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.lm_quality import dsir_logratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    return dsir_logratio(docs, target)

@@ -1,0 +1,145 @@
+"""Published curation recipes: Gopher rule flags, CCNet perplexity
+buckets, DSIR importance weights — crafted-input laws (the oracle
+twins in plans/catalog_dataops.py pin the exact values; these pin the
+SEMANTICS per rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_commerce_spark.operators.lm_quality import (
+    dsir_logratio,
+    perplexity_buckets,
+)
+from bigdata_commerce_spark.operators.text import gopher_quality_flags
+from tests.conftest import SF_SMOKE
+
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and runs off to be "
+    "free of that noisy farm with all its ducks and hens and very "
+    "many other loud animals that have made peace with the farmer "
+    "who tends to the field each day and waits for the next warm rain to come by."
+)  # 55 words, stopword-rich, all alphabetic
+
+
+def _flags(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+
+
+def test_gopher_good_document_passes_all(spark):
+    out = _flags(spark, [(1, GOOD)])
+    r = out[1]
+    assert r["n_words"] == 55
+    assert all(v for k, v in r.items() if k.startswith("flag_")), r
+    assert r["passes_gopher"] is True
+
+
+def test_gopher_individual_rules_fail_for_the_right_reason(spark):
+    bullets = "\n".join(f"- item {i} ok" for i in range(10))
+    dup = ("same line here\n" * 10) + "one other line"
+    symbols = GOOD + " " + "#" * 20
+    longwords = " ".join("supercalifragilistic" for _ in range(60))
+    nostops = " ".join(f"w{i}" for i in range(60))
+    numeric = " ".join(str(i) for i in range(60))
+    ellipsis = "\n".join(f"truncated line {i}..." for i in range(10))
+    out = _flags(
+        spark,
+        [
+            (1, "too short"),
+            (2, bullets),
+            (3, dup),
+            (4, symbols),
+            (5, longwords),
+            (6, nostops),
+            (7, numeric),
+            (8, ellipsis),
+            (9, None),
+        ],
+    )
+    assert not out[1]["flag_word_count"]
+    assert not out[2]["flag_bullet_lines"]
+    assert not out[3]["flag_dup_lines"]
+    assert not out[4]["flag_symbol_ratio"]
+    assert not out[5]["flag_mean_word_len"]
+    assert not out[6]["flag_stopwords"]
+    assert not out[7]["flag_alpha_words"]
+    assert not out[8]["flag_ellipsis_lines"]
+    # NULL text behaves as '': zero words, fails, never NULL flags
+    assert out[9]["n_words"] == 0 and out[9]["passes_gopher"] is False
+    for r in out.values():
+        assert all(v is not None for v in r.values()), r
+        assert r["passes_gopher"] is False or r["doc_id"] == 1
+
+
+def test_gopher_flags_are_one_shuffle_free_projection(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ccnet_buckets_are_ordered_within_language(spark):
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    out = perplexity_buckets(docs).collect()
+    assert out, "no buckets produced"
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(r["nll"])
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        if "head" in buckets and "middle" in buckets:
+            assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert max(buckets["middle"]) <= min(buckets["tail"]), lang
+        # terciles: head holds roughly a third (exact count depends on
+        # boundary ties; it can never exceed middle+tail combined + ties)
+        n = sum(len(v) for v in buckets.values())
+        assert len(buckets.get("head", [])) <= n
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    a_docs = [(i, "alpha beta gamma delta " * 6) for i in range(1, 9)]
+    z_docs = [(i, "zulu xray quebec victor " * 6) for i in range(9, 17)]
+    raw = spark.createDataFrame(a_docs + z_docs, "doc_id long, text string")
+    target = spark.createDataFrame(a_docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_logratio(raw, target, keep_fraction=0.5).collect()}
+    a_scores = [out[i]["logratio"] for i in range(1, 9)]
+    z_scores = [out[i]["logratio"] for i in range(9, 17)]
+    assert min(a_scores) > max(z_scores)
+    # keep = top fraction by weight: every kept weight >= every dropped
+    kept = [r["logratio"] for r in out.values() if r["keep"]]
+    dropped = [r["logratio"] for r in out.values() if not r["keep"]]
+    assert kept and min(kept) >= max(dropped)
+    assert all(out[i]["keep"] for i in range(1, 9))
+
+
+def test_dsir_empty_target_still_scores(spark):
+    raw = spark.createDataFrame(
+        [(1, "some text here with words")], "doc_id long, text string"
+    )
+    empty_target = raw.where(F.lit(False))
+    out = dsir_logratio(raw, empty_target).collect()
+    # empty target -> degenerate 1-outcome model (logp 0 catch-all):
+    # logratio = -sum(logp_raw) > 0, never a crash or empty output
+    assert len(out) == 1 and out[0]["logratio"] is not None
+
+
+@pytest.mark.parametrize("frac", [0.0, 1.0])
+def test_dsir_keep_fraction_extremes(spark, frac):
+    raw = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    out = dsir_logratio(raw, raw, keep_fraction=frac).collect()
+    if frac == 1.0:
+        assert all(r["keep"] for r in out)
+    else:
+        # keep_fraction=0 -> threshold is the max; only the argmax
+        # (and exact ties) survive
+        mx = max(r["logratio"] for r in out)
+        assert all(r["keep"] == (r["logratio"] >= mx) for r in out)

@@ -50,18 +50,24 @@ def test_ledger_slots_match_registry():
 
 def test_every_query_has_a_driver_row_or_pin():
     """The closed ledger: a green driver round, a pending ``rN*``
-    slot, or a ``pinned == sibling`` row-identity pin — nothing may
-    have none of the three."""
+    slot, a ``pinned == sibling`` row-identity pin, or an explicit
+    ``queued (rN)`` marker for a freshly-added query awaiting the
+    next rotation — nothing may have none of the four. A queue marker
+    is only honest for the NEXT round, so the maintenance rotation
+    cannot park queries in the queue forever without the slot column
+    (checked by test_ledger_slots_match_registry) going stale."""
     rows = _parse_ledger()
     unverified = []
     for name in sorted(set(QUERIES) | set(TWIN_QUERIES)):
         slot, rounds = rows.get(name, ("", ""))
         has_round = bool(re.search(r"\br\d+\*?", rounds))
         pinned = rounds.startswith("pinned ==")
-        if not (has_round or pinned):
+        queued = bool(re.fullmatch(r"queued \(r\d+\)", rounds))
+        if not (has_round or pinned or queued):
             unverified.append(name)
     assert not unverified, (
-        f"queries with no driver row, no pending slot, and no pin: {unverified}"
+        f"queries with no driver row, no pending slot, no pin, and no "
+        f"queue marker: {unverified}"
     )
 
 
