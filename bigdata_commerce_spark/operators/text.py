@@ -319,6 +319,66 @@ def gopher_quality_flags(
     )
 
 
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2019 §2.2) as a LINE-level
+    scrub + document verdict — the complement of the document-level
+    :func:`gopher_quality_flags`:
+
+    line KEPT iff it ends in terminal punctuation (``. ! ? "``), has
+    >= 5 words, and does not mention "javascript"; document KEPT iff
+    >= 3 lines survive, and the page contains neither "lorem ipsum"
+    nor a ``{``. Output: ``kept`` verdict, the scrubbed text
+    (``text_clean`` — surviving lines re-joined; NULL for dropped
+    documents, so a dropped page can never leak into training), and
+    the line accounting.
+
+    One projection — split / filter / array_join only, no shuffle, no
+    UDF; NULL text behaves as '' (zero lines -> dropped). String
+    predicates are case-insensitive the way C4's are (lowercased
+    contains), and every count is an integer, so the DuckDB oracle
+    matches bit-for-bit by construction.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    kept_lines = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: w != "")) >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    barrier = df.select(
+        id_col,
+        F.explode(
+            F.array(F.struct(lines.alias("l"), kept_lines.alias("k"), raw.alias("t")))
+        ).alias("x"),
+    )
+    line_arr, kept_arr, t = F.col("x.l"), F.col("x.k"), F.col("x.t")
+    n_lines = F.size(line_arr).cast("long")
+    n_kept = F.size(kept_arr).cast("long")
+    kept = (
+        (n_kept >= C4_MIN_KEPT_LINES)
+        & ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
+    )
+    return barrier.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_lines_kept"),
+        kept.alias("kept"),
+        F.when(kept, F.array_join(kept_arr, "\n")).alias("text_clean"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

@@ -3589,3 +3589,48 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     target = docs.where(F.col("lang") == "en")
     return dsir_logratio(docs, target)
+
+
+_C4_SQL = rf"""
+WITH g AS (
+    SELECT doc_id,
+           COALESCE(text, '') AS t,
+           list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+                                      x -> trim(x)),
+                       x -> x <> '') AS l
+    FROM documents
+), k AS (
+    SELECT doc_id, t, l,
+           list_filter(l, x -> regexp_matches(x, '[.!?"]$')
+                            AND len(list_filter(string_split_regex(x, '\s+'),
+                                                w -> w <> ''))
+                                >= {text_ops.C4_MIN_LINE_WORDS}
+                            AND NOT contains(lower(x), 'javascript')) AS kl
+    FROM g
+), v AS (
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_lines_kept,
+           (len(kl) >= {text_ops.C4_MIN_KEPT_LINES}
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{{')) AS kept,
+           kl
+    FROM k
+)
+SELECT doc_id, n_lines, n_lines_kept, kept,
+       CASE WHEN kept THEN array_to_string(kl, chr(10)) END AS text_clean
+FROM v
+"""
+
+
+@twin_query("c4_line_filter", oracle=_C4_SQL)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2019 §2.2;
+    operators/text.c4_line_filter): terminal-punctuation + >=5-word +
+    no-javascript line scrub, >=3-surviving-lines / no-lorem-ipsum /
+    no-brace page verdict, scrubbed text re-joined (NULL for dropped
+    pages). Pure projection — integer counts and lowercased contains
+    only, no float surface. Twin slot: driver catalog is at its
+    50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.c4_line_filter(docs)

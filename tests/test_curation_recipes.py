@@ -143,3 +143,40 @@ def test_dsir_keep_fraction_extremes(spark, frac):
         # (and exact ties) survive
         mx = max(r["logratio"] for r in out)
         assert all(r["keep"] == (r["logratio"] >= mx) for r in out)
+
+
+def test_c4_line_rules(spark):
+    from bigdata_commerce_spark.operators.text import c4_line_filter
+
+    good_line = "This sentence has plenty of words and ends correctly."
+    doc = "\n".join(
+        [
+            good_line,
+            "Short line.",                     # < 5 words -> dropped
+            "No terminal punctuation here at all",  # no ending punct -> dropped
+            "Enable JavaScript to view this content.",  # javascript -> dropped
+            'He said "this quoted line has enough words."',  # kept (quote end)
+            "Another perfectly fine sentence lives right here!",  # kept
+        ]
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, doc),
+            (2, good_line),                # only 1 kept line -> page dropped
+            (3, doc + "\nlorem ipsum dolor sit amet today."),  # lorem -> dropped
+            (4, doc + "\nif (x) { return; }"),  # brace -> dropped
+            (5, None),                     # NULL -> dropped, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(rows).collect()}
+    assert out[1]["kept"] is True
+    assert out[1]["n_lines"] == 6 and out[1]["n_lines_kept"] == 3
+    clean = out[1]["text_clean"].split("\n")
+    assert clean[0] == good_line and len(clean) == 3
+    assert "JavaScript" not in out[1]["text_clean"]
+    for d in (2, 3, 4, 5):
+        assert out[d]["kept"] is False
+        assert out[d]["text_clean"] is None, d
+    plan = c4_line_filter(rows)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
