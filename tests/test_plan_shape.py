@@ -276,3 +276,33 @@ def test_tfidf_has_no_cache_and_no_window_over_term(spark):
     # active below the exchange
     assert plan.count("Window [") == 1, plan[:800]
     assert "WindowGroupLimit" in plan
+
+
+def test_dsir_lm_joins_broadcast_and_no_global_sort(spark):
+    """DSIR: both bigram LMs and the keep threshold must reach the
+    corpus by broadcast, and the top-fraction keep must never be a
+    global sort (the percentile is one aggregate)."""
+    from bigdata_commerce_spark.plans import TWIN_QUERIES
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    from bigdata_commerce_spark.operators.lm_quality import dsir_logratio
+
+    out = dsir_logratio(docs, docs.where("lang = 'en'"))
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortExec" not in plan and "TakeOrdered" not in plan
+    # global Sort only ever appears as "Sort " exec node; window-free
+    # plan must not contain one over the corpus
+    assert "\n* Sort " not in plan and "+- Sort " not in plan, plan
+
+
+def test_ccnet_bounds_join_is_broadcast(spark):
+    """CCNet buckets: the per-language tercile frame (rows = #langs)
+    must broadcast back onto the scored corpus — a shuffle join here
+    would re-partition the whole corpus for a 6-row table."""
+    from bigdata_commerce_spark.operators.lm_quality import perplexity_buckets
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    plan = _formatted(perplexity_buckets(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "+- Sort " not in plan.replace("SortAggregate", ""), plan
