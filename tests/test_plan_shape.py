@@ -282,8 +282,6 @@ def test_dsir_lm_joins_broadcast_and_no_global_sort(spark):
     """DSIR: both bigram LMs and the keep threshold must reach the
     corpus by broadcast, and the top-fraction keep must never be a
     global sort (the percentile is one aggregate)."""
-    from bigdata_commerce_spark.plans import TWIN_QUERIES
-
     docs = load_table(spark, "documents", SF_SMOKE)
     from bigdata_commerce_spark.operators.lm_quality import dsir_logratio
 
