@@ -1095,6 +1095,55 @@ def skew_probes(spark, ev_path: str, dim_path: str):
 
 
 
+def round7_probes(spark, docs_path: str):
+    """Round-7 published curation recipes. The decorrelated 10x
+    corpus mutates every third token, so bigram vocabularies GROW with
+    the copies (unlike a verbatim copy) — the LM ops probe the honest
+    larger-model case. Consumed through output aggregates."""
+    from bigdata_commerce_spark.operators import lm_quality, text
+
+    docs = spark.read.parquet(docs_path)
+
+    def gopher():
+        return int(
+            text.gopher_quality_flags(docs)
+            .agg(F.sum(F.col("passes_gopher").cast("long")) + F.sum("n_words"))
+            .collect()[0][0]
+        )
+
+    def c4():
+        out = text.c4_line_filter(docs)
+        return int(
+            out.agg(
+                F.sum("n_lines_kept")
+                + F.sum(F.coalesce(F.length("text_clean"), F.lit(0)))
+            ).collect()[0][0]
+        )
+
+    def ccnet():
+        return int(
+            lm_quality.perplexity_buckets(docs)
+            .groupBy("bucket")
+            .count()
+            .agg(F.sum("count"))
+            .collect()[0][0]
+        )
+
+    def dsir():
+        return int(
+            lm_quality.dsir_logratio(docs, docs.where("lang = 'en'"))
+            .agg(F.sum(F.col("keep").cast("long")) + F.sum("n_bigrams"))
+            .collect()[0][0]
+        )
+
+    return {
+        "gopher_quality_flags": gopher,
+        "c4_line_filter": c4,
+        "ccnet_perplexity_buckets": ccnet,
+        "dsir_importance": dsir,
+    }
+
+
 def round5g_probes(spark, docs_path: str):
     """URL-curation wave: canonical-URL projection, URL-level dedup,
     per-domain host report (operators/urltools.py). URLs are derived
@@ -1430,6 +1479,12 @@ def main() -> None:
         p10 = round5g_probes(spark, docs10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round5g")
+    elif suite == "round7":
+        docs1 = os.path.join(SF_DIR, "documents.parquet")
+        p1 = round7_probes(spark, docs1)
+        p10 = round7_probes(spark, docs10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round7")
     elif suite == "memory":
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
         ev_unif, _, _ = build_skew_corpus(spark, sf10)
