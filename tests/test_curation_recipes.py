@@ -180,3 +180,151 @@ def test_c4_line_rules(spark):
         assert out[d]["text_clean"] is None, d
     plan = c4_line_filter(rows)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis differential: Spark operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Controlled alphabet: structure-rich (bullets, ellipses, braces,
+# trigger words, ragged whitespace) but no exotic Unicode, so Python's
+# locale-free reference matches Java/RE2 semantics exactly.
+_WORDS = ["the", "and", "to", "of", "cat", "dog", "run", "x1", "42",
+          "###", "a…b", "javascript", "JavaScript", "lorem", "ipsum",
+          "big{", "word..."]
+_ENDINGS = ["", ".", "!", "?", '"', "...", "…"]
+_LINE_STARTS = ["", "- ", "* ", "• ", "  "]
+
+
+@st.composite
+def _docs(draw):
+    n_docs = draw(st.integers(1, 6))
+    out = []
+    for i in range(n_docs):
+        n_lines = draw(st.integers(0, 8))
+        lines = []
+        for _ in range(n_lines):
+            ws = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12))
+            line = (
+                draw(st.sampled_from(_LINE_STARTS))
+                + " ".join(ws)
+                + draw(st.sampled_from(_ENDINGS))
+            )
+            lines.append(line)
+        sep = draw(st.sampled_from(["\n", "\n\n", "\n \n"]))
+        text = sep.join(lines) if lines else draw(st.sampled_from(["", " ", None]))
+        out.append((i, text))
+    return out
+
+
+_WS = r"[ \t\n\r\f\x0b]+"  # Java \s (ASCII), matching the operators
+
+
+def _ref_words(t):
+    return [w for w in _re.split(_WS, t) if w]
+
+
+def _ref_lines(t):
+    return [l for l in (x.strip(" ") for x in t.split("\n")) if l]
+
+
+def _ref_gopher(text):
+    from bigdata_commerce_spark.operators.text import (
+        GOPHER_BULLET_CHARS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    t = text or ""
+    w, l = _ref_words(t), _ref_lines(t)
+    nw, nl = len(w), len(l)
+    sum_len = sum(len(x) for x in w)
+    symbols = (
+        t.count("#") + t.count("…")
+        + (len(t) - len(t.replace("...", ""))) // 3
+    )
+    alpha = sum(1 for x in w if _re.search("[A-Za-z]", x))
+    stops = len(set(x.lower() for x in w) & set(GOPHER_STOPWORDS))
+    bullets = sum(1 for x in l if x[:1] in GOPHER_BULLET_CHARS)
+    ellipsis = sum(1 for x in l if x.endswith("...") or x.endswith("…"))
+    dup = nl - len(set(l))
+    flags = {
+        "flag_word_count": GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS,
+        "flag_mean_word_len": nw > 0 and 3 * nw <= sum_len <= 10 * nw,
+        "flag_symbol_ratio": 10 * symbols <= nw,
+        "flag_bullet_lines": 10 * bullets <= 9 * nl,
+        "flag_ellipsis_lines": 10 * ellipsis <= 3 * nl,
+        "flag_alpha_words": 5 * alpha >= 4 * nw,
+        "flag_stopwords": stops >= 2,
+        "flag_dup_lines": 10 * dup <= 3 * nl,
+    }
+    return {
+        "n_words": nw,
+        "n_lines": nl,
+        **flags,
+        "passes_gopher": all(flags.values()),
+    }
+
+
+def _ref_c4(text):
+    from bigdata_commerce_spark.operators.text import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+    )
+
+    t = text or ""
+    l = _ref_lines(t)
+    kl = [
+        x
+        for x in l
+        if _re.search(r'[.!?"]$', x)
+        and len(_ref_words(x)) >= C4_MIN_LINE_WORDS
+        and "javascript" not in x.lower()
+    ]
+    kept = (
+        len(kl) >= C4_MIN_KEPT_LINES
+        and "lorem ipsum" not in t.lower()
+        and "{" not in t
+    )
+    return {
+        "n_lines": len(l),
+        "n_lines_kept": len(kl),
+        "kept": kept,
+        "text_clean": "\n".join(kl) if kept else None,
+    }
+
+
+@_SETTINGS
+@given(docs=_docs())
+def test_gopher_matches_python_reference(spark, docs):
+    from bigdata_commerce_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    for doc_id, text in docs:
+        want = {"doc_id": doc_id, **_ref_gopher(text)}
+        assert got[doc_id] == want, (repr(text), got[doc_id], want)
+
+
+@_SETTINGS
+@given(docs=_docs())
+def test_c4_matches_python_reference(spark, docs):
+    from bigdata_commerce_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    for doc_id, text in docs:
+        want = {"doc_id": doc_id, **_ref_c4(text)}
+        assert got[doc_id] == want, (repr(text), got[doc_id], want)
