@@ -379,6 +379,69 @@ def c4_line_filter(
     )
 
 
+def top_ngram_char_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """The Gopher repetition rules 2-4 (Rae et al. 2021 §A1.1): for
+    each document and each n in ``ns``, the most frequent word n-gram
+    and the fraction of the (normalized) text its occurrences cover —
+    ``top_count * len(top_ngram) / n_chars_norm``. High coverage marks
+    keyword stuffing and TEMPLATE boilerplate that the dup-fraction
+    metrics (:func:`repetition_stats`) underweight: a gram repeated
+    40x has dup_frac ~= the same as one repeated 4x once bags
+    saturate, but 10x the coverage.
+
+    Tie-break for "top": highest count, then longest gram, then
+    lexicographically greatest — a total order, so both engines pick
+    the same gram. Shape: ONE scan builds all n-gram levels as a
+    single concatenated struct array (one explode — the text is
+    tokenized once, not len(ns) times), then one (doc, n, gram) count
+    and one (doc, n) arg-max aggregate, both keyed by doc_id —
+    per-document gram counts are bounded by document length, so the
+    shuffle is skew-safe at any corpus size. Documents with fewer
+    than n tokens are absent at that n.
+    """
+    t = tokens(text_col)
+    norm_len = F.length(normalize_text(text_col))
+
+    def level(n: int):
+        return F.transform(
+            ngram_fold(t, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    combined = F.concat(*[level(n) for n in ns])
+    ex = df.select(
+        id_col,
+        norm_len.alias("n_chars_norm"),
+        F.explode(combined).alias("x"),
+    ).select(id_col, "n_chars_norm", F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
+    counts = ex.groupBy(id_col, "n", "n_chars_norm", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.groupBy(id_col, "n", "n_chars_norm").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                F.length("gram").alias("l"),
+                F.col("gram").alias("g"),
+            )
+        ).alias("m")
+    )
+    return top.select(
+        id_col,
+        "n",
+        F.col("m.g").alias("top_ngram"),
+        F.col("m.c").cast("long").alias("top_count"),
+        F.round(
+            F.col("m.c") * F.col("m.l") / F.col("n_chars_norm"), 4
+        ).alias("top_char_frac"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

@@ -3634,3 +3634,45 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-entry cap."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.c4_line_filter(docs)
+
+
+def _top_ngram_sql() -> str:
+    levels = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, length(norm) AS n_chars_norm, {n} AS n,
+           unnest({_ngram_list_sql(n)}) AS gram
+    FROM tok_docs"""
+        for n in (2, 3, 4)
+    )
+    return f"""
+    WITH {_NORM_CTE}
+    , ex AS (
+{levels}
+    ), counts AS (
+        SELECT doc_id, n, n_chars_norm, gram, COUNT(*) AS c
+        FROM ex GROUP BY ALL
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, n
+            ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn
+        FROM counts
+    )
+    SELECT doc_id, CAST(n AS INT) AS n, gram AS top_ngram,
+           CAST(c AS BIGINT) AS top_count,
+           ROUND(c * length(gram) * 1.0 / n_chars_norm, 4) AS top_char_frac
+    FROM ranked WHERE rn = 1
+    """
+
+
+@twin_query("doc_top_ngram_coverage", oracle=_top_ngram_sql())
+def doc_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules 2-4 (operators/text.
+    top_ngram_char_fraction): per (doc, n in 2..4) the dominant word
+    n-gram and the text fraction it covers, deterministic total-order
+    tie-break, one explode + two doc-keyed aggregates. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.top_ngram_char_fraction(docs)
+    return out.select(
+        "doc_id", F.col("n").cast("int").alias("n"),
+        "top_ngram", "top_count", "top_char_frac",
+    )

@@ -328,3 +328,32 @@ def test_c4_matches_python_reference(spark, docs):
     for doc_id, text in docs:
         want = {"doc_id": doc_id, **_ref_c4(text)}
         assert got[doc_id] == want, (repr(text), got[doc_id], want)
+
+
+def test_top_ngram_coverage_law(spark):
+    from bigdata_commerce_spark.operators.text import top_ngram_char_fraction
+
+    # "spam ham " * 10 -> top 2-gram "spam ham" (or "ham spam") covers
+    # most of the text; a diverse doc's top gram covers little
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "x"),          # 1 token -> absent at every n
+            (4, None),         # NULL -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in top_ngram_char_fraction(df).collect():
+        out[(r["doc_id"], r["n"])] = r
+    r12 = out[(1, 2)]
+    assert r12["top_count"] == 10  # "spam ham" x10 (beats "ham spam" x9)
+    assert r12["top_ngram"] == "spam ham"
+    # 10 * 8 chars / 89 normalized chars
+    assert r12["top_char_frac"] == round(80 / 89, 4)
+    assert out[(2, 2)]["top_count"] == 1
+    assert out[(2, 2)]["top_char_frac"] < 0.3
+    assert (3, 2) not in out and (4, 2) not in out
+    # every doc with >= n tokens appears exactly once per n
+    assert {(1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (2, 4)} == set(out)
