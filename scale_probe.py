@@ -1136,11 +1136,19 @@ def round7_probes(spark, docs_path: str):
             .collect()[0][0]
         )
 
+    def top_ngram():
+        return int(
+            text.top_ngram_char_fraction(docs)
+            .agg(F.sum("top_count"))
+            .collect()[0][0]
+        )
+
     return {
         "gopher_quality_flags": gopher,
         "c4_line_filter": c4,
         "ccnet_perplexity_buckets": ccnet,
         "dsir_importance": dsir,
+        "top_ngram_coverage": top_ngram,
     }
 
 
