@@ -442,6 +442,57 @@ def top_ngram_char_fraction(
     )
 
 
+# UTF-8-as-Latin-1 double-encoding leaves these marker characters in
+# the text (the ftfy heuristic family): 'Ã' leads re-decoded 2-byte
+# sequences, 'â€' re-decoded punctuation, 'Â' re-decoded NBSP/degree.
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "Â")
+_CONTROL_CLASS = r"[\x00-\x08\x0e-\x1f]"  # C0 controls minus \t\n\r\v\f
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-damage detection (the ftfy-style pre-filter every web
+    corpus runs before tokenization): per document, counts of U+FFFD
+    replacement characters (a decoder already gave up), mojibake
+    marker sequences (UTF-8 bytes re-decoded as Latin-1 — 'Ã', 'â€',
+    'Â'), and stray C0 control characters; ``flag_clean`` = all
+    three zero. Detection only — the *repair* (re-encode/decode
+    round-trips) is byte-level work for an Arrow kernel downstream;
+    the detector is what must run at scan speed over 100 TB to decide
+    which sliver of the corpus that kernel ever sees.
+
+    One projection, no shuffle, no UDF. Marker counts use exact
+    replace-length arithmetic (integers — no float or regex-dialect
+    surface); only the control-char count uses a regex, with an
+    explicit escape-class both Java and RE2 parse identically. NULL
+    text counts as clean-but-empty ('' has no damage).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def marker_count(m: str):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("long")
+
+    n_repl = marker_count("�")
+    n_moji = None
+    for m in MOJIBAKE_MARKERS:
+        c = marker_count(m)
+        n_moji = c if n_moji is None else (n_moji + c)
+    n_ctrl = F.size(F.regexp_extract_all(t, F.lit(_CONTROL_CLASS), 0)).cast("long")
+    return df.select(
+        id_col,
+        n_repl.alias("n_replacement_chars"),
+        n_moji.alias("n_mojibake_hits"),
+        n_ctrl.alias("n_control_chars"),
+        ((n_repl == 0) & (n_moji == 0) & (n_ctrl == 0)).alias("flag_clean"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

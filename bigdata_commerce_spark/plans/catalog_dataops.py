@@ -3676,3 +3676,39 @@ def doc_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n").cast("int").alias("n"),
         "top_ngram", "top_count", "top_char_frac",
     )
+
+
+def _encoding_quality_sql() -> str:
+    def cnt(m: str) -> str:
+        return (
+            f"CAST((length(t) - length(replace(t, '{m}', ''))) // {len(m)} "
+            f"AS BIGINT)"
+        )
+
+    moji = " + ".join(cnt(m) for m in text_ops.MOJIBAKE_MARKERS)
+    return rf"""
+    WITH g AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    c AS (
+        SELECT doc_id,
+               {cnt('�')} AS n_replacement_chars,
+               {moji} AS n_mojibake_hits,
+               CAST(len(regexp_extract_all(t, '{text_ops._CONTROL_CLASS}'))
+                    AS BIGINT) AS n_control_chars
+        FROM g
+    )
+    SELECT doc_id, n_replacement_chars, n_mojibake_hits, n_control_chars,
+           (n_replacement_chars = 0 AND n_mojibake_hits = 0
+            AND n_control_chars = 0) AS flag_clean
+    FROM c
+    """
+
+
+@twin_query("doc_encoding_quality", oracle=_encoding_quality_sql())
+def doc_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection (operators/text.encoding_quality):
+    U+FFFD / mojibake-marker / C0-control counts + clean verdict, all
+    exact integer arithmetic — the ftfy-style pre-filter, detection at
+    scan speed, repair deferred to a byte-level kernel. Twin slot:
+    driver catalog is at its 50-entry cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.encoding_quality(docs)

@@ -357,3 +357,29 @@ def test_top_ngram_coverage_law(spark):
     assert (3, 2) not in out and (4, 2) not in out
     # every doc with >= n tokens appears exactly once per n
     assert {(1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (2, 4)} == set(out)
+
+
+def test_encoding_quality_detects_each_damage_class(spark):
+    from bigdata_commerce_spark.operators.text import encoding_quality
+
+    ctrl = chr(1) + "chars" + chr(7)
+    df = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "bad decode � here � twice"),
+            (3, "cafÃ© and â€smartâ€ quotes Â nbsp"),
+            (4, "control" + ctrl + "inside"),
+            (5, "tabs\tand\nnewlines are fine"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in encoding_quality(df).collect()}
+    assert out[1]["flag_clean"] is True
+    assert out[2]["n_replacement_chars"] == 2 and not out[2]["flag_clean"]
+    assert out[3]["n_mojibake_hits"] == 4 and not out[3]["flag_clean"]  # A-tilde, a-circ-euro x2, A-circ
+    assert out[4]["n_control_chars"] == 2 and not out[4]["flag_clean"]
+    assert out[5]["flag_clean"] is True  # tab/newline excluded from the class
+    assert out[6]["flag_clean"] is True and out[6]["n_mojibake_hits"] == 0
+    plan = encoding_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
