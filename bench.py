@@ -181,7 +181,17 @@ def main() -> None:
             if len(shots) >= 3 and min(shots) <= 1.25 * b:
                 break
         retimed[name] = shots
-        timings[name] = min(shots)
+        # Slow outlier: best of all shots (the cold shot is the thing
+        # being corrected, and any shot below it is evidence). Fast
+        # outlier: best of the WARM re-shots only — min(shots) would
+        # always include the lucky cold shot, so it could never be
+        # walked back and the downward bias the symmetric rule exists
+        # to remove would survive (round-7 advice).
+        if t > 1.2 * b:
+            timings[name] = min(shots)
+        elif len(shots) > 1:
+            timings[name] = min(shots[1:])
+        # else: re-shot errored; keep the single-shot value.
 
     total = aggregate_total(timings, base)
     out = {

@@ -180,6 +180,62 @@ DEMOTE_R7: tuple[str, ...] = tuple(
     if q not in ("embeddings_jl_projected", "embeddings_quantized")
 )
 
+# Round 8 opens maintenance mode (ROTATION.md "Round-8 plan"): anchors
+# stay; the 35 non-anchor slots go to the six `queued (r8)` curation-
+# recipe queries (never driver-checked), then the thinnest-verified
+# twins oldest-driver-row-first (region_top3_parts_sql r1-only, the
+# r1-r2 cohort, the r2 cohort, chunk_documents_udtf trading its pin
+# for its own row), then the r1-r5 cohort alphabetically. All 35
+# pre-checked at sf0.01 under driver_slot=True strictness.
+PROMOTE_R8: tuple[str, ...] = (
+    # queued (r8) — never driver-checked
+    "gopher_quality_flags",
+    "ccnet_perplexity_buckets",
+    "c4_line_filter",
+    "doc_top_ngram_coverage",
+    "dsir_importance_weights",
+    "doc_encoding_quality",
+    # thinnest verification first
+    "region_top3_parts_sql",      # r1 only
+    "minhash_signatures",         # r1-r2
+    "simhash_values",             # r1-r2
+    "text_stats",                 # r1-r2
+    "users_click_and_purchase",   # r1-r2
+    "embedding_ann_ivf_indexed",  # r2
+    "multimodal_resize",          # r2
+    "chunk_documents_udtf",       # pinned only until now
+    # r1-r5 cohort, alphabetical
+    "ad_blacklist",
+    "ad_click_trend",
+    "ad_launch_window_counts",
+    "ad_minute_counts",
+    "ad_province_top3",
+    "approx_distinct_users",
+    "asof_click_attribution",
+    "commerce_area_top3",
+    "commerce_session_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_ann_lsh",
+    "embedding_neardup",
+    "event_rollup_ladder",
+    "events_pivot",
+    "exact_price_percentiles",
+    "lang_id",
+    "lineitem_cube",
+    "lineitem_rollup",
+)
+
+# Every r7 non-anchor slot demotes after its green r7 row (CORRECTNESS_r07
+# was 50/50): the 33 r7 promotions plus the two re-slotted flattened
+# embedding queries.
+DEMOTE_R8: tuple[str, ...] = PROMOTE_R7 + (
+    "embeddings_jl_projected",
+    "embeddings_quantized",
+)
+
 DRIVER_SLOT_CAP = 50
 
 

@@ -70,6 +70,26 @@ def _with_key_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def stage_column_types(dtypes: list[tuple[str, str]], dialect) -> str:
+    """createTableColumnTypes declaration for the staging write.
+
+    Every string column gets the dialect's indexable type instead of
+    the JDBC writer default (Derby CLOB / MySQL TEXT — neither can be
+    a MERGE/join/index key). ``__kh`` is ALWAYS a 32-char md5 hex
+    digest and is the ONLY indexed column (create_kh_index), so it
+    stages at VARCHAR(32), matching the _ensure_key_hash migration:
+    at the dialect default width a utf8mb4 VARCHAR(1024) index key is
+    4096 bytes, past InnoDB's 3072-byte limit — error 1071 is not in
+    exists_ok_markers, so create_kh_index on the LIKE-inherited state
+    table would wedge every micro-batch on a real MySQL 8 server.
+    """
+    return ", ".join(
+        f"{c} " + ("VARCHAR(32)" if c == KH_COL else dialect.string_stage_type)
+        for c, t in dtypes
+        if t == "string"
+    )
+
+
 class JdbcStateBackend:
     """Factory for the four merge-mode sinks over one JDBC database.
 
@@ -124,11 +144,14 @@ class JdbcStateBackend:
         # Spark's Derby dialect maps string -> CLOB and its MySQL
         # dialect -> TEXT; neither can be a MERGE/join/index key —
         # declare the dialect's indexable type for every string column.
-        varchars = ", ".join(
-            f"{c} {self._dialect.string_stage_type}"
-            for c, t in batch_df.dtypes
-            if t == "string"
-        )
+        # __kh is ALWAYS a 32-char md5 hex digest: stage it at
+        # VARCHAR(32) (matching the _ensure_key_hash migration) so the
+        # state table inherited via CREATE TABLE ... LIKE keeps an
+        # indexable width — a utf8mb4 VARCHAR(1024) index key is 4096
+        # bytes, past InnoDB's 3072-byte limit (error 1071, which is
+        # not replay-ignorable, so create_kh_index would wedge every
+        # micro-batch on a real MySQL 8 server).
+        varchars = stage_column_types(batch_df.dtypes, self._dialect)
         if varchars:
             w = w.option("createTableColumnTypes", varchars)
         w.mode("overwrite").save()

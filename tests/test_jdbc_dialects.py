@@ -112,6 +112,21 @@ def test_mysql_stage_type_is_indexable():
     assert MY.string_stage_type == "VARCHAR(1024)"
 
 
+def test_kh_stages_at_index_safe_width():
+    """__kh must stage as VARCHAR(32) (round-7 advice): it is the only
+    indexed column, and at the MySQL default width the LIKE-inherited
+    state table's kh index key would be utf8mb4 VARCHAR(1024) = 4096
+    bytes > InnoDB's 3072-byte limit — error 1071, not replay-ignorable,
+    wedging every micro-batch on a real MySQL 8 server."""
+    from bigdata_commerce_spark.streaming.jdbc_state import stage_column_types
+
+    dtypes = [("k", "string"), ("n", "bigint"), ("__kh", "string")]
+    assert stage_column_types(dtypes, MY) == "k VARCHAR(1024), __kh VARCHAR(32)"
+    # Derby takes the same width: the staged digest never exceeds 32
+    # chars, and the migration path (add_column VARCHAR(32)) agrees.
+    assert stage_column_types(dtypes, DB) == "k VARCHAR(1024), __kh VARCHAR(32)"
+
+
 def test_derby_statements_unchanged_by_dialect_refactor():
     """The refactor must be a pure extraction: Derby's statement
     strings are byte-identical to the pre-dialect inline SQL (which
