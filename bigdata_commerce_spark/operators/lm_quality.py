@@ -248,3 +248,59 @@ def dsir_logratio(
         "logratio",
         (F.col("logratio") >= F.col("__cut")).alias("keep"),
     )
+
+
+def published_recipe_funnel(
+    docs: DataFrame,
+    target: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The four published curation recipes composed as one progressive
+    funnel — Gopher (Rae 2021) -> C4 (Raffel 2019) -> CCNet (Wenzek
+    2019, keep head+middle) -> DSIR (Xie 2023, keep top quartile) —
+    with one survivor count per stage:
+
+    ``(n_raw, n_gopher, n_c4, n_ccnet, n_dsir)``, each stage the AND
+    of all previous gates (the data-card row a real pretraining
+    pipeline publishes). Documents a recipe cannot score (no bigrams
+    for the LM stages) fail that stage, explicitly.
+
+    Shape: the two projection recipes (Gopher, C4) are zero-shuffle
+    flag frames joined on the id; the two LM recipes reuse their own
+    single-explode pipelines (tiny models broadcast, exact global
+    percentiles broadcast back). The id-keyed joins co-partition
+    after the first exchange, and the final aggregate is ONE row —
+    nothing here grows faster than the (doc, bigram) aggregates the
+    LM recipes already pay. ``target`` defaults to the English slice
+    (the dsir_importance_weights twin's convention).
+    """
+    from bigdata_commerce_spark.operators import text as text_ops
+
+    if target is None:
+        target = docs.where(F.col(lang_col) == "en")
+    g = text_ops.gopher_quality_flags(docs).select(id_col, "passes_gopher")
+    c = text_ops.c4_line_filter(docs).select(id_col, "kept")
+    cc = perplexity_buckets(docs).select(id_col, "bucket")
+    ds = dsir_logratio(docs, target).select(id_col, "keep")
+    flags = (
+        g.join(c, id_col)
+        .join(cc, id_col, "left")
+        .join(ds, id_col, "left")
+    )
+    s_gopher = F.col("passes_gopher")
+    s_c4 = s_gopher & F.col("kept")
+    s_ccnet = s_c4 & F.coalesce(F.col("bucket").isin("head", "middle"), F.lit(False))
+    s_dsir = s_ccnet & F.coalesce(F.col("keep"), F.lit(False))
+
+    def n(c):  # noqa: ANN001 — count of true flags, BIGINT both engines
+        return F.sum(c.cast("long"))
+
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        n(s_gopher).alias("n_gopher"),
+        n(s_c4).alias("n_c4"),
+        n(s_ccnet).alias("n_ccnet"),
+        n(s_dsir).alias("n_dsir"),
+    )

@@ -453,7 +453,7 @@ def registered_domain_expr(bare_host: Column, rules: PslRules) -> Column:
 
     return (
         F.when(bare_host.isNull(), F.lit(None).cast("string"))
-        .when(bare_host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), bare_host)
+        .when(bare_host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}\z"), bare_host)
         .when(bare_host.startswith("["), bare_host)  # bracketed IPv6
         .otherwise(registered)
     )
@@ -502,7 +502,7 @@ def registered_domain_sql(bare_host_sql: str, rules: PslRules) -> str:
 
     return (
         f"CASE WHEN {h} IS NULL THEN NULL "
-        f"WHEN regexp_matches({h}, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN {h} "
+        f"WHEN regexp_matches({h}, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\z') THEN {h} "
         f"WHEN starts_with({h}, '[') THEN {h} "
         f"WHEN {n} > ({slen}) "
         f"THEN array_to_string({labels}[({n} - ({slen})):], '.') "

@@ -41,12 +41,20 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_BULLET_CHARS: tuple[str, ...] = ("-", "*", "•")
 
+# Whitespace, spelled so both engines mean the same thing (round-7
+# advice): Java's \s is exactly [ \t\n\x0b\f\r] while RE2's (DuckDB)
+# omits \x0b — a bare '\s+' silently diverges on vertical tabs, which
+# encoding_quality treats as legitimate corpus content. This explicit
+# class IS Java's \s, so switching costs the Spark side nothing; the
+# oracles interpolate the same string (udtfs.py precedent).
+ASCII_WS = r"[ \t\n\x0b\f\r]+"
+
 
 def normalize_text(col: Column | str) -> Column:
     """lower + trim + collapse whitespace — the canonical form used by
     fingerprints, shingles and tokenization."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), ASCII_WS, " ")
 
 
 def tokens(col: Column | str) -> Column:
@@ -243,13 +251,16 @@ def gopher_quality_flags(
     whole-stage codegen at any corpus size.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(raw, r"\s+"), lambda x: x != "")
+    words = F.filter(F.split(raw, ASCII_WS), lambda x: x != "")
     # single-arg lambda, NOT bare F.trim: transform passes (element,
     # index) to two-parameter callables, and F.trim's second parameter
     # is the trim-character set — bare F.trim silently trimmed the
-    # stringified index instead of whitespace (caught by fuzz)
+    # stringified index instead of whitespace (caught by fuzz).
+    # btrim also strips \r so CRLF corpora see the same lines as LF
+    # ones (round-7 advice; mirrored in the oracle's trim char set).
     lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(raw, "\n"), lambda x: F.btrim(x, F.lit(" \r"))),
+        lambda x: x != "",
     )
     # one-element explode barrier (the repetition_stats trick): words
     # and lines feed many expressions below; without it each one
@@ -347,13 +358,18 @@ def c4_line_filter(
     matches bit-for-bit by construction.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
+    # \r stripped with the line trim so CRLF corpora behave like LF;
+    # \z (absolute end — identical in Java and RE2) instead of $,
+    # which Java alone also matches before a trailing line
+    # terminator (\r, U+0085, U+2028, U+2029) - round-7 advice.
     lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(raw, "\n"), lambda x: F.btrim(x, F.lit(" \r"))),
+        lambda x: x != "",
     )
     kept_lines = F.filter(
         lines,
-        lambda x: x.rlike('[.!?"]$')
-        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: w != "")) >= C4_MIN_LINE_WORDS)
+        lambda x: x.rlike(r'[.!?"]\z')
+        & (F.size(F.filter(F.split(x, ASCII_WS), lambda w: w != "")) >= C4_MIN_LINE_WORDS)
         & ~F.contains(F.lower(x), F.lit("javascript")),
     )
     barrier = df.select(
@@ -855,9 +871,12 @@ def curation_funnel(
     Shape: ALL gates in one projection (curate()'s single-scan
     discipline); the flag frame is persisted and both aggregates —
     per-source counts and the fingerprint-canonical count — are
-    materialized eagerly (outputs are per-source tiny) so the cache
-    releases before return and the corpus is scanned ONCE, not once
-    per aggregate (the psi_report discipline).
+    materialized eagerly via localCheckpoint so the cache releases
+    before return and the corpus is scanned ONCE, not once per
+    aggregate (the psi_report discipline). The checkpoint stays on
+    the executors: source cardinality is data-dependent (per-domain
+    funnels run to millions of rows), so nothing may route through
+    the driver (round-7 verdict item 2).
     """
     enriched = df.select(
         F.col(id_col),
@@ -887,9 +906,12 @@ def curation_funnel(
             .groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("n_unique"))
         )
-        spark = df.sparkSession
-        base_df = spark.createDataFrame(base.collect(), base.schema)
-        uniq_df = spark.createDataFrame(uniq.collect(), uniq.schema)
+        # eager=True materializes both aggregates off the shared cache
+        # NOW (before the unpersist below) without collecting to the
+        # driver — partitions stay executor-resident, so an arbitrary
+        # source cardinality cannot OOM the driver
+        base_df = base.localCheckpoint(eager=True)
+        uniq_df = uniq.localCheckpoint(eager=True)
     finally:
         flagged.unpersist()
     # null-SAFE source join: a NULL-source survivor belongs to the

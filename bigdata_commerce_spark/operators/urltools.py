@@ -99,17 +99,17 @@ def _canonical_expr(
     )
     # Rule 2: default port, then trailing FQDN dot.
     host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80\\z", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443\\z", ""))
         .otherwise(hostport)
     )
-    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"\.\z", "")
     # Rule 3: collapse slash runs, drop trailing slash, '' -> '/'.
     rawpath = F.regexp_extract(url, _PATH_RE, 1)
     path = F.regexp_replace(rawpath, "/{2,}", "/")
     path = (
         F.when(path == "", F.lit("/"))
-        .when(path != "/", F.regexp_replace(path, "/$", ""))
+        .when(path != "/", F.regexp_replace(path, "/\\z", ""))
         .otherwise(path)
     )
     # Rule 5: split, scrub tracking keys, sort, rejoin. Fragment is
@@ -149,7 +149,7 @@ def _domain_expr(canonical: Column, rules: "psl.PslRules | None" = None) -> Colu
     if rules is None:
         rules = psl.default_rules()
     host = F.regexp_extract(canonical, _HOSTPORT_RE, 1)
-    bare = F.regexp_replace(host, ":[0-9]+$", "")  # non-default port stays in host
+    bare = F.regexp_replace(host, ":[0-9]+\\z", "")  # non-default port stays in host
     return F.when(
         canonical.isNull(), F.lit(None).cast("string")
     ).otherwise(psl.registered_domain_expr(bare, rules))

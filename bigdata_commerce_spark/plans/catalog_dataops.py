@@ -30,7 +30,7 @@ from bigdata_commerce_spark.sources.testdata import load_table
 _NORM_CTE = r"""
 norm_docs AS (
     SELECT doc_id, text,
-           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS norm
     FROM documents
 ), tok_docs AS (
     SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM norm_docs
@@ -395,7 +395,7 @@ _CURATION_ORACLE = f"""
 WITH stats AS ({_TEXT_STATS_SQL}),
 langp AS ({_lang_sql()}),
 fps AS (
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
     FROM documents
 ), q AS (
     SELECT doc_id,
@@ -1308,7 +1308,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 @query(
@@ -1316,7 +1316,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS bpe_tokens,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS INT) AS ws_tokens
     FROM documents
     """,
 )
@@ -1330,7 +1330,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).alias(
             "bpe_tokens"
         ),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), text_ops.ASCII_WS)).alias("ws_tokens"),
     )
 
 
@@ -1467,7 +1467,7 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH fp AS (
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
         FROM documents
     ), half1 AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
     batch AS (
@@ -1623,7 +1623,7 @@ def documents_shuffled_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_CTE = r"""
 tok AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'),
+           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                        x -> x <> '') AS toks
     FROM documents
 ), dl AS (
@@ -2259,7 +2259,7 @@ _DUPSPAN_W = 8
 _DUPSPAN_CTE = rf"""
 toks8 AS (
     SELECT doc_id,
-           list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+           list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
                        t -> t <> '') AS tk
     FROM documents
 ), win8 AS (
@@ -2407,7 +2407,7 @@ def _linscore_sql() -> str:
     WITH wts(bucket, w) AS (SELECT * FROM (VALUES {rows})),
     ltoks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+               list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
                            t -> t <> '') AS tk
         FROM documents
     ), ltok AS (
@@ -2604,7 +2604,7 @@ def _tag_phrases_sql() -> str:
     return rf"""
     WITH ptoks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+               list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \t\n\x0b\f\r]+'),
                            t -> t <> '') AS tk
         FROM documents
     )
@@ -2825,7 +2825,7 @@ def _funnel_sql() -> str:
     lang AS ({_lang_sql()}),
     base AS (
         SELECT d.doc_id, d.source,
-               md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp,
+               md5(regexp_replace(lower(trim(d.text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
                {quality} AS quality,
                l.predicted_lang
         FROM documents d
@@ -3173,10 +3173,10 @@ WITH f AS (
     -- CASE len>0 restates the twin's explicit empty-token contract
     -- (no content -> NULL fp); DuckDB's array_to_string([]) happens
     -- to be NULL already, but the contract should not ride a quirk
-    SELECT CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+    SELECT CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                      t -> t <> '')) > 0
                 THEN md5(array_to_string(
-                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                 t -> t <> '')[1:8], ' ')) END AS fp,
            source, COUNT(*) AS n
     FROM documents GROUP BY 1, 2
@@ -3208,7 +3208,7 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(F.col("text"))), text_ops.ASCII_WS), lambda t: t != ""
     )
     # empty token list -> NULL fingerprint: a no-content doc has no
     # provenance key (pairing every empty doc corpus-wide would also
@@ -3313,16 +3313,16 @@ url_parts AS (
     SELECT doc_id,
            scheme || '://' || host ||
              CASE WHEN path2 = '' THEN '/'
-                  WHEN path2 <> '/' THEN regexp_replace(path2, '/$', '')
+                  WHEN path2 <> '/' THEN regexp_replace(path2, '/\z', '')
                   ELSE path2 END ||
              CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
            host
     FROM (
         SELECT *,
                regexp_replace(
-                 CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
-                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                      ELSE hostport END, '\\.$', '') AS host
+                 CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80\z', '')
+                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443\z', '')
+                      ELSE hostport END, '\\.\\z', '') AS host
         FROM url_parts
     )
 ), url_dom AS (
@@ -3330,7 +3330,7 @@ url_parts AS (
            {_PSL_DOMAIN_SQL} AS registered_domain
     FROM (
         SELECT doc_id, canonical_url,
-               regexp_replace(host, ':[0-9]+$', '') AS bare
+               regexp_replace(host, ':[0-9]+\z', '') AS bare
         FROM url_canon
     )
 )
@@ -3464,10 +3464,10 @@ def _gopher_sql() -> str:
     WITH g AS (
         SELECT doc_id,
                COALESCE(text, '') AS t,
-               list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+               list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS w,
                list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
-                                          x -> trim(x)),
+                                          x -> trim(x, ' ' || chr(13))),
                            x -> x <> '') AS l
         FROM documents
     ), c AS (
@@ -3596,13 +3596,13 @@ WITH g AS (
     SELECT doc_id,
            COALESCE(text, '') AS t,
            list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
-                                      x -> trim(x)),
+                                      x -> trim(x, ' ' || chr(13))),
                        x -> x <> '') AS l
     FROM documents
 ), k AS (
     SELECT doc_id, t, l,
-           list_filter(l, x -> regexp_matches(x, '[.!?"]$')
-                            AND len(list_filter(string_split_regex(x, '\s+'),
+           list_filter(l, x -> regexp_matches(x, '[.!?"]\z')
+                            AND len(list_filter(string_split_regex(x, '[ \t\n\x0b\f\r]+'),
                                                 w -> w <> ''))
                                 >= {text_ops.C4_MIN_LINE_WORDS}
                             AND NOT contains(lower(x), 'javascript')) AS kl
@@ -3634,6 +3634,48 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-entry cap."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.c4_line_filter(docs)
+
+
+def _recipe_funnel_sql() -> str:
+    """The composed-funnel oracle reuses the four recipe oracles
+    verbatim as derived tables (DuckDB allows WITH inside a
+    subquery), so the funnel cannot drift from the per-recipe
+    contracts the driver checks individually."""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN g.passes_gopher THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher,
+           CAST(SUM(CASE WHEN g.passes_gopher AND c.kept
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+           CAST(SUM(CASE WHEN g.passes_gopher AND c.kept
+                          AND COALESCE(cc.bucket IN ('head', 'middle'), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ccnet,
+           CAST(SUM(CASE WHEN g.passes_gopher AND c.kept
+                          AND COALESCE(cc.bucket IN ('head', 'middle'), FALSE)
+                          AND COALESCE(ds.keep, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir
+    FROM ({_gopher_sql()}) g
+    JOIN ({_C4_SQL}) c USING (doc_id)
+    LEFT JOIN ({_CCNET_SQL}) cc USING (doc_id)
+    LEFT JOIN ({_DSIR_SQL}) ds USING (doc_id)
+    """
+
+
+@twin_query("published_recipe_funnel", oracle=_recipe_funnel_sql())
+def published_recipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher -> C4 -> CCNet -> DSIR composed as one progressive
+    survivor funnel (operators/lm_quality.published_recipe_funnel) —
+    the corpus_curation_funnel discipline applied to the published
+    recipes: each stage ANDs all previous gates, LM-unscorable docs
+    fail their stage explicitly, single-row data-card output. Twin
+    slot: queued (r9)."""
+    from bigdata_commerce_spark.operators.lm_quality import (
+        published_recipe_funnel as _funnel,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return _funnel(docs)
+
 
 
 def _top_ngram_sql() -> str:
@@ -3712,3 +3754,51 @@ def doc_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver catalog is at its 50-entry cap."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.encoding_quality(docs)
+
+
+def _encoding_repair_sql() -> str:
+    from bigdata_commerce_spark.operators.encoding_repair import (
+        mojibake_repair_sql,
+    )
+
+    def cnt(col: str, m: str) -> str:
+        return (
+            f"CAST((length({col}) - length(replace({col}, '{m}', ''))) "
+            f"// {len(m)} AS BIGINT)"
+        )
+
+    def hits(col: str) -> str:
+        return " + ".join(cnt(col, m) for m in text_ops.MOJIBAKE_MARKERS)
+
+    return f"""
+    WITH g AS (
+        SELECT doc_id, text AS t, {mojibake_repair_sql("text")} AS r
+        FROM documents
+    ), h AS (
+        SELECT doc_id, t, r,
+               COALESCE(t, '') AS tc, COALESCE(r, '') AS rc
+        FROM g
+    )
+    SELECT doc_id,
+           r AS text_repaired,
+           COALESCE(r <> t, FALSE) AS was_repaired,
+           {hits("tc")} AS n_hits_before,
+           {hits("rc")} AS n_hits_after
+    FROM h
+    """
+
+
+@twin_query("doc_encoding_repair", oracle=_encoding_repair_sql())
+def doc_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-speed mojibake repair (operators/encoding_repair
+    .repair_encoding, the kernel encoding_quality defers to): chained
+    replace over the generated cp1252 double-encode damage map, with
+    before/after marker accounting. The chain and the oracle's are
+    generated from the same map in the same order, so parity holds by
+    construction; the exact codec round-trip variant
+    (repair_encoding_exact) is byte-fixture-tested in pytest — codecs
+    are not SQL-expressible. Twin slot: queued (r9)."""
+    from bigdata_commerce_spark.operators.encoding_repair import repair_encoding
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repair_encoding(docs)

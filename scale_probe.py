@@ -27,8 +27,9 @@ the banded/bucketed designs should stay near ~10x (plus constant
 overhead). Prints one JSON line; run ad-hoc, results recorded in
 SCALE.md.
 
-Suites (argv[1]): ``dedup`` (default), ``relational``, ``round4``,
-and ``skew`` — the skew suite measures wall(skewed)/wall(uniform) on
+Suites (argv[1]): ``dedup`` (default), ``relational``, ``round4``
+through ``round8``, ``memory``, ``streaming``, and ``skew`` — the
+skew suite measures wall(skewed)/wall(uniform) on
 twin corpora differing ONLY in key distribution (one planted hot key
 owning ~30% of rows), across the execution shapes key skew can land
 on: hash agg, salted agg, rank-limit window, running-frame window,
@@ -1152,6 +1153,47 @@ def round7_probes(spark, docs_path: str):
     }
 
 
+def round8_probes(spark, docs_path: str):
+    """Round-8 encoding-repair wave. The synthetic corpus is clean, so
+    5% of documents get a mojibake suffix appended in-plan (the
+    realistic flagged-sliver regime the kernels are designed for) —
+    the probe then measures: the fast chained-replace path over the
+    WHOLE corpus, and the exact codec kernel whose vectorized
+    short-circuit should keep the 95% clean majority at Arrow
+    passthrough speed. Consumed through output aggregates."""
+    from bigdata_commerce_spark.operators import encoding_repair
+
+    moji = " Ã©lÃ©phant â€œquotedâ€\x9d Ã¼ber â€” cafÃ©"
+    docs = spark.read.parquet(docs_path).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat(F.coalesce("text", F.lit("")), F.lit(moji))
+        ).otherwise(F.col("text")),
+    )
+
+    def fast():
+        return int(
+            encoding_repair.repair_encoding(docs)
+            .agg(
+                F.sum(F.col("was_repaired").cast("long"))
+                + F.sum(F.coalesce(F.length("text_repaired"), F.lit(0)))
+            )
+            .collect()[0][0]
+        )
+
+    def exact():
+        return int(
+            encoding_repair.repair_encoding_exact(docs)
+            .agg(
+                F.sum(F.col("was_repaired").cast("long"))
+                + F.sum(F.coalesce(F.length("text_repaired"), F.lit(0)))
+            )
+            .collect()[0][0]
+        )
+
+    return {"repair_encoding_fast": fast, "repair_encoding_exact": exact}
+
+
 def round5g_probes(spark, docs_path: str):
     """URL-curation wave: canonical-URL projection, URL-level dedup,
     per-domain host report (operators/urltools.py). URLs are derived
@@ -1493,6 +1535,12 @@ def main() -> None:
         p10 = round7_probes(spark, docs10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round7")
+    elif suite == "round8":
+        docs1 = os.path.join(SF_DIR, "documents.parquet")
+        p1 = round8_probes(spark, docs1)
+        p10 = round8_probes(spark, docs10)
+        pairs = {name: (p1[name], p10[name]) for name in p1}
+        out = run_probe(pairs, "scale_probe_10x_ratio_round8")
     elif suite == "memory":
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
         ev_unif, _, _ = build_skew_corpus(spark, sf10)

@@ -58,6 +58,21 @@ _UNICODE_TEXTS = (
     "éléphant résumé combining accents",
     "ПРИВЕТ мир КИРИЛЛИЦА текст",
     'he said "x\\y" and (a+b)*c? [brackets] {braces} 100%',
+    # Engine-parity hostiles (round-7 advice): Java \\s includes \\x0b
+    # where RE2's does not, and Java $ matches before a trailing
+    # \\r / U+0085 / U+2028 / U+2029 where RE2's does not -- these rows
+    # make any bare-\\s or bare-$ oracle pairing fail the differential
+    # sweep instead of drifting silently.
+    "vertical\x0btab splits words\x0bhere maybe.",
+    "crlf line one.\r\nsecond crlf line here.\r\nthird one!\r\n",
+    "trailing carriage return.\r",
+    "nel\x85terminated line.\x85tail",
+    "unicode line sep\u2028dot end.\u2028para sep\u2029tail line.",
+    "form\ffeed and\ttabs \x0b mixed \r\n whitespace zoo.",
+    # mojibake rows (encoding repair differential): utf-8 bytes
+    # mis-decoded as cp1252, single- and double-encoded
+    'Ã©lÃ©phant rÃ©sumÃ© â€” naÃ¯ve â€œquotedâ€\x9d textâ€¦',
+    'cafÃƒÂ© Ã‚Â· ÃƒÂ¼ber',
 )
 
 
@@ -67,6 +82,29 @@ def _money(rng: random.Random, lo_cents: int, hi_cents: int) -> float:
 
 def _salad(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+# Gopher's stopword list (text.GOPHER_STOPWORDS) — two per prose line
+# so flag_stopwords passes; mirrored here instead of imported so a
+# fixture regression can't silently track an operator-constant change.
+_PROSE_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _prose(rng: random.Random, n_lines: int) -> str:
+    """Multi-line prose that PASSES the published recipe gates
+    (round-7 verdict item 3 — the salad docs are single-line token
+    soup on which Gopher/C4 pass zero documents, making composed
+    recipe oracles vacuous): every line ends in terminal punctuation,
+    has >= 6 words, and carries Gopher stopwords; 8+ distinct lines
+    and 50+ words per document."""
+    lines = []
+    for _ in range(n_lines):
+        k = rng.randrange(5, 11)
+        ws = [rng.choice(_WORDS) for _ in range(k)]
+        ws.insert(rng.randrange(len(ws) + 1), rng.choice(_PROSE_STOPS))
+        ws.insert(rng.randrange(len(ws) + 1), rng.choice(_PROSE_STOPS))
+        lines.append(" ".join(ws) + rng.choice((".", ".", ".", "!", "?")))
+    return "\n".join(lines)
 
 
 def _region() -> dict:
@@ -260,10 +298,19 @@ def _documents(rng: random.Random, dup_rate: float = 0.2) -> dict:
     p_fresh = max(0.0, 0.78 - dup_rate) * (0.50 / 0.58)
     p_exact = dup_rate / 2
     texts: list[str | None] = []
+    prose_idx: list[int] = []
     for i in range(n):
         r = rng.random()
         if r < p_fresh:
-            texts.append(_salad(rng, rng.randrange(10, 120)))
+            # one fresh doc in four is multi-line prose that passes
+            # the Gopher/C4 gates (recipe funnels must be non-vacuous
+            # on this corpus — round-7 verdict item 3); the rest stay
+            # single-line salad, which those gates reject
+            if rng.random() < 0.25:
+                texts.append(_prose(rng, rng.randrange(8, 13)))
+                prose_idx.append(i)
+            else:
+                texts.append(_salad(rng, rng.randrange(10, 120)))
         elif r < p_fresh + p_exact and texts:
             texts.append(rng.choice([t for t in texts if t] or ["fallback doc"]))  # exact dup
         elif r < p_fresh + 2 * p_exact and texts:
@@ -286,6 +333,12 @@ def _documents(rng: random.Random, dup_rate: float = 0.2) -> dict:
     for j, u in enumerate(_UNICODE_TEXTS):
         texts[6 + j] = u
     lang = [rng.choice(langs) for _ in range(n)]
+    # prose docs are labeled 'en' so the DSIR English-target slice is
+    # prose-dominated — the keep gate then has real signal on this
+    # corpus (and the composed recipe funnel stays non-vacuous end to
+    # end); the hostile lang overrides below still win
+    for j in prose_idx:
+        lang[j] = "en"
     lang[20] = ""
     lang[21] = None
     src = [sources[min(int(rng.expovariate(0.35)), 19)] for _ in range(n)]

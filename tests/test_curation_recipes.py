@@ -383,3 +383,85 @@ def test_encoding_quality_detects_each_damage_class(spark):
     assert out[6]["flag_clean"] is True and out[6]["n_mojibake_hits"] == 0
     plan = encoding_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Composed funnel (round-7 verdict item 3): hand-verified survivor
+# counts on a crafted corpus where every gate passes a non-zero,
+# countable subset.
+# ---------------------------------------------------------------------------
+
+def _prose_doc(seed: int, n_lines: int = 8) -> str:
+    """Deterministic multi-line prose passing Gopher AND C4: 8
+    distinct lines x 8 words = 64 words, every line ends '.', carries
+    the Gopher stopwords 'the'/'and'/'with', no symbols/bullets."""
+    return "\n".join(
+        f"the data table number {seed} row {i} scans and filters batches with care."
+        for i in range(n_lines)
+    )
+
+
+def test_published_recipe_funnel_hand_counts(spark):
+    from bigdata_commerce_spark.operators.lm_quality import (
+        dsir_logratio,
+        perplexity_buckets,
+        published_recipe_funnel,
+    )
+    from bigdata_commerce_spark.operators.text import c4_line_filter
+
+    texts = {
+        1: _prose_doc(1), 2: _prose_doc(2), 3: _prose_doc(3),
+        4: _prose_doc(4), 5: _prose_doc(5), 6: _prose_doc(6),
+        # fails Gopher (10 words < 50) and C4 (single line)
+        7: "tiny document with under ten words total here now.",
+        # passes Gopher, fails C4's no-brace page rule
+        8: _prose_doc(8) + "\nthe extra line has a { brace and the page drops.",
+        # passes Gopher, fails C4 (every line mentions javascript)
+        9: "\n".join(
+            f"the javascript widget {i} renders and updates with the page loads."
+            for i in range(8)
+        ),
+        # fails Gopher (all lines bulleted > 90%), passes C4's line rules
+        10: "\n".join(
+            f"- the bullet item {i} lists and counts things with care."
+            for i in range(8)
+        ),
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in sorted(texts.items())],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = published_recipe_funnel(df).collect()[0]
+    # HAND COUNTS: raw 10; Gopher passes 1-6, 8, 9 (7 too short, 10
+    # all-bullets); C4 keeps 1-6 among those (8 brace, 9 javascript).
+    assert row.n_raw == 10
+    assert row.n_gopher == 8
+    assert row.n_c4 == 6
+    # CCNet head+middle = nll <= the 2/3 tercile over all ten docs, so
+    # at most ~1/3 of the corpus is tail: >= 3 of the 6 survivors
+    # remain. DSIR with target == the whole corpus (all docs 'en')
+    # gives logratio 0 everywhere -> every doc keeps (0 >= cut=0).
+    # Reconstruct both from the individual operators (the funnel must
+    # equal the composition of its published parts).
+    buckets = {
+        r.doc_id: r.bucket for r in perplexity_buckets(df).collect()
+    }
+    keeps = {
+        r.doc_id: r.keep
+        for r in dsir_logratio(df, df.where(F.col("lang") == "en")).collect()
+    }
+    c4_kept = {r.doc_id: r.kept for r in c4_line_filter(df).collect()}
+    survivors = [i for i in (1, 2, 3, 4, 5, 6) if c4_kept[i]]
+    exp_ccnet = sum(
+        1 for i in survivors if buckets.get(i) in ("head", "middle")
+    )
+    exp_dsir = sum(
+        1
+        for i in survivors
+        if buckets.get(i) in ("head", "middle") and keeps.get(i, False)
+    )
+    assert row.n_ccnet == exp_ccnet
+    assert row.n_dsir == exp_dsir
+    # every gate's survivor count is non-zero on this corpus
+    assert row.n_gopher > 0 and row.n_c4 > 0
+    assert row.n_ccnet >= 3 and row.n_dsir > 0

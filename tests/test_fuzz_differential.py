@@ -189,3 +189,18 @@ def test_empty_ivf_index_with_explicit_centroids(spark, empty_dir, tmp_path):
     )
     ivf_index.append_to_ivf_index(delta, path)
     assert ivf_index.search_ivf_index(spark, path, probes, k=3).count() == 1
+
+
+def test_recipe_gates_nonvacuous_on_fuzz_corpus(spark, fuzz_dir):
+    """Round-7 verdict item 3: the fuzz corpus now carries a
+    multi-line prose family (fuzzgen._prose), so the published recipe
+    gates must pass a NON-ZERO subset — a composed funnel whose every
+    stage is zero would be a vacuous oracle match."""
+    row = ALL_QUERIES["published_recipe_funnel"](spark, fuzz_dir).collect()[0]
+    assert row.n_raw > 0
+    assert row.n_gopher > 0, "no doc passes Gopher — prose family missing?"
+    assert row.n_c4 > 0, "no doc passes Gopher+C4"
+    assert row.n_ccnet > 0, "no survivor lands in CCNet head/middle"
+    assert row.n_dsir > 0, "no survivor kept by DSIR"
+    # funnel is monotone by construction; pin it anyway
+    assert row.n_raw >= row.n_gopher >= row.n_c4 >= row.n_ccnet >= row.n_dsir
