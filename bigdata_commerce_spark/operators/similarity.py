@@ -748,3 +748,113 @@ def ivf_projected_topk(
     # exact re-rank on the ORIGINAL vectors — the compressed space
     # only decides WHO gets scored, never the score itself
     return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)
+
+
+def semdedup(
+    corpus: DataFrame,
+    tau: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then WITHIN each cluster drop every vector that
+    has a near-identical neighbor (cosine >= ``tau``) closer to the
+    cluster centroid than itself — the published keep-the-peripheral
+    rule, which preserves the cluster's diversity while removing its
+    redundant core. Returns every row:
+    ``(id_col, centroid_id, centroid_sim, kept)``.
+
+    Decision rule (a deterministic total order, no connected
+    components needed): x is DROPPED iff some same-cell y has
+    ``round(cos(x, y), 6) >= tau`` AND y is MORE peripheral
+    (y.centroid_sim < x.centroid_sim, ties broken toward smaller
+    id) — the survivor of a near-dup group is its lowest-centroid-sim
+    member, the paper's diversity-preserving choice. Scoring one
+    dominance relation per pair instead of transitive clusters is the
+    paper's actual algorithm — and it caps the work at one
+    within-cell self-join. Zero-magnitude vectors have NULL cosine
+    everywhere (try_divide), get a NULL cell, and are always kept —
+    the same explicit contract on both engines.
+
+    Scale shape: centroid assignment is the IVF broadcast fold (no
+    shuffle, no row amplification); the only shuffle is the self-join
+    key = centroid_id, so per-task work is bounded by cell size — at
+    100 TB the dial is n_centroids (the paper runs 50k clusters for
+    LAION; cells stay ~constant-size as the corpus and centroid count
+    grow together). Float discipline: pair cosines rounded to 6dp and
+    centroid sims to 4dp (the IVF convention) before any comparison,
+    so engine ULPs cannot flip a keep decision.
+    """
+    if centroids is None:
+        centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    cent_row, id_type = _centroid_fold_row(centroids)
+    # the _assign_cells fold, keeping the winning score as well
+    best = F.aggregate(
+        _cell_scores("__v"),
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast(id_type).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            x["s"].isNotNull()
+            & (
+                acc["s"].isNull()
+                | (x["s"] > acc["s"])
+                | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"]))
+            ),
+            x,
+        ).otherwise(acc),
+    )
+    assigned = (
+        c.crossJoin(cent_row)
+        .select(
+            "__id",
+            "__v",
+            best["cid"].alias("centroid_id"),
+            best["s"].alias("centroid_sim"),
+        )
+        .persist()
+    )
+    a = assigned.select(
+        F.col("__id").alias("__xa"),
+        F.col("__v").alias("__va"),
+        F.col("centroid_id").alias("__ca"),
+        F.col("centroid_sim").alias("__sa"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("__xb"),
+        F.col("__v").alias("__vb"),
+        F.col("centroid_id").alias("__cb"),
+        F.col("centroid_sim").alias("__sb"),
+    )
+    dominated = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__xa") != F.col("__xb")))
+        .where(
+            (F.round(_cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(tau))
+            & (
+                # keep-the-peripheral: the member CLOSER to the
+                # centroid is the redundant one — a lower-sim
+                # near-identical neighbor dominates it
+                (F.col("__sb") < F.col("__sa"))
+                | ((F.col("__sb") == F.col("__sa")) & (F.col("__xb") < F.col("__xa")))
+            )
+        )
+        .select(F.col("__xa").alias("__dropped"))
+        .distinct()
+    )
+    out = (
+        assigned.join(dominated, assigned["__id"] == dominated["__dropped"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "centroid_id",
+            # + 0.0 canonicalizes a rounded -0.0 (engine-parity: the
+            # oracle does the same)
+            (F.col("centroid_sim") + F.lit(0.0)).alias("centroid_sim"),
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
+    return out

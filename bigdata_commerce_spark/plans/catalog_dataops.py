@@ -976,6 +976,62 @@ SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
 """
 
 
+_COS4 = (
+    "ROUND(list_reduce(list_transform(list_zip({a}, {b}), q -> q[1] * q[2]),"
+    " (acc, x) -> acc + x)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x))), {dp})"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS centroid_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf') LIMIT 16
+), cscore AS (
+    SELECT v.vec_id, c.centroid_id,
+           {_COS4.format(a="v.e", b="c.ce", dp=4)} AS s
+    FROM v CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, centroid_id, s FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC
+        ) AS rk
+        FROM cscore WHERE s IS NOT NULL
+    ) WHERE rk = 1
+), mem AS (
+    SELECT a.vec_id, a.centroid_id, a.s, v.e
+    FROM assigned a JOIN v USING (vec_id)
+), dropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM mem x JOIN mem y
+      ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+    WHERE {_COS4.format(a="x.e", b="y.e", dp=6)} >= CAST('0.9' AS DOUBLE)
+      AND (y.s < x.s OR (y.s = x.s AND y.vec_id < x.vec_id))
+)
+SELECT v.vec_id, a.centroid_id,
+       a.s + CAST(0.0 AS DOUBLE) AS centroid_sim,
+       (d.vec_id IS NULL) AS kept
+FROM v
+LEFT JOIN assigned a USING (vec_id)
+LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@twin_query("embedding_semdedup", oracle=_SEMDEDUP_ORACLE)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023; operators/similarity.semdedup):
+    md5-picked coarse clusters, within-cell dominance prune — a
+    vector drops iff a >=0.9-cosine neighbor sits closer to the
+    centroid (ties toward smaller id), zero-magnitude vectors always
+    kept with a NULL cell. The only shuffle is the cell-keyed
+    self-join; centroid sims rounded to 4dp and pair cosines to 6dp
+    before any comparison (engine parity). Twin slot: queued (r9)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.semdedup(emb, tau=0.9, n_centroids=16)
+
+
 @query("embedding_ann_ivf", oracle=_IVF_ORACLE)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file index) — the partition-the-corpus scale

@@ -1153,7 +1153,7 @@ def round7_probes(spark, docs_path: str):
     }
 
 
-def round8_probes(spark, docs_path: str):
+def round8_probes(spark, docs_path: str, emb_path: str):
     """Round-8 encoding-repair wave. The synthetic corpus is clean, so
     5% of documents get a mojibake suffix appended in-plan (the
     realistic flagged-sliver regime the kernels are designed for) —
@@ -1191,7 +1191,34 @@ def round8_probes(spark, docs_path: str):
             .collect()[0][0]
         )
 
-    return {"repair_encoding_fast": fast, "repair_encoding_exact": exact}
+    from bigdata_commerce_spark.operators import similarity
+
+    emb = spark.read.parquet(emb_path)
+
+    n_vecs = emb.count()
+
+    def semdedup():
+        # the paper's scale path: clusters GROW with the corpus
+        # (LAION runs 50k), keeping cell size ~constant so the
+        # within-cell self-join stays linear in corpus size; a fixed
+        # n_centroids would grow cells 10x and the join 100x/cells
+        # (measured 4.95x wall before this scaling). ~250 vecs/cell.
+        # Consumed through output aggregates (catalog probe
+        # discipline).
+        return int(
+            similarity.semdedup(emb, tau=0.9, n_centroids=max(16, n_vecs // 250))
+            .agg(
+                F.sum(F.col("kept").cast("long"))
+                + F.count(F.lit(1))
+            )
+            .collect()[0][0]
+        )
+
+    return {
+        "repair_encoding_fast": fast,
+        "repair_encoding_exact": exact,
+        "embedding_semdedup": semdedup,
+    }
 
 
 def round5g_probes(spark, docs_path: str):
@@ -1537,8 +1564,9 @@ def main() -> None:
         out = run_probe(pairs, "scale_probe_10x_ratio_round7")
     elif suite == "round8":
         docs1 = os.path.join(SF_DIR, "documents.parquet")
-        p1 = round8_probes(spark, docs1)
-        p10 = round8_probes(spark, docs10)
+        emb1 = os.path.join(SF_DIR, "embeddings.parquet")
+        p1 = round8_probes(spark, docs1, emb1)
+        p10 = round8_probes(spark, docs10, emb10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round8")
     elif suite == "memory":

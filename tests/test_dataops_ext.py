@@ -1915,3 +1915,94 @@ def test_cross_source_dup_matrix_exact_pair_arithmetic(spark):
         ("src_a", "src_b"): (1, 6),   # 3*2
         ("src_b", "src_b"): (2, 1 + 1),  # C(2,2)=1 for X copies + C(2,2)=1 for Y
     }
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 8): within-cluster dominance prune, keep-the-
+# peripheral rule (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_drops_exact_duplicates_keeps_min_id(spark):
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, base), (2, base), (3, base), (4, other)]
+    out = {r.vec_id: r for r in semdedup(_vecs(spark, rows), tau=0.99).collect()}
+    # identical vectors have identical centroid_sim -> tie-break keeps
+    # the smallest id; the orthogonal vector is untouched
+    assert out[1].kept is True
+    assert out[2].kept is False and out[3].kept is False
+    assert out[4].kept is True
+    assert out[1].centroid_id == out[2].centroid_id == out[3].centroid_id
+
+
+def test_semdedup_keeps_the_peripheral_member(spark):
+    """The published rule: among a near-dup pair, the member FARTHER
+    from its centroid (lower centroid_sim) survives, regardless of
+    id order."""
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    # one EXPLICIT centroid shared by the near-dup pair (with a
+    # corpus this tiny the md5 pick would make every vector its own
+    # centroid and the pair would never meet in a cell); v10 IS the
+    # centroid direction, so v11 is the peripheral member and must
+    # survive even though v10 has the smaller id
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.9962, 0.0871, 0.0, 0.0]  # ~5 degrees off a
+    far = [0.0, 0.0, 1.0, 0.0]
+    rows = [(10, a), (11, b), (12, far)]
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup(_vecs(spark, rows), tau=0.99, centroids=cents).collect()
+    }
+    pair = [out[10], out[11]]
+    assert sorted(p.kept for p in pair) == [False, True]
+    survivor = next(p for p in pair if p.kept)
+    victim = next(p for p in pair if not p.kept)
+    assert survivor.centroid_sim <= victim.centroid_sim
+    assert out[12].kept is True
+
+
+def test_semdedup_zero_vector_contract(spark):
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    rows = [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]
+    out = {r.vec_id: r for r in semdedup(_vecs(spark, rows), tau=0.9).collect()}
+    # zero-magnitude vectors: NULL cell, NULL sim, always kept — even
+    # though two of them are "identical" (their cosine is undefined)
+    for i in (1, 3):
+        assert out[i].kept is True
+        assert out[i].centroid_id is None and out[i].centroid_sim is None
+    assert out[2].kept is True
+
+
+def test_semdedup_threshold_gates_the_prune(spark):
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.8, 0.6, 0.0, 0.0]  # cosine 0.8 to a
+    rows = [(1, a), (2, b)]
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    loose = {
+        r.vec_id: r.kept
+        for r in semdedup(_vecs(spark, rows), tau=0.75, centroids=cents).collect()
+    }
+    tight = {
+        r.vec_id: r.kept
+        for r in semdedup(_vecs(spark, rows), tau=0.9, centroids=cents).collect()
+    }
+    assert sorted(loose.values()) == [False, True]  # 0.8 >= 0.75: one drops
+    assert list(tight.values()) == [True, True]     # 0.8 < 0.9: both stay
