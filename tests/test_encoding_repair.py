@@ -116,3 +116,5 @@ def test_repair_reconciles_with_detector(spark):
 def test_fast_path_is_udf_free(spark):
     plan = repair_encoding(_docs(spark, CLEAN))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and shuffle-free: one projection at scan speed, no Exchange
+    assert "Exchange" not in plan, plan.splitlines()[:12]
