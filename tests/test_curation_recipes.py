@@ -202,8 +202,11 @@ _SETTINGS = settings(
 # locale-free reference matches Java/RE2 semantics exactly.
 _WORDS = ["the", "and", "to", "of", "cat", "dog", "run", "x1", "42",
           "###", "a…b", "javascript", "JavaScript", "lorem", "ipsum",
-          "big{", "word..."]
-_ENDINGS = ["", ".", "!", "?", '"', "...", "…"]
+          "big{", "word...",
+          # round-8 parity class: \x0b splits words in BOTH engines
+          # now (explicit ASCII class); NEL splits in neither
+          "v\x0bt", "nel\x85nel"]
+_ENDINGS = ["", ".", "!", "?", '"', "...", "…", ".\r"]
 _LINE_STARTS = ["", "- ", "* ", "• ", "  "]
 
 
@@ -222,7 +225,7 @@ def _docs(draw):
                 + draw(st.sampled_from(_ENDINGS))
             )
             lines.append(line)
-        sep = draw(st.sampled_from(["\n", "\n\n", "\n \n"]))
+        sep = draw(st.sampled_from(["\n", "\n\n", "\n \n", "\r\n"]))
         text = sep.join(lines) if lines else draw(st.sampled_from(["", " ", None]))
         out.append((i, text))
     return out
@@ -236,7 +239,9 @@ def _ref_words(t):
 
 
 def _ref_lines(t):
-    return [l for l in (x.strip(" ") for x in t.split("\n")) if l]
+    # strip \r with the spaces — CRLF corpora see LF lines (the
+    # operators' btrim(' \r') / oracle trim(x, ' ' || chr(13)))
+    return [l for l in (x.strip(" \r") for x in t.split("\n")) if l]
 
 
 def _ref_gopher(text):
@@ -289,7 +294,7 @@ def _ref_c4(text):
     kl = [
         x
         for x in l
-        if _re.search(r'[.!?"]$', x)
+        if _re.search(r'[.!?"]\Z', x)  # \Z = Java/RE2 \z (absolute end)
         and len(_ref_words(x)) >= C4_MIN_LINE_WORDS
         and "javascript" not in x.lower()
     ]
