@@ -63,15 +63,27 @@ _SHINGLE_CTE = (
 
 _EN = ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"])
 
+# Oracle-side emulation of Spark's double ROUND (round-8 fuzz find):
+# Java rounds the SHORTEST DECIMAL REPR (BigDecimal.valueOf =
+# Double.toString) with HALF_UP; DuckDB's double ROUND rounds the
+# binary value — they disagree whenever the true value sits within an
+# ULP of a half boundary (the prose fuzz family hit quality scores at
+# 0.98545+/-ulp: 0.9854 vs 0.9855). VARCHAR of a double is the same
+# shortest round-trip repr in both engines, and DECIMAL round is exact
+# half-away-from-zero = HALF_UP on that repr — bit-equal to Spark by
+# construction. DECIMAL(38,18) holds the full 17-significant-digit
+# repr at every stat magnitude here, so no double-rounding.
+#   CAST(ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
+
 _TEXT_STATS_SQL = f"""
 WITH {_NORM_CTE}
 SELECT doc_id,
        length(text) AS n_chars,
        CAST(len(toks) AS INT) AS n_tokens,
-       ROUND((length(norm) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_token_len,
-       ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
-       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio,
-       ROUND(len(list_filter(toks, x -> x IN ({_EN}))) * 1.0 / len(toks), 4) AS stopword_ratio
+       CAST(ROUND(CAST(CAST(((length(norm) - (len(toks) - 1)) * 1.0 / len(toks)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS mean_token_len,
+       CAST(ROUND(CAST(CAST((length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS punct_ratio,
+       CAST(ROUND(CAST(CAST((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS digit_ratio,
+       CAST(ROUND(CAST(CAST((len(list_filter(toks, x -> x IN ({_EN}))) * 1.0 / len(toks)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS stopword_ratio
 FROM tok_docs
 """
 
@@ -90,8 +102,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_frac_sql(list_expr: str, min_len: int) -> str:
     arr = f"CASE WHEN len(toks) >= {min_len} THEN {list_expr} ELSE NULL END"
     return (
-        f"COALESCE(ROUND((len({arr}) - len(list_distinct({arr}))) * 1.0"
-        f" / NULLIF(len({arr}), 0), 4), 0.0)"
+        f"COALESCE(CAST(ROUND(CAST(CAST(((len({arr}) - len(list_distinct({arr}))) * 1.0"
+        f" / NULLIF(len({arr}), 0)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE), 0.0)"
     )
 
 
@@ -281,10 +293,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH stats AS ({_TEXT_STATS_SQL})
     SELECT doc_id,
-           ROUND(0.4 * LEAST(stopword_ratio * 4, 1.0)
+           CAST(ROUND(CAST(CAST((0.4 * LEAST(stopword_ratio * 4, 1.0)
                + 0.3 * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END)
                + 0.15 * (1 - LEAST(digit_ratio * 5, 1.0))
-               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0)), 4) AS quality
+               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality
     FROM stats
     """,
 )
@@ -300,11 +312,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS ({_TEXT_STATS_SQL}),
     scored AS (
         SELECT d.source, d.lang, s.n_tokens, s.n_chars,
-               ROUND(0.4 * LEAST(s.stopword_ratio * 4, 1.0)
+               CAST(ROUND(CAST(CAST((0.4 * LEAST(s.stopword_ratio * 4, 1.0)
                    + 0.3 * (CASE WHEN s.mean_token_len BETWEEN 3 AND 10
                             THEN 1.0 ELSE 0.3 END)
                    + 0.15 * (1 - LEAST(s.digit_ratio * 5, 1.0))
-                   + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0)), 4) AS quality
+                   + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality
         FROM documents d JOIN stats s USING (doc_id)
     )
     SELECT source, lang,
@@ -399,10 +411,10 @@ fps AS (
     FROM documents
 ), q AS (
     SELECT doc_id,
-           ROUND(0.4 * LEAST(stopword_ratio * 4, 1.0)
+           CAST(ROUND(CAST(CAST((0.4 * LEAST(stopword_ratio * 4, 1.0)
                + 0.3 * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END)
                + 0.15 * (1 - LEAST(digit_ratio * 5, 1.0))
-               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0)), 4) AS quality,
+               + 0.15 * (1 - LEAST(punct_ratio * 5, 1.0))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality,
            n_tokens
     FROM stats
 ), kept AS (
@@ -2116,9 +2128,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @twin_query(
     "docs_editdist_join",
-    oracle="""
-    WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
-         r AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250)
+    oracle=r"""
+    WITH a AS (SELECT doc_id, text FROM documents
+               WHERE NOT regexp_matches(text, '[^\x00-\x7f]')),
+         l AS (SELECT * FROM a WHERE doc_id < 250),
+         r AS (SELECT * FROM a WHERE doc_id >= 250)
     SELECT l.doc_id AS lid, r.doc_id AS rid,
            CAST(levenshtein(l.text, r.text) AS INT) AS distance
     FROM l, r
@@ -2131,10 +2145,19 @@ def docs_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/editdist.py): complete rarest-q-gram prefix candidates
     + threshold-banded verify, against DuckDB's brute-force
     levenshtein oracle — candidate pruning must be invisible in the
-    result. Twin slot: driver catalog is at its 50-entry cap."""
+    result. The oracle-checked domain is ASCII rows on both sides:
+    DuckDB's levenshtein counts BYTES where Spark's counts codepoints
+    (measured: lev('e-acute','x') = 2 vs 1), so they only define the
+    same metric where bytes == codepoints — caught by the round-8
+    unicode fuzz rows landing inside the length band. The operator's
+    codepoint semantics (including unicode) are differential-tested
+    against a pure-Python reference in tests/test_editdist.py. Twin
+    slot: driver catalog is at its 50-entry cap."""
     from bigdata_commerce_spark.operators.editdist import edit_distance_join
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).where(
+        ~F.coalesce(F.col("text").rlike(r"[^\x00-\x7f]"), F.lit(True))
+    )
     return edit_distance_join(
         docs.where(F.col("doc_id") < 250),
         docs.where(F.col("doc_id") >= 250),
@@ -2871,11 +2894,11 @@ def embedding_centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_sql() -> str:
-    quality = """ROUND(0.4 * LEAST(s.stopword_ratio * 4, 1.0)
+    quality = """CAST(ROUND(CAST(CAST((0.4 * LEAST(s.stopword_ratio * 4, 1.0)
                + 0.3 * (CASE WHEN s.mean_token_len BETWEEN 3 AND 10
                         THEN 1.0 ELSE 0.3 END)
                + 0.15 * (1 - LEAST(s.digit_ratio * 5, 1.0))
-               + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0)), 4)"""
+               + 0.15 * (1 - LEAST(s.punct_ratio * 5, 1.0))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)"""
     return rf"""
     WITH stats AS ({_TEXT_STATS_SQL}),
     lang AS ({_lang_sql()}),

@@ -107,3 +107,16 @@ def test_matches_python_reference(spark, lefts, rights, d, q):
     left = dict(enumerate(lefts))
     right = dict(enumerate(rights, start=100))
     assert _run(spark, left, right, d, q=q) == _reference(left, right, d)
+
+
+def test_unicode_distances_are_codepoint_based(spark):
+    """Spark's levenshtein counts CODEPOINTS; the catalog twin's
+    DuckDB oracle counts bytes, which is why the twin restricts its
+    oracle-checked domain to ASCII (round-8 fuzz find). The operator
+    itself must stay codepoint-exact on unicode."""
+    left = {1: "éléphant", 2: "日本語"}
+    right = {100: "elephant", 101: "日本誤"}
+    got = _run(spark, left, right, 3)
+    # é->e twice = 2 edits; one CJK substitution = 1 edit
+    assert got[(1, 100)] == 2
+    assert got[(2, 101)] == 1
