@@ -2006,3 +2006,18 @@ def test_semdedup_threshold_gates_the_prune(spark):
     }
     assert sorted(loose.values()) == [False, True]  # 0.8 >= 0.75: one drops
     assert list(tight.values()) == [True, True]     # 0.8 < 0.9: both stay
+
+
+def test_semdedup_plan_shape(spark):
+    """No CartesianProduct anywhere (the only nested-loop joins are
+    the broadcast one-row centroid constants), and the shuffle
+    surface is the cell-keyed self-join family only — the property
+    SCALE.md claims."""
+    import re
+
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = semdedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan[:500]
