@@ -1402,6 +1402,52 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_ECON_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_PATTERN}'))
+                ) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+       (CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_PATTERN}'))
+                 ) AS DOUBLE) * 1024.0)
+           / NULLIF(CAST(SUM(strlen(COALESCE(text, ''))) AS DOUBLE), 0.0)
+           AS bpe_tokens_per_kb
+FROM documents
+GROUP BY lang
+"""
+
+
+@twin_query("corpus_token_economics", oracle=_TOKEN_ECON_SQL)
+def corpus_token_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the mixture-budgeting
+    data-card row (tokens-per-byte drives how many corpus bytes buy a
+    token budget, and a language whose fertility is off signals an
+    encoding or tokenizer-fit problem): document count, BPE-ish token
+    total, byte total (octet_length — bytes, not codepoints), and
+    tokens per KiB. One scan, one tiny per-language aggregate; NULL
+    lang is its own observable group. Float parity: the ratio is
+    (double)sum*1024.0/(double)sum — two IEEE ops with identical
+    parenthesization in both engines, no ROUND surface; NULL for a
+    zero-byte language on both (try_divide <-> NULLIF). Twin slot:
+    queued (r9)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))).alias("__bpe"),
+        F.octet_length(t).alias("__bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("__bytes").cast("bigint").alias("n_bytes"),
+        F.try_divide(
+            F.sum("__bpe").cast("double") * F.lit(1024.0),
+            F.sum("__bytes").cast("double"),
+        ).alias("bpe_tokens_per_kb"),
+    )
+
+
 @query(
     "ad_launch_window_counts",
     oracle=f"""
