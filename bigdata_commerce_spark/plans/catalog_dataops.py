@@ -3438,15 +3438,15 @@ url_parts AS (
     SELECT doc_id,
            scheme || '://' || host ||
              CASE WHEN path2 = '' THEN '/'
-                  WHEN path2 <> '/' THEN regexp_replace(path2, '/\z', '')
+                  WHEN path2 <> '/' THEN regexp_replace(path2, '/\\z', '')
                   ELSE path2 END ||
              CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
            host
     FROM (
         SELECT *,
                regexp_replace(
-                 CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80\z', '')
-                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443\z', '')
+                 CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80\\z', '')
+                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443\\z', '')
                       ELSE hostport END, '\\.\\z', '') AS host
         FROM url_parts
     )
@@ -3455,7 +3455,7 @@ url_parts AS (
            {_PSL_DOMAIN_SQL} AS registered_domain
     FROM (
         SELECT doc_id, canonical_url,
-               regexp_replace(host, ':[0-9]+\z', '') AS bare
+               regexp_replace(host, ':[0-9]+\\z', '') AS bare
         FROM url_canon
     )
 )
