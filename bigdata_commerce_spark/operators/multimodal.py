@@ -375,3 +375,82 @@ def audio_features(df: DataFrame, decode: str = "deterministic") -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+def media_phash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash column for near-dup detection over media:
+    ``(media_id, phash)`` where bit i is the sign of feature i around
+    0.5 — the aHash/pHash construction over whatever feature vector
+    the extraction kernel emits (FEATURE_DIM bits; a CNN embedding or
+    DCT block plugs into the same bit rule on the real path).
+
+    Engine-exactness: the deterministic kernel's feature i is
+    ``int32(sha256[4i:4i+4]) / 2**32``, so ``feature >= 0.5`` is
+    exactly "first hex nibble of the group >= 8" — this computes the
+    bits DIRECTLY from sha2's hex (pure JVM, no Arrow kernel, no
+    float32 round-trip: a float32-rounded feature within 2^-25 of 0.5
+    could flip a bit vs the exact value; the nibble rule cannot).
+    NULL media -> NULL phash (absent files join nothing downstream).
+    """
+    hx = F.sha2(F.col("content"), 256)
+    bits = [
+        F.when(
+            F.substring(hx, 8 * i + 1, 1).isin(*"89abcdef"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(FEATURE_DIM)
+    ]
+    phash = bits[0]
+    for b in bits[1:]:
+        phash = phash + b
+    return df.select(
+        "media_id",
+        F.when(F.col("content").isNotNull(), phash).cast("int").alias("phash"),
+    )
+
+
+def media_phash_pairs(df: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Media near-dup candidate pairs by perceptual-hash hamming
+    distance: ``(media_a, media_b, hamming)`` with hamming <=
+    ``max_hamming`` and media_a < media_b.
+
+    Pigeonhole banding (the simhash discipline): the FEATURE_DIM-bit
+    hash splits into ``max_hamming + 1`` equal bands — any pair within
+    the distance bound agrees on >= 1 whole band, so candidates are a
+    UNION of per-band equi-joins (never a cross join), then exact
+    bit_count verification. Shuffle is keyed by (band index, band
+    value): bounded by bucket population, the same skew profile as
+    dedup_simhash. NULL phash rows (absent media) join nothing.
+
+    Note the deterministic kernel's feature space is FEATURE_DIM=8
+    bits, so chance collisions are dense by construction (2^8
+    buckets) — the plumbing under test; the real-decode path's
+    CNN/DCT features make the same bits semantically perceptual.
+    """
+    bands = max_hamming + 1
+    if FEATURE_DIM % bands:
+        raise ValueError(
+            f"max_hamming+1 must divide FEATURE_DIM (got {bands} over {FEATURE_DIM})"
+        )
+    width = FEATURE_DIM // bands
+    h = media_phash(df).where(F.col("phash").isNotNull())
+    mask = (1 << width) - 1
+
+    def band(col: str, j: int):
+        return F.shiftright(F.col(col), j * width).bitwiseAND(F.lit(mask))
+
+    a = h.select(F.col("media_id").alias("media_a"), F.col("phash").alias("__pa"))
+    b = h.select(F.col("media_id").alias("media_b"), F.col("phash").alias("__pb"))
+    cands = None
+    for j in range(bands):
+        c = a.join(
+            b,
+            (band("__pa", j) == band("__pb", j))
+            & (F.col("media_a") < F.col("media_b")),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.expr("bit_count(__pa ^ __pb)").cast("int")
+    return (
+        cands.select("media_a", "media_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

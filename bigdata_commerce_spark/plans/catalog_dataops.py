@@ -1110,6 +1110,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_SQL = """
+WITH m AS (
+    SELECT doc_id AS media_id, sha256(text) AS hx
+    FROM documents WHERE text IS NOT NULL
+), h AS (
+    SELECT media_id,
+           CASE WHEN substr(hx, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END
+             + CASE WHEN substr(hx, 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 2 ELSE 0 END
+             + CASE WHEN substr(hx, 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 4 ELSE 0 END
+             + CASE WHEN substr(hx, 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 8 ELSE 0 END
+             + CASE WHEN substr(hx, 33, 1) IN ('8','9','a','b','c','d','e','f') THEN 16 ELSE 0 END
+             + CASE WHEN substr(hx, 41, 1) IN ('8','9','a','b','c','d','e','f') THEN 32 ELSE 0 END
+             + CASE WHEN substr(hx, 49, 1) IN ('8','9','a','b','c','d','e','f') THEN 64 ELSE 0 END
+             + CASE WHEN substr(hx, 57, 1) IN ('8','9','a','b','c','d','e','f') THEN 128 ELSE 0 END AS phash
+    FROM m
+)
+SELECT x.media_id AS media_a, y.media_id AS media_b,
+       CAST(bit_count(CAST(xor(x.phash, y.phash) AS BIGINT)) AS INT) AS hamming
+FROM h x JOIN h y
+  ON x.media_id < y.media_id
+ AND ((x.phash % 16) = (y.phash % 16) OR (x.phash // 16) = (y.phash // 16))
+WHERE bit_count(CAST(xor(x.phash, y.phash) AS BIGINT)) <= 1
+"""
+
+
+@twin_query("multimodal_phash_pairs", oracle=_PHASH_SQL)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs by perceptual-hash hamming distance
+    (operators/multimodal.media_phash_pairs): FEATURE_DIM sign bits
+    of the feature vector, pigeonhole-banded equi-joins (never a
+    cross join), exact bit_count verify at hamming <= 1. The bits are
+    computed from sha2 hex directly (exactly "feature >= 0.5" for the
+    deterministic kernel, with no float32 round-trip), so the DuckDB
+    oracle replays them nibble for nibble; the oracle's OR-banded
+    brute join is the semantic spec the banded union must equal.
+    Twin slot: queued (r9)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    return multimodal.media_phash_pairs(media, max_hamming=1)
+
+
 @twin_query(
     "multimodal_resize",
     oracle="""

@@ -2021,3 +2021,75 @@ def test_semdedup_plan_shape(spark):
     plan = semdedup(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan[:500]
+
+
+# ---------------------------------------------------------------------------
+# Media perceptual-hash near-dup (round 8)
+# ---------------------------------------------------------------------------
+
+def test_media_phash_bits_equal_feature_signs(spark):
+    """The JVM nibble rule must equal 'feature >= 0.5' on the
+    deterministic kernel's exact feature values."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        media_phash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text") for i in range(1, 30)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    media = documents_as_media(docs)
+    feats = {r.media_id: r.features for r in extract_features(media).collect()}
+    hashes = {r.media_id: r.phash for r in media_phash(media).collect()}
+    assert hashes[99] is None  # absent media -> NULL phash
+    for mid, fv in feats.items():
+        if fv is None:
+            continue
+        expect = sum((1 << i) for i, x in enumerate(fv) if x >= 0.5)
+        assert hashes[mid] == expect, mid
+
+
+def test_media_phash_pairs_equal_brute_force(spark):
+    """Pigeonhole banding must be invisible: the banded union equals
+    the brute-force hamming<=k set exactly (including hamming-0 exact
+    duplicates)."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        documents_as_media,
+        media_phash,
+        media_phash_pairs,
+    )
+
+    texts = [f"payload {i % 17}" for i in range(60)]  # planted exact dups
+    docs = spark.createDataFrame(
+        list(enumerate(texts, start=1)), "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in media_phash_pairs(media, max_hamming=1).collect()
+    }
+    h = {r.media_id: r.phash for r in media_phash(media).collect()}
+    ids = sorted(h)
+    brute = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(h[a] ^ h[b]).count("1") <= 1
+    }
+    assert got == brute
+    assert any(d == 0 for _, _, d in got)  # the planted exact dups
+
+
+def test_media_phash_pairs_validates_band_split(spark):
+    import pytest as _pytest
+
+    from bigdata_commerce_spark.operators.multimodal import (
+        documents_as_media,
+        media_phash_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        media_phash_pairs(documents_as_media(docs), max_hamming=2)  # 3 | 8 fails
