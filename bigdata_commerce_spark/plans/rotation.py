@@ -236,6 +236,57 @@ DEMOTE_R8: tuple[str, ...] = PROMOTE_R7 + (
     "embeddings_quantized",
 )
 
+# Round 9 (maintenance, ROTATION.md "Round-9 plan"): anchors stay; the
+# 35 non-anchor slots go to the five `queued (r9)` round-8 additions
+# (never driver-checked), then the 14 r5-last twins, then the r6
+# cohort alphabetically through docs_upsampled_epochs. All 35
+# pre-checked at sf0.01 under driver_slot=True strictness before
+# commit (the standing pre-check).
+PROMOTE_R9: tuple[str, ...] = (
+    # queued (r9) — never driver-checked
+    "doc_encoding_repair",
+    "published_recipe_funnel",
+    "embedding_semdedup",
+    "corpus_token_economics",
+    "multimodal_phash_pairs",
+    # r5-last cohort (oldest driver row = r5)
+    "local_supplier_volume",
+    "multimodal_frame_sample",
+    "page_funnel",
+    "pii_scrub",
+    "price_quantiles",
+    "repetition_stats",
+    "returned_item_customers",
+    "salted_user_event_counts",
+    "session_extract",
+    "supplier_window_suite",
+    "top_categories",
+    "top_orders_by_revenue",
+    "top_users_per_category",
+    "users_click_no_purchase",
+    # r6 cohort, alphabetical through docs_upsampled_epochs
+    "benchmark_contamination",
+    "bm25_doc_scores",
+    "chunk_documents",
+    "cohort_retention",
+    "dedup_canonical_docs",
+    "doc_char_bigram_nll",
+    "doc_contaminated_spans",
+    "doc_duplicate_spans",
+    "doc_phrase_tags",
+    "doc_quality_linear_score",
+    "doc_tfidf_keywords",
+    "docs_bloom_anti",
+    "docs_editdist_join",
+    "docs_group_split",
+    "docs_scrubbed_dupspans",
+    "docs_upsampled_epochs",
+)
+
+# Every r8 non-anchor slot demotes after its green r8 row
+# (CORRECTNESS_r08 was 50/50).
+DEMOTE_R9: tuple[str, ...] = PROMOTE_R8
+
 DRIVER_SLOT_CAP = 50
 
 
