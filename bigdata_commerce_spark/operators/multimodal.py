@@ -385,7 +385,8 @@ def media_phash(df: DataFrame) -> DataFrame:
     DCT block plugs into the same bit rule on the real path).
 
     Engine-exactness: the deterministic kernel's feature i is
-    ``int32(sha256[4i:4i+4]) / 2**32``, so ``feature >= 0.5`` is
+    ``uint32(sha256[4i:4i+4]) / 2**32`` (unsigned big-endian read,
+    matching ``_fake_features``), so ``feature >= 0.5`` is
     exactly "first hex nibble of the group >= 8" — this computes the
     bits DIRECTLY from sha2's hex (pure JVM, no Arrow kernel, no
     float32 round-trip: a float32-rounded feature within 2^-25 of 0.5

@@ -809,6 +809,13 @@ def semdedup(
             x,
         ).otherwise(acc),
     )
+    # localCheckpoint (not persist): `assigned` feeds both self-join
+    # sides and the final output, but the returned DataFrame is lazy
+    # so a persist would have no release point and cached blocks
+    # would accumulate across calls (r8 ADVICE). Eager executor-
+    # resident checkpoint blocks are freed by the ContextCleaner once
+    # the plan is unreachable — same pattern as operators/text.py's
+    # curation funnel.
     assigned = (
         c.crossJoin(cent_row)
         .select(
@@ -817,7 +824,7 @@ def semdedup(
             best["cid"].alias("centroid_id"),
             best["s"].alias("centroid_sim"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("__id").alias("__xa"),

@@ -988,11 +988,19 @@ SELECT probe_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# Cosine rounded with the engine-parity emulation of Spark's F.round
+# (BigDecimal over the shortest double repr, HALF_UP): DuckDB's native
+# double ROUND rounds the binary value and can flip at half
+# boundaries (r8 ADVICE item — same class the quality-score oracles
+# hit). Cosines are in [-1, 1], far inside the DECIMAL(38,18) range,
+# and a NULL (zero-magnitude division) propagates through the casts.
 _COS4 = (
-    "ROUND(list_reduce(list_transform(list_zip({a}, {b}), q -> q[1] * q[2]),"
+    "CAST(ROUND(CAST(CAST("
+    "list_reduce(list_transform(list_zip({a}, {b}), q -> q[1] * q[2]),"
     " (acc, x) -> acc + x)"
     " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
-    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x))), {dp})"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x)))"
+    " AS VARCHAR) AS DECIMAL(38,18)), {dp}) AS DOUBLE)"
 )
 
 _SEMDEDUP_ORACLE = f"""
