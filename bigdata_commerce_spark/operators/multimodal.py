@@ -424,20 +424,32 @@ def media_phash_pairs(df: DataFrame, max_hamming: int = 1) -> DataFrame:
 
     Note the deterministic kernel's feature space is FEATURE_DIM=8
     bits, so chance collisions are dense by construction (2^8
-    buckets) — the plumbing under test; the real-decode path's
-    CNN/DCT features make the same bits semantically perceptual.
+    buckets) — the plumbing under test; the real-decode path
+    (``media_phash_real`` + ``phash_hamming_pairs``) runs the same
+    banding over a 64-bit aHash of actually-decoded pixels.
     """
-    bands = max_hamming + 1
-    if FEATURE_DIM % bands:
-        raise ValueError(
-            f"max_hamming+1 must divide FEATURE_DIM (got {bands} over {FEATURE_DIM})"
-        )
-    width = FEATURE_DIM // bands
     h = media_phash(df).where(F.col("phash").isNotNull())
-    mask = (1 << width) - 1
+    return phash_hamming_pairs(h, FEATURE_DIM, max_hamming)
+
+
+def phash_hamming_pairs(
+    h: DataFrame, n_bits: int, max_hamming: int = 1
+) -> DataFrame:
+    """Banded hamming self-join over a ``(media_id, phash)`` frame of
+    ``n_bits``-bit hashes — the pigeonhole kernel shared by the
+    deterministic and real-decode phash paths. Band extraction uses
+    the UNSIGNED shift so a 64-bit hash with the sign bit set bands
+    identically to its unsigned value."""
+    bands = max_hamming + 1
+    if n_bits % bands:
+        raise ValueError(
+            f"max_hamming+1 must divide n_bits (got {bands} over {n_bits})"
+        )
+    width = n_bits // bands
+    mask = (1 << width) - 1 if width < 64 else -1
 
     def band(col: str, j: int):
-        return F.shiftright(F.col(col), j * width).bitwiseAND(F.lit(mask))
+        return F.shiftrightunsigned(F.col(col), j * width).bitwiseAND(F.lit(mask))
 
     a = h.select(F.col("media_id").alias("media_a"), F.col("phash").alias("__pa"))
     b = h.select(F.col("media_id").alias("media_b"), F.col("phash").alias("__pb"))
@@ -455,3 +467,56 @@ def media_phash_pairs(df: DataFrame, max_hamming: int = 1) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+PHASH_REAL_BITS = 64
+
+
+def media_phash_real(df: DataFrame) -> DataFrame:
+    """64-bit average-hash over the REAL decode path: decode the
+    BMP/PPM payload (operators/codecs.py), nearest-resize to 8x8,
+    grayscale, then bit k = (pixel k >= mean) — the classic aHash,
+    which is invariant to uniform brightness scaling and resolution
+    and flips only a few bits under small local edits, so hamming
+    distance is a perceptual near-dup metric (the CNN/DCT slot of
+    ``media_phash``'s docstring made concrete). Arrow-batched
+    mapInPandas like the other real-decode kernels; NULL or
+    undecodable media -> NULL phash. Bits pack little-endian
+    (pixel 0 = bit 0) into one signed int64 — band extraction in
+    ``phash_hamming_pairs`` is unsigned, so the sign bit is safe."""
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import (
+        decode_image,
+        resize_nearest,
+    )
+
+    def one(raw) -> int | None:
+        if raw is None:
+            return None
+        try:
+            rgb = decode_image(bytes(raw))
+        except ValueError:
+            return None
+        gray = resize_nearest(rgb, 8, 8).astype("float64").mean(axis=2).ravel()
+        bits = gray >= gray.mean()
+        word = 0
+        for k in np.flatnonzero(bits):
+            word |= 1 << int(k)
+        # wrap to signed int64 (bit 63 = sign)
+        if word >= 1 << 63:
+            word -= 1 << 64
+        return word
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(b) for b in pdf["content"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="media_id long, phash long")

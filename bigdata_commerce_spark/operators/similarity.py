@@ -757,6 +757,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -787,6 +788,22 @@ def semdedup(
     grow together). Float discipline: pair cosines rounded to 6dp and
     centroid sims to 4dp (the IVF convention) before any comparison,
     so engine ULPs cannot flip a keep decision.
+
+    Hot-cell bound (``max_cell_size``, r8 verdict item 2): semantic
+    skew — a duplicate-heavy blob — defeats the centroid dial, because
+    near-identical vectors share (to 4dp) the same best centroid no
+    matter how many centroids exist; sub-clustering can't split the
+    blob either (every member ties to every blob sub-centroid).
+    When ``max_cell_size`` is set, cells over the cap are SALT-SPLIT:
+    each member gets ``__salt = pmod(xxhash64(id), ceil(cell/cap))``
+    and dominance is only scored within (cell, salt), so the join
+    stays O(cap) per task. The price is bounded recall loss ONLY in
+    oversized cells: a duplicate group of size m splits over k salts,
+    leaving at most k survivors instead of 1 (each salt bucket still
+    holds ~m/k near-identical members and collapses to its own
+    minimum). Cells at or under the cap are bit-identical to the
+    unsalted result — the oracle-paired catalog query keeps
+    ``max_cell_size=None`` (exact published semantics).
     """
     if centroids is None:
         centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
@@ -826,20 +843,38 @@ def semdedup(
         )
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    if max_cell_size is not None:
+        # broadcast the per-cell salt fan-out (one row per centroid —
+        # tiny); small cells get n_salt = 1, i.e. the exact path
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_cell_size)).cast("int").alias("__n_salt")
+        )
+        joined = assigned.join(F.broadcast(sizes), "centroid_id", "left").withColumn(
+            "__salt", F.pmod(F.xxhash64("__id"), F.col("__n_salt"))
+        )
+    else:
+        joined = assigned.withColumn("__salt", F.lit(0))
+    a = joined.select(
         F.col("__id").alias("__xa"),
         F.col("__v").alias("__va"),
         F.col("centroid_id").alias("__ca"),
         F.col("centroid_sim").alias("__sa"),
+        F.col("__salt").alias("__salta"),
     )
-    b = assigned.select(
+    b = joined.select(
         F.col("__id").alias("__xb"),
         F.col("__v").alias("__vb"),
         F.col("centroid_id").alias("__cb"),
         F.col("centroid_sim").alias("__sb"),
+        F.col("__salt").alias("__saltb"),
     )
     dominated = (
-        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__xa") != F.col("__xb")))
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("__salta") == F.col("__saltb"))
+            & (F.col("__xa") != F.col("__xb")),
+        )
         .where(
             (F.round(_cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(tau))
             & (

@@ -1221,6 +1221,31 @@ def round8_probes(spark, docs_path: str, emb_path: str):
     }
 
 
+def plant_hot_blob(emb):
+    """Semantic-skew twin of an embeddings frame: every 5th vector
+    becomes a near-copy of one constant direction (pairwise cosine
+    ~1, tiny deterministic jitter), so ALL of them share one best
+    centroid — the duplicate-heavy blob that defeats SemDeDup's
+    corpus-proportional centroid dial (near-identical vectors pick
+    the same cell no matter how many centroids exist)."""
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.lit(0.1) + i.cast("double") * F.lit(0.001),
+    )
+    jitter = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000)).cast("double")
+            * F.lit(1e-7)
+        ),
+    )
+    hot_vec = F.zip_with(base, jitter, lambda b, j: (b + j).cast("float"))
+    return emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 5 == 0, hot_vec).otherwise(F.col("embedding")),
+    )
+
+
 def round5g_probes(spark, docs_path: str):
     """URL-curation wave: canonical-URL projection, URL-level dedup,
     per-domain host report (operators/urltools.py). URLs are derived
@@ -1569,6 +1594,67 @@ def main() -> None:
         p10 = round8_probes(spark, docs10, emb10)
         pairs = {name: (p1[name], p10[name]) for name in p1}
         out = run_probe(pairs, "scale_probe_10x_ratio_round8")
+    elif suite == "round9":
+        from bigdata_commerce_spark.operators import similarity
+        from bigdata_commerce_spark.operators.lm_quality import (
+            published_recipe_funnel,
+        )
+
+        # (a) SemDeDup hot-cell (r8 verdict item 2): the 10x corpus
+        # with a planted duplicate blob on 20% of vectors. Centroids
+        # are corpus-proportional (the paper's dial), which the blob
+        # DEFEATS — all blob members share one cell, so the uncapped
+        # within-cell join is ~(N/5)^2 pairs regardless of centroid
+        # count. max_cell_size=256 salt-splits the blob and must hold
+        # the hot/uniform wall ratio near 1.
+        def semdedup_run(hot: bool, cap):
+            def fn():
+                emb = spark.read.parquet(emb10)
+                if hot:
+                    emb = plant_hot_blob(emb)
+                n = emb.count()
+                return int(
+                    similarity.semdedup(
+                        emb, tau=0.9, n_centroids=max(16, n // 250), max_cell_size=cap
+                    )
+                    .agg(F.sum(F.col("kept").cast("long")) + F.count(F.lit(1)))
+                    .collect()[0][0]
+                )
+
+            return fn
+
+        out = run_probe(
+            {
+                "semdedup_uncapped": (
+                    semdedup_run(False, None),
+                    semdedup_run(True, None),
+                ),
+                "semdedup_cap256": (
+                    semdedup_run(False, 256),
+                    semdedup_run(True, 256),
+                ),
+            },
+            "scale_probe_semdedup_hotcell",
+            labels=("unif", "hot"),
+        )
+
+        # (b) published_recipe_funnel decorrelated 10x (verdict item
+        # 5): the composed Gopher.C4.CCNet.DSIR scan next to its
+        # already-probed components. Consumed through the funnel's
+        # own one-row survivor counts.
+        docs1 = os.path.join(SF_DIR, "documents.parquet")
+
+        def funnel_run(path):
+            def fn():
+                row = published_recipe_funnel(spark.read.parquet(path)).collect()[0]
+                return int(sum(v for v in row.asDict().values()))
+
+            return fn
+
+        out["recipe_funnel_10x"] = run_probe(
+            {"published_recipe_funnel": (funnel_run(docs1), funnel_run(docs10))},
+            "scale_probe_10x_ratio_round9",
+        )
     elif suite == "memory":
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
         ev_unif, _, _ = build_skew_corpus(spark, sf10)

@@ -293,3 +293,108 @@ def test_audio_features_deterministic_mode_plumbing(spark):
     byid = {r.media_id: r for r in out}
     assert list(again.features) == list(byid[1].features)
     assert again.content_sha == byid[1].content_sha
+
+
+# ------------------------------------- real-decode perceptual hash
+
+
+def _upscale2(base8: np.ndarray) -> np.ndarray:
+    """16x16 image whose nearest-resize back to 8x8 is exactly base8."""
+    return np.kron(base8, np.ones((2, 2, 1), dtype=np.uint8))
+
+
+def test_phash_real_container_invariance(spark):
+    """The real-decode aHash sees PIXELS, not bytes: the same image
+    encoded as BMP and as PPM hashes identically (the deterministic
+    sha-path cannot do this), and NULL / undecodable payloads yield
+    NULL phash instead of killing the batch."""
+    from bigdata_commerce_spark.operators.multimodal import media_phash_real
+
+    rng = np.random.default_rng(7)
+    img = _upscale2(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_bmp(img))),
+            (1, bytearray(encode_ppm(img))),
+            (2, bytearray(b"not an image at all")),
+            (3, None),
+        ],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r.phash for r in media_phash_real(df).collect()}
+    assert out[0] is not None and out[0] == out[1]
+    assert out[2] is None and out[3] is None
+
+
+def test_phash_real_decode_banding_equals_brute_force(spark):
+    """Round-8 verdict item 3: the 64-bit aHash over REAL BMP/PPM
+    decodes, fed through the same pigeonhole banding as the
+    deterministic path — banded candidates verify to EXACTLY the
+    brute-force hamming<=3 pair set, the banded candidate space is a
+    strict subset of all pairs (banding beats brute force), and the
+    plan has no CartesianProduct."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        PHASH_REAL_BITS,
+        media_phash_real,
+        phash_hamming_pairs,
+    )
+
+    # bits sit at +-85 from the mean, so flipping k cells dark<->bright
+    # moves exactly k aHash bits (the ~2.6 mean shift can't reach any)
+    dark, bright = 40, 210
+    rng = np.random.default_rng(13)
+    payloads = []
+    for g in range(4):  # 4 groups x 3 variants + 8 loners = 20 images
+        base8 = np.where(
+            rng.random((8, 8, 1)) < 0.5, dark, bright
+        ).astype(np.uint8).repeat(3, axis=2)
+        for k in (0, 1, 3):  # planted hamming 0/1/3 wrt the base
+            var = base8.copy()
+            flat = var.reshape(64, 3)
+            for cell in range(k):
+                pos = 8 * g + cell  # distinct cells per group
+                flat[pos] = bright if flat[pos][0] == dark else dark
+            img = _upscale2(var)
+            payloads.append(
+                encode_bmp(img) if (g + k) % 2 == 0 else encode_ppm(img)
+            )
+    for _ in range(8):
+        base8 = np.where(
+            rng.random((8, 8, 1)) < 0.5, dark, bright
+        ).astype(np.uint8).repeat(3, axis=2)
+        payloads.append(encode_ppm(_upscale2(base8)))
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, content binary",
+    )
+    h = media_phash_real(df)
+    hashes = {r.media_id: r.phash & ((1 << 64) - 1) for r in h.collect()}
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    # the planted pairs are really there (one hamming-1 and one
+    # hamming-3 pair per group at minimum), so the check is not vacuous
+    assert len(brute) >= 12
+    pairs = phash_hamming_pairs(h, PHASH_REAL_BITS, max_hamming=3)
+    got = {(r.media_a, r.media_b, r.hamming) for r in pairs.collect()}
+    assert got == brute
+    # banding prunes: candidates (>=1 of the 4 16-bit bands equal) are
+    # a strict subset of the n*(n-1)/2 brute-force comparisons
+    def bands(x):
+        return [(x >> (16 * j)) & 0xFFFF for j in range(4)]
+
+    cands = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and any(u == v for u, v in zip(bands(hashes[a]), bands(hashes[b])))
+    }
+    n = len(hashes)
+    assert len(cands) < n * (n - 1) // 2
+    assert {(a, b) for a, b, _ in got} <= cands
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

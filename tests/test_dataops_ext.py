@@ -2023,6 +2023,56 @@ def test_semdedup_plan_shape(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan[:500]
 
 
+def test_semdedup_salt_split_bounds_survivors(spark):
+    """Hot-cell bound (r8 verdict item 2): a duplicate blob larger
+    than ``max_cell_size`` salt-splits into ceil(size/cap) buckets —
+    at most that many survivors (one per non-empty bucket, the
+    bucket-minimum id), never the unbounded single-survivor exactness
+    — while cells at or under the cap stay bit-identical to the
+    unsalted result."""
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    blob = [1.0, 0.0, 0.0, 0.0]
+    small_a = [0.0, 1.0, 0.0, 0.0]
+    small_b = [0.0, 0.9962, 0.0871, 0.0]  # near-dup of small_a
+    rows = [(i, blob) for i in range(40)] + [(100, small_a), (101, small_b)]
+    cents = spark.createDataFrame(
+        [(0, blob), (1, small_a)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup(
+            _vecs(spark, rows), tau=0.99, centroids=cents, max_cell_size=10
+        ).collect()
+    }
+    blob_survivors = [i for i in range(40) if out[i].kept]
+    # ceil(40/10) = 4 salt buckets; identical vectors collapse to the
+    # per-bucket minimum id, so 1..4 survivors (4 unless a bucket is
+    # empty under the hash split)
+    assert 1 <= len(blob_survivors) <= 4
+    # the small cell (2 <= cap) keeps exact semantics: the peripheral
+    # member survives, the centroid-aligned one drops
+    assert out[100].kept is False and out[101].kept is True
+
+
+def test_semdedup_cap_is_exact_when_no_cell_exceeds_it(spark):
+    """max_cell_size larger than every cell == the unsalted result,
+    row for row (n_salt = 1 everywhere is the exact path)."""
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        r.vec_id: (r.centroid_id, r.centroid_sim, r.kept)
+        for r in semdedup(emb, tau=0.9, n_centroids=8).collect()
+    }
+    capped = {
+        r.vec_id: (r.centroid_id, r.centroid_sim, r.kept)
+        for r in semdedup(emb, tau=0.9, n_centroids=8, max_cell_size=10**6).collect()
+    }
+    assert base == capped
+
+
 # ---------------------------------------------------------------------------
 # Media perceptual-hash near-dup (round 8)
 # ---------------------------------------------------------------------------

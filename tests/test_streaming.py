@@ -962,3 +962,38 @@ def test_stateful_misra_gries_guarantees_and_exact_regime(spark, tmp_path):
     for (b, u), e in est2.items():
         got_counts[u] += e
     assert got_counts == true
+
+
+def test_max_files_per_trigger_sets_batch_size(spark, tmp_path):
+    """The trigger-sizing knob from run_ad_pipeline's guidance
+    (SCALE.md trigger-shape table) plumbs through: 6 landed files at
+    max_files_per_trigger=3 consume as exactly 2 micro-batches, with
+    no rows lost; the soak default (=1) gives one batch per file."""
+    import datetime as dt
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(6):
+        spark.createDataFrame(
+            [(dt.datetime(2020, 1, 1, 0, 0, i), dt.date(2020, 1, 1),
+              "p1", "c1", 100 + i, 7)],
+            ad_stream.AD_EVENT_SCHEMA,
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        part = next((tmp_path / f"stage_{i}").glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{i:02d}.parquet")
+
+    def run(mfpt: int) -> tuple[int, int]:
+        batches = []
+        q = (
+            pipelines.file_event_source(spark, str(flat), max_files_per_trigger=mfpt)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mfpt}"))
+            .foreachBatch(lambda df, _eid: batches.append(df.count()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return len(batches), sum(batches)
+
+    assert run(3) == (2, 6)
+    assert run(1) == (6, 6)
