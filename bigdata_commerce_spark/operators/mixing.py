@@ -179,6 +179,53 @@ def cap_per_source(
     )
 
 
+def token_budget_per_source(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-source TOKEN budget: keep documents per source, in
+    the deterministic salted-id hash order (then id as total-order
+    tiebreak), while the tokens BEFORE a document — its exclusive
+    running sum — stay under ``budget``. Training mixtures are
+    specified in tokens, not rows ("30B tokens of web, 5B of code"),
+    so the row-quota ``cap_per_source`` is the wrong unit for the
+    final mix; this is the token-denominated counterpart.
+
+    Keep rule: ``tokens_before < budget``. The first document of a
+    source always survives a positive budget, and the kept set
+    overshoots the budget by less than one document — the standard
+    prefix-fill convention (same as ``packing.pack_sequences``' bin
+    boundary). Adds ``tokens_before`` (BIGINT) to the output so the
+    caller can see the fill level.
+
+    Plan: one shuffle on ``source`` + one running-sum window whose
+    sort key is narrow — (hash, id, tokens), never the document
+    payload. Each SOURCE lands on one reducer: the right trade while
+    a source's (id, tokens) pairs fit an executor (they are ~16 bytes
+    a row, so even a billion-doc source sorts in-memory at 100 TB
+    corpus scale). For a pathologically giant source, pre-thin with
+    ``mixture_sample`` (keep ~2x budget/total-token estimate) and run
+    the exact prefix on the thinned slice — the same escape hatch
+    ``cap_per_source`` documents. Order is content- and
+    partitioning-independent, so retries, reruns, and engines agree
+    row for row (the DuckDB oracle runs the same expression).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_uniform(id_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn("tokens_before", before).where(
+        F.col("tokens_before") < F.lit(int(budget))
+    )
+
+
 def rate_cap_per_key_bucket(
     df: DataFrame,
     max_rows: int,

@@ -1702,6 +1702,50 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "token_budget_docs",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , counted AS (
+        SELECT t.doc_id, d.source,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 8) AS h
+        FROM tok_docs t JOIN documents d ON t.doc_id = d.doc_id
+    ), runs AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM counted
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM runs WHERE tokens_before < 800
+    """,
+)
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget cap (operators/mixing.
+    token_budget_per_source): keep ~800 tokens of documents per
+    source, filled in the deterministic salted-id hash order — the
+    token-denominated mixture cap training recipes actually specify
+    (row quotas are the wrong unit when document lengths vary). Keep
+    rule is ``tokens_before < budget`` (exclusive prefix), so every
+    source survives with at least one document and overshoots by
+    less than one document. One shuffle on source + a narrow-key
+    running-sum window; order is partitioning-independent so the
+    DuckDB oracle reproduces it exactly. Twin slot: driver catalog
+    is at its 50-entry cap."""
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_per_source(counted, budget=800)
+
+
+@twin_query(
     "cross_corpus_links",
     oracle=f"""
     WITH {_SHINGLE_CTE}

@@ -99,3 +99,75 @@ def test_k_validated(spark, frame):
     _, df = frame
     with pytest.raises(ValueError):
         weighted_sample(df, k=0, weight_col="w")
+
+
+# --- token_budget_per_source (exact per-source token cap) ----------
+
+
+def _tb_reference(rows, budget):
+    """Pure-Python spec: per source, order by (md5(id||':mix')[:8], id),
+    keep while the EXCLUSIVE prefix sum of tokens stays under budget."""
+    by_src: dict[str, list[tuple[str, int, int]]] = {}
+    for doc_id, src, toks in rows:
+        h = hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8]
+        by_src.setdefault(src, []).append((h, doc_id, toks))
+    kept = {}
+    for src, docs in by_src.items():
+        run = 0
+        for h, doc_id, toks in sorted(docs):
+            if run < budget:
+                kept[doc_id] = (src, toks, run)
+            run += toks
+    return kept
+
+
+@pytest.fixture()
+def token_frame(spark):
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 53) % 97 + 1) for i in range(45)]
+    return (
+        rows,
+        spark.createDataFrame(rows, "doc_id long, source string, n_tokens long"),
+    )
+
+
+@pytest.mark.parametrize("budget", [1, 120, 10**6])
+def test_token_budget_matches_python_reference(spark, token_frame, budget):
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    rows, df = token_frame
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.tokens_before)
+        for r in token_budget_per_source(df, budget).collect()
+    }
+    assert got == _tb_reference(rows, budget)
+
+
+def test_token_budget_semantics(spark, token_frame):
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    rows, df = token_frame
+    budget = 120
+    kept = token_budget_per_source(df, budget).collect()
+    per_src: dict[str, list] = {}
+    for r in kept:
+        per_src.setdefault(r.source, []).append(r)
+    srcs = {s for _, s, _ in rows}
+    # a positive budget keeps at least one doc from EVERY source
+    assert set(per_src) == srcs
+    for src, docs in per_src.items():
+        total = sum(r.n_tokens for r in docs)
+        last = max(docs, key=lambda r: r.tokens_before)
+        # every kept doc started under budget...
+        assert all(r.tokens_before < budget for r in docs)
+        # ...and the fill is exact: dropping the boundary doc goes under,
+        # keeping it overshoots by < one document
+        assert total - last.n_tokens < budget <= total or total < budget
+    # non-vacuous: this budget actually drops documents
+    assert len(kept) < len(rows)
+
+
+def test_token_budget_keeps_all_when_budget_exceeds_total(spark, token_frame):
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    rows, df = token_frame
+    assert token_budget_per_source(df, 10**6).count() == len(rows)
