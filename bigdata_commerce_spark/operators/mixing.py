@@ -164,7 +164,10 @@ def cap_per_source(
     while quota * row-width fits an executor (quotas are typically
     1e4-1e6 rows); for a pathological giant source, pre-thin with
     ``mixture_sample`` (keep ~2x quota/n_s) first and the exact rank
-    then runs on the thinned slice. Rank order is content- and
+    then runs on the thinned slice — EXACTLY (same salted hash, so
+    the thinned slice is a hash-order prefix of each source; the
+    ranked top-``quota`` is unchanged while the slice keeps >= quota
+    rows). Rank order is content- and
     partitioning-independent, so reruns and engines agree row for
     row (the DuckDB oracle runs the same expression).
     """
@@ -209,9 +212,16 @@ def token_budget_per_source(
     corpus scale). For a pathologically giant source, pre-thin with
     ``mixture_sample`` (keep ~2x budget/total-token estimate) and run
     the exact prefix on the thinned slice — the same escape hatch
-    ``cap_per_source`` documents. Order is content- and
-    partitioning-independent, so retries, reruns, and engines agree
-    row for row (the DuckDB oracle runs the same expression).
+    ``cap_per_source`` documents. And because ``mixture_sample``
+    thresholds the SAME salted hash this window orders by, the
+    thinned slice is a hash-order PREFIX of each source: the escape
+    is EXACT — bit-identical kept set, pinned in tests — whenever the
+    thinned slice still holds >= ``budget`` tokens (underfill is
+    detectable at runtime: a source whose kept tokens sum below
+    budget while the thin dropped rows needs a larger fraction).
+    Order is content- and partitioning-independent, so retries,
+    reruns, and engines agree row for row (the DuckDB oracle runs the
+    same expression).
     """
     from pyspark.sql.window import Window
 

@@ -1304,6 +1304,78 @@ def round5g_probes(spark, docs_path: str):
     }
 
 
+def mixing_budget_probes(spark):
+    """token_budget_per_source (r9): decorrelated 10x ratio on a
+    synthetic NARROW frame — isolates the one shuffle + running-sum
+    window the operator adds (the upstream tokenizer is probed with
+    the text family) — plus the mega-source escape measured: the
+    exact prefix on a 90%-skewed corpus next to mixture_sample
+    pre-thin + exact, proven bit-identical inline before timing
+    (same-salt hash-order-prefix property, pinned in
+    tests/test_weighted_sample.py)."""
+    from bigdata_commerce_spark.operators.mixing import (
+        mixture_sample,
+        token_budget_per_source,
+    )
+
+    budget = 50_000
+
+    def frame(n, skew):
+        uni = F.concat(
+            F.lit("s"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20)).cast("string"),
+        )
+        src = (
+            F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit("mega")).otherwise(uni)
+            if skew
+            else uni
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            src.alias("source"),
+            (F.pmod(F.col("id") * 53, F.lit(97)) + 1).alias("n_tokens"),
+        )
+
+    def count_run(n, skew):
+        def fn():
+            return token_budget_per_source(frame(n, skew), budget).count()
+
+        return fn
+
+    def exact_skew():
+        return token_budget_per_source(frame(2_000_000, True), budget)
+
+    def prethin():
+        df = frame(2_000_000, True)
+        # keep ~2x budget of the mega source's ~88M estimated tokens
+        frac = 2 * budget / (1_800_000 * 49)
+        return token_budget_per_source(
+            mixture_sample(df, {"mega": frac}, default=1.0), budget
+        )
+
+    out = run_probe(
+        {"token_budget": (count_run(200_000, False), count_run(2_000_000, False))},
+        "scale_probe_10x_ratio_mixing_budget",
+    )
+    got_exact = sorted(map(tuple, exact_skew().collect()))
+    got_thin = sorted(map(tuple, prethin().collect()))
+    assert got_exact == got_thin, (
+        f"pre-thin escape not exact: {len(got_exact)} vs {len(got_thin)} rows"
+    )
+    out["mega_source_escape"] = run_probe(
+        {
+            "skewed_2M_rows": (
+                lambda: exact_skew().count(),
+                lambda: prethin().count(),
+            )
+        },
+        "scale_probe_token_budget_escape",
+        labels=("exact", "prethin"),
+    )["ops"]
+    out["escape_exactness"] = {"rows": len(got_exact), "identical": True}
+    return out
+
+
 def _spill_meter(spark):
     """Cumulative (memoryBytesSpilled, diskBytesSpilled) across all
     completed stages, via the UI REST API (the session must run with
@@ -1655,6 +1727,8 @@ def main() -> None:
             {"published_recipe_funnel": (funnel_run(docs1), funnel_run(docs10))},
             "scale_probe_10x_ratio_round9",
         )
+    elif suite == "mixing_budget":
+        out = mixing_budget_probes(spark)
     elif suite == "memory":
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
         ev_unif, _, _ = build_skew_corpus(spark, sf10)

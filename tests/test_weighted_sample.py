@@ -11,6 +11,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.mixing import weighted_sample
 
@@ -171,3 +172,49 @@ def test_token_budget_keeps_all_when_budget_exceeds_total(spark, token_frame):
 
     rows, df = token_frame
     assert token_budget_per_source(df, 10**6).count() == len(rows)
+
+
+def test_token_budget_prethin_escape_is_exact(spark, token_frame):
+    """The documented mega-source escape: mixture_sample thresholds
+    the SAME salted hash token_budget_per_source orders by, so the
+    thinned slice is a hash-order PREFIX of each source and the
+    prefix-fill result is bit-identical while the slice still holds
+    >= budget tokens per source."""
+    from bigdata_commerce_spark.operators.mixing import (
+        mixture_sample,
+        token_budget_per_source,
+    )
+
+    rows, df = token_frame
+    budget = 120
+    full = sorted(map(tuple, token_budget_per_source(df, budget).collect()))
+    thin = mixture_sample(df, {}, default=0.8)
+    # precondition: the thin kept >= budget tokens per source AND
+    # actually dropped rows (otherwise the test is vacuous)
+    kept_tokens = {
+        r.source: r.s
+        for r in thin.groupBy("source").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert all(s >= budget for s in kept_tokens.values())
+    assert thin.count() < len(rows)
+    thinned = sorted(map(tuple, token_budget_per_source(thin, budget).collect()))
+    assert thinned == full
+
+
+def test_cap_per_source_prethin_escape_is_exact(spark, token_frame):
+    """Same prefix property for the row-quota cap: pre-thin + exact
+    rank == exact rank, while the slice keeps >= quota rows."""
+    from bigdata_commerce_spark.operators.mixing import (
+        cap_per_source,
+        mixture_sample,
+    )
+
+    rows, df = token_frame
+    quota = 5
+    full = sorted(map(tuple, cap_per_source(df, quota).collect()))
+    thin = mixture_sample(df, {}, default=0.8)
+    per_src = {r.source: r.c for r in thin.groupBy("source").count().withColumnRenamed("count", "c").collect()}
+    assert all(c >= quota for c in per_src.values())
+    assert thin.count() < len(rows)
+    thinned = sorted(map(tuple, cap_per_source(thin, quota).collect()))
+    assert thinned == full
