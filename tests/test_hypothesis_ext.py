@@ -598,3 +598,53 @@ def test_normalize_actions_total_over_arbitrary_strings(spark, dates, idcsv):
         assert r.order_category_ids is None or all(
             x is None or isinstance(x, int) for x in r.order_category_ids
         )
+
+
+@st.composite
+def sourced_token_rows(draw):
+    """(doc_id, source, n_tokens) with duplicate-free ids, ragged
+    token counts, and a handful of sources of uneven size."""
+    ids = draw(
+        st.lists(st.integers(0, 100_000), min_size=1, max_size=50, unique=True)
+    )
+    n_sources = draw(st.integers(1, 5))
+    return [
+        (
+            i,
+            f"s{draw(st.integers(0, n_sources - 1))}",
+            draw(st.integers(1, 500)),
+        )
+        for i in ids
+    ]
+
+
+@_SETTINGS
+@given(rows=sourced_token_rows(), budget=st.integers(1, 2_000))
+def test_token_budget_equals_sequential_spec(spark, rows, budget):
+    """token_budget_per_source vs the pure-Python prefix-fill spec:
+    per source, hash order, keep while the exclusive running token
+    sum stays under budget (same differential family as the recipe
+    and packing specs)."""
+    import hashlib
+
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    expected = {}
+    by_src: dict[str, list] = {}
+    for doc_id, src, toks in rows:
+        h = hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8]
+        by_src.setdefault(src, []).append((h, doc_id, toks))
+    for src, docs in by_src.items():
+        run = 0
+        for h, doc_id, toks in sorted(docs):
+            if run < budget:
+                expected[doc_id] = (src, toks, run)
+            run += toks
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.tokens_before)
+        for r in token_budget_per_source(
+            spark.createDataFrame(rows, "doc_id long, source string, n_tokens long"),
+            budget,
+        ).collect()
+    }
+    assert got == expected
