@@ -182,12 +182,35 @@ def cap_per_source(
     )
 
 
+def temperature_token_budgets(
+    token_counts: dict[str, int], budget_tokens: int, temperature: float = 0.5
+) -> dict[str, int]:
+    """Per-source TOKEN budgets from observed per-source token totals
+    — the token-denominated sibling of ``temperature_fractions``:
+    tau=1 reproduces the natural token mix, tau=0 splits the budget
+    uniformly over sources, tau in between flattens the head and
+    boosts the tail. A source's budget is capped at its own total (a
+    tail source cannot be handed more tokens than it has). Plain
+    driver-side floats over a handful of sources; feed the result
+    dict straight into ``token_budget_per_source``."""
+    pos = {s: n for s, n in token_counts.items() if n > 0}
+    if not pos:
+        return {s: 0 for s in token_counts}
+    w = {s: float(n) ** temperature for s, n in pos.items()}
+    total = sum(w[s] for s in sorted(w))
+    return {
+        s: min(token_counts[s], int(budget_tokens * w[s] / total)) if s in pos else 0
+        for s in token_counts
+    }
+
+
 def token_budget_per_source(
     df: DataFrame,
-    budget: int,
+    budget: int | dict[str, int],
     token_col: str = "n_tokens",
     source_col: str = "source",
     id_col: str = "doc_id",
+    default_budget: int = 0,
 ) -> DataFrame:
     """EXACT per-source TOKEN budget: keep documents per source, in
     the deterministic salted-id hash order (then id as total-order
@@ -195,7 +218,11 @@ def token_budget_per_source(
     running sum — stay under ``budget``. Training mixtures are
     specified in tokens, not rows ("30B tokens of web, 5B of code"),
     so the row-quota ``cap_per_source`` is the wrong unit for the
-    final mix; this is the token-denominated counterpart.
+    final mix; this is the token-denominated counterpart. ``budget``
+    is one int for every source, or a per-source dict (sources absent
+    from the dict get ``default_budget``, 0 = dropped) — the dict a
+    real mix spec is, e.g. straight from
+    ``temperature_token_budgets``.
 
     Keep rule: ``tokens_before < budget``. The first document of a
     source always survives a positive budget, and the kept set
@@ -231,9 +258,15 @@ def token_budget_per_source(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
-    return df.withColumn("tokens_before", before).where(
-        F.col("tokens_before") < F.lit(int(budget))
-    )
+    if isinstance(budget, dict):
+        # per-source CASE built from the dict, same shape as
+        # mixture_sample's threshold — stays one JVM expression
+        thr = F.lit(int(default_budget))
+        for s in sorted(budget):
+            thr = F.when(F.col(source_col) == s, F.lit(int(budget[s]))).otherwise(thr)
+    else:
+        thr = F.lit(int(budget))
+    return df.withColumn("tokens_before", before).where(F.col("tokens_before") < thr)
 
 
 def rate_cap_per_key_bucket(

@@ -218,3 +218,46 @@ def test_cap_per_source_prethin_escape_is_exact(spark, token_frame):
     assert thin.count() < len(rows)
     thinned = sorted(map(tuple, cap_per_source(thin, quota).collect()))
     assert thinned == full
+
+
+def test_token_budget_per_source_dict_budgets(spark, token_frame):
+    """Per-source dict budgets: each source fills to ITS budget;
+    sources absent from the dict get default_budget (0 = dropped)."""
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    rows, df = token_frame
+    budgets = {"a": 60, "b": 200}  # "c" absent -> dropped
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.tokens_before)
+        for r in token_budget_per_source(df, budgets).collect()
+    }
+    expected = {}
+    for src, b in budgets.items():
+        for doc_id, (s, t, before) in _tb_reference(
+            [r for r in rows if r[1] == src], b
+        ).items():
+            expected[doc_id] = (s, t, before)
+    assert got == expected
+    assert not any(s == "c" for s, _, _ in got.values())
+    # and each listed source is non-vacuously capped at its own level
+    per_src = {}
+    for s, t, _ in got.values():
+        per_src[s] = per_src.get(s, 0) + t
+    assert per_src["a"] < per_src["b"]
+
+
+def test_temperature_token_budgets_endpoints():
+    """tau=1 reproduces the natural token mix, tau=0 splits the
+    budget uniformly; budgets never exceed a source's own tokens;
+    zero-token sources get zero."""
+    from bigdata_commerce_spark.operators.mixing import temperature_token_budgets
+
+    counts = {"web": 900_000, "code": 90_000, "wiki": 10_000, "empty": 0}
+    nat = temperature_token_budgets(counts, 100_000, temperature=1.0)
+    assert nat == {"web": 90_000, "code": 9_000, "wiki": 1_000, "empty": 0}
+    uni = temperature_token_budgets(counts, 30_000, temperature=0.0)
+    assert uni == {"web": 10_000, "code": 10_000, "wiki": 10_000, "empty": 0}
+    # cap: a tail source cannot be handed more tokens than it has
+    capped = temperature_token_budgets(counts, 3_000_000, temperature=0.0)
+    assert capped["wiki"] == 10_000
+    assert temperature_token_budgets({"x": 0}, 100) == {"x": 0}
