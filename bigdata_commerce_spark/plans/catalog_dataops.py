@@ -1746,6 +1746,71 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "temperature_token_mix",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , counted AS (
+        SELECT t.doc_id, d.source,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 8) AS h
+        FROM tok_docs t JOIN documents d ON t.doc_id = d.doc_id
+    ), weights AS (
+        -- tau=0.5 weight = isqrt(source token total): FLOOR over the
+        -- correctly-rounded IEEE sqrt of a BIGINT equals python's
+        -- math.isqrt at these magnitudes, so both engines derive the
+        -- SAME integer weight (zero float surface past this point)
+        SELECT source, CAST(FLOOR(SQRT(SUM(n_tokens))) AS BIGINT) AS w
+        FROM counted GROUP BY source
+    ), budgets AS (
+        SELECT source,
+               CAST((8000 * w) // (SELECT SUM(w) FROM weights) AS BIGINT) AS b
+        FROM weights
+    ), runs AS (
+        SELECT doc_id, c.source, n_tokens, b,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY c.source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM counted c JOIN budgets USING (source)
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM runs WHERE tokens_before < b
+    """,
+)
+def temperature_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end temperature mixing in TOKEN units: measure each
+    source's token total (one hash agg, <= n_sources rows collected —
+    bounded by design), derive tau=0.5 per-source budgets from a
+    global 8000-token budget, and prefix-fill each source to ITS
+    budget (operators/mixing.token_budget_per_source with dict
+    budgets). Engine-exact by construction: weights are integer
+    isqrt of BIGINT totals and budgets integer-divide — the same
+    zero-float-surface discipline as the curation recipes — so the
+    DuckDB oracle (FLOOR(SQRT()) + //) reproduces the kept set
+    bit-for-bit. ``temperature_token_budgets`` is the general-tau
+    float helper; this twin pins the tau=0.5 integer-exact path.
+    Twin slot: driver catalog is at its 50-entry cap."""
+    import math
+
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    totals = {
+        r["source"]: int(r["t"])
+        for r in counted.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    w = {s: math.isqrt(t) for s, t in totals.items()}
+    total_w = sum(w.values())
+    budgets = {s: (8000 * w[s]) // total_w for s in w}
+    return token_budget_per_source(counted, budgets)
+
+
+@twin_query(
     "cross_corpus_links",
     oracle=f"""
     WITH {_SHINGLE_CTE}
