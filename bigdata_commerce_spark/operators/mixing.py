@@ -260,9 +260,11 @@ def token_budget_per_source(
     before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
     if isinstance(budget, dict):
         # per-source CASE built from the dict, same shape as
-        # mixture_sample's threshold — stays one JVM expression
+        # mixture_sample's threshold — stays one JVM expression. A
+        # None key would be unreachable anyway (col == NULL is never
+        # true), so NULL-source rows always take default_budget.
         thr = F.lit(int(default_budget))
-        for s in sorted(budget):
+        for s in sorted(k for k in budget if k is not None):
             thr = F.when(F.col(source_col) == s, F.lit(int(budget[s]))).otherwise(thr)
     else:
         thr = F.lit(int(budget))

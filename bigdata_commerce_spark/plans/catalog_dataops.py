@@ -1758,9 +1758,12 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- tau=0.5 weight = isqrt(source token total): FLOOR over the
         -- correctly-rounded IEEE sqrt of a BIGINT equals python's
         -- math.isqrt at these magnitudes, so both engines derive the
-        -- SAME integer weight (zero float surface past this point)
+        -- SAME integer weight (zero float surface past this point).
+        -- NULL-provenance docs carry no budget AND no weight — they
+        -- must not inflate SUM(w) (the engine excludes them from the
+        -- totals dict the same way; fuzz corpus plants NULL sources)
         SELECT source, CAST(FLOOR(SQRT(SUM(n_tokens))) AS BIGINT) AS w
-        FROM counted GROUP BY source
+        FROM counted WHERE source IS NOT NULL GROUP BY source
     ), budgets AS (
         SELECT source,
                CAST((8000 * w) // (SELECT SUM(w) FROM weights) AS BIGINT) AS b
@@ -1800,9 +1803,14 @@ def temperature_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
+    # NULL-provenance documents carry no budget and are dropped —
+    # exactly the oracle's `JOIN budgets USING (source)` semantics
+    # (a NULL key never matches); the fuzz corpus plants NULL sources
+    # so this branch is differentially tested, not decorative.
     totals = {
         r["source"]: int(r["t"])
         for r in counted.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        if r["source"] is not None
     }
     w = {s: math.isqrt(t) for s, t in totals.items()}
     total_w = sum(w.values())
