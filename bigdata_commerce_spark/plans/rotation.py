@@ -287,6 +287,59 @@ PROMOTE_R9: tuple[str, ...] = (
 # (CORRECTNESS_r08 was 50/50).
 DEMOTE_R9: tuple[str, ...] = PROMOTE_R8
 
+# Round 10 (maintenance, ROTATION.md "Round-10 plan", finalized at r9
+# close): anchors stay; the 35 non-anchor slots go to the two `queued
+# (r10)` round-9 token-budget additions (never driver-checked), then
+# the remaining r6 cohort alphabetically (17), then the r7 cohort
+# alphabetically through events_profile (16). All 35 pre-checked at
+# sf0.01 under driver_slot=True strictness at round-9 close (both
+# queued rows also green at sf0.001); events_running_value heads the
+# r11 queue.
+PROMOTE_R10: tuple[str, ...] = (
+    # queued (r10) — never driver-checked
+    "token_budget_docs",
+    "temperature_token_mix",
+    # r6 cohort rest, alphabetical (oldest driver row = r6)
+    "docs_weighted_sample",
+    "documents_canonical_urls",
+    "documents_global_index",
+    "documents_shuffled_index",
+    "embedding_hard_negatives",
+    "hybrid_search_rrf",
+    "incremental_dedup_novel",
+    "mixture_sample",
+    "orders_scd2_segment",
+    "rate_capped_events",
+    "source_capped_docs",
+    "url_blocklist_survivors",
+    "url_dedup_survivors",
+    "url_host_report",
+    "user_daily_value_locf",
+    "user_hourly_ohlc",
+    "user_window_funnel",
+    # r7 cohort, alphabetical through events_profile
+    "boilerplate_scrub",
+    "corpus_curation_funnel",
+    "corpus_report",
+    "cross_corpus_links",
+    "customer_rfm_segments",
+    "data_quality_report",
+    "docs_bloom_semi",
+    "embedding_centroid_drift",
+    "embeddings_jl_projected",
+    "embeddings_quantized",
+    "event_value_percentile_bands",
+    "events_agg_refresh",
+    "events_ewma_value",
+    "events_grouping_sets",
+    "events_key_skew",
+    "events_profile",
+)
+
+# Every r9 non-anchor slot demotes after its green r9 row
+# (CORRECTNESS_r09 was 50/50).
+DEMOTE_R10: tuple[str, ...] = PROMOTE_R9
+
 DRIVER_SLOT_CAP = 50
 
 

@@ -71,6 +71,32 @@ def test_every_query_has_a_driver_row_or_pin():
     )
 
 
+def test_ledger_horizon():
+    """VERDICT r9 item 7: the informal "~3 rounds without a re-check"
+    promise, made structural — no oracle-paired query's NEWEST driver
+    row may be older than 4 rounds behind the current round (the max
+    round anywhere in the ledger, pending ``rN*`` slots included).
+    Pinned rows ride their target's verification (checked by
+    test_pins_point_at_driver_verified_queries); ``queued (rN)`` rows
+    are brand-new twins awaiting their first slot."""
+    rows = _parse_ledger()
+    all_rounds = [
+        int(n)
+        for _, (_, rounds) in rows.items()
+        for n in re.findall(r"\br(\d+)\*?", rounds)
+    ]
+    current = max(all_rounds)
+    stale = []
+    for name in sorted(set(QUERIES) | set(TWIN_QUERIES)):
+        slot, rounds = rows.get(name, ("", ""))
+        if rounds.startswith("pinned ==") or re.fullmatch(r"queued \(r\d+\)", rounds):
+            continue
+        newest = max(int(n) for n in re.findall(r"\br(\d+)\*?", rounds))
+        if newest < current - 4:
+            stale.append(f"{name} (newest driver row r{newest}, current r{current})")
+    assert not stale, f"ledger horizon exceeded (>4 rounds without a driver row): {stale}"
+
+
 def test_pins_point_at_driver_verified_queries():
     rows = _parse_ledger()
     for name, (_, rounds) in rows.items():
