@@ -192,7 +192,19 @@ def temperature_token_budgets(
     boosts the tail. A source's budget is capped at its own total (a
     tail source cannot be handed more tokens than it has). Plain
     driver-side floats over a handful of sources; feed the result
-    dict straight into ``token_budget_per_source``."""
+    dict straight into ``token_budget_per_source``.
+
+    The returned budgets may SUM BELOW ``budget_tokens`` (ADVICE r9
+    item 2): int() truncation loses < 1 token per source, and the
+    own-total cap drops the capped source's surplus with no
+    redistribution — e.g. tau=0 splits uniformly, so a small source
+    caps at its total and its unused share is simply not reassigned.
+    That is deliberate: redistribution (iterative water-filling)
+    would make a source's budget depend on every OTHER source's
+    total, breaking the simple engine/oracle exactness contract.
+    Callers that need an exact global fill should water-fill
+    driver-side over this dict (it is <= n_sources entries) and
+    check the result with ``token_budget_fill_report``."""
     pos = {s: n for s, n in token_counts.items() if n > 0}
     if not pos:
         return {s: 0 for s in token_counts}
@@ -232,7 +244,8 @@ def token_budget_per_source(
     caller can see the fill level.
 
     Plan: one shuffle on ``source`` + one running-sum window whose
-    sort key is narrow — (hash, id, tokens), never the document
+    sort key is narrow — (hash, id); tokens is the aggregated value,
+    not a sort key — never the document
     payload. Each SOURCE lands on one reducer: the right trade while
     a source's (id, tokens) pairs fit an executor (they are ~16 bytes
     a row, so even a billion-doc source sorts in-memory at 100 TB
@@ -252,23 +265,78 @@ def token_budget_per_source(
     """
     from pyspark.sql.window import Window
 
+    if "tokens_before" in df.columns:
+        # withColumn would silently overwrite it (ADVICE r9 item 3)
+        raise ValueError(
+            "token_budget_per_source adds a 'tokens_before' column but the "
+            "input already has one — rename or drop it first"
+        )
     w = (
         Window.partitionBy(source_col)
         .orderBy(hash_uniform(id_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
-    if isinstance(budget, dict):
-        # per-source CASE built from the dict, same shape as
-        # mixture_sample's threshold — stays one JVM expression. A
-        # None key would be unreachable anyway (col == NULL is never
-        # true), so NULL-source rows always take default_budget.
-        thr = F.lit(int(default_budget))
-        for s in sorted(k for k in budget if k is not None):
-            thr = F.when(F.col(source_col) == s, F.lit(int(budget[s]))).otherwise(thr)
-    else:
-        thr = F.lit(int(budget))
+    thr = _budget_threshold(budget, source_col, default_budget)
     return df.withColumn("tokens_before", before).where(F.col("tokens_before") < thr)
+
+
+def _budget_threshold(
+    budget: int | dict[str, int], source_col: str, default_budget: int
+) -> Column:
+    """The per-source budget as ONE JVM expression: a constant for an
+    int spec, else a CASE built from the dict (same shape as
+    ``mixture_sample``'s threshold). A None key would be unreachable
+    anyway (col == NULL is never true), so NULL-source rows always
+    take ``default_budget``."""
+    if not isinstance(budget, dict):
+        return F.lit(int(budget))
+    thr = F.lit(int(default_budget))
+    for s in sorted(k for k in budget if k is not None):
+        thr = F.when(F.col(source_col) == s, F.lit(int(budget[s]))).otherwise(thr)
+    return thr
+
+
+def token_budget_fill_report(
+    kept: DataFrame,
+    budget: int | dict[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    default_budget: int = 0,
+    available: DataFrame | None = None,
+) -> DataFrame:
+    """Per-source fill report for a ``token_budget_per_source`` result
+    — the runtime underfill detector the pre-thin escape hatch needs
+    (VERDICT r9 item 4). One tiny aggregation (<= n_sources output
+    rows): ``kept_tokens`` / ``kept_rows`` per source next to
+    ``budget_tokens``, plus an ``underfilled`` flag.
+
+    A source is fully filled when ``kept_tokens >= budget_tokens``
+    (the prefix-fill keep rule guarantees the kept set crosses the
+    budget whenever enough tokens existed). ``kept_tokens < budget``
+    therefore means EITHER the source genuinely holds fewer tokens
+    than its budget (fine) or an upstream ``mixture_sample`` pre-thin
+    dropped rows the exact prefix needed (the escape hatch's one
+    failure mode — re-run that source with a larger keep fraction or
+    unthinned). The two are distinguishable only against the
+    pre-thin input: pass it as ``available`` and the flag tightens to
+    "under budget AND rows were left behind"; without it the flag is
+    the conservative "under budget" (exhausted sources flag too).
+    """
+    rep = kept.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("kept_tokens"),
+        F.count("*").alias("kept_rows"),
+    )
+    thr = _budget_threshold(budget, source_col, default_budget)
+    rep = rep.withColumn("budget_tokens", thr.cast("bigint"))
+    under = F.coalesce(F.col("kept_tokens"), F.lit(0)) < F.col("budget_tokens")
+    if available is not None:
+        avail = available.groupBy(source_col).agg(
+            F.count("*").alias("available_rows")
+        )
+        rep = rep.join(avail, on=source_col, how="left")
+        under = under & (F.col("kept_rows") < F.col("available_rows"))
+    return rep.withColumn("underfilled", under)
 
 
 def rate_cap_per_key_bucket(

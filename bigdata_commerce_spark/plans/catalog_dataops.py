@@ -1761,9 +1761,13 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- SAME integer weight (zero float surface past this point).
         -- NULL-provenance docs carry no budget AND no weight — they
         -- must not inflate SUM(w) (the engine excludes them from the
-        -- totals dict the same way; fuzz corpus plants NULL sources)
+        -- totals dict the same way; fuzz corpus plants NULL sources).
+        -- A source whose EVERY doc has NULL text sums to a NULL total
+        -- that would poison SUM(w) — the HAVING drops it, exactly as
+        -- the engine skips NULL totals (ADVICE r9 item 1).
         SELECT source, CAST(FLOOR(SQRT(SUM(n_tokens))) AS BIGINT) AS w
         FROM counted WHERE source IS NOT NULL GROUP BY source
+        HAVING SUM(n_tokens) IS NOT NULL
     ), budgets AS (
         SELECT source,
                CAST((8000 * w) // (SELECT SUM(w) FROM weights) AS BIGINT) AS b
@@ -1806,11 +1810,14 @@ def temperature_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-provenance documents carry no budget and are dropped —
     # exactly the oracle's `JOIN budgets USING (source)` semantics
     # (a NULL key never matches); the fuzz corpus plants NULL sources
-    # so this branch is differentially tested, not decorative.
+    # so this branch is differentially tested, not decorative. A
+    # source whose EVERY doc has NULL text sums to a NULL token total
+    # (ANSI size(NULL) is NULL, SUM of all-NULL is NULL) — skip it,
+    # matching the oracle's HAVING guard (ADVICE r9 item 1).
     totals = {
         r["source"]: int(r["t"])
         for r in counted.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-        if r["source"] is not None
+        if r["source"] is not None and r["t"] is not None
     }
     w = {s: math.isqrt(t) for s, t in totals.items()}
     total_w = sum(w.values())

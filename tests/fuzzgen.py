@@ -343,6 +343,13 @@ def _documents(rng: random.Random, dup_rate: float = 0.2) -> dict:
     lang[21] = None
     src = [sources[min(int(rng.expovariate(0.35)), 19)] for _ in range(n)]
     src[22] = None
+    # a source whose EVERY doc has NULL text: its per-source
+    # SUM(n_tokens) is NULL in both engines (ADVICE r9 item 1 — the
+    # reachable-on-real-data case the mixed sources above cannot hit);
+    # token mixers must drop it, never crash on int(NULL) or let a
+    # NULL weight poison SUM(w). docs 4/5 are the planted NULL texts.
+    src[4] = "src_void"
+    src[5] = "src_void"
     return {
         "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
         "text": texts,

@@ -261,3 +261,91 @@ def test_temperature_token_budgets_endpoints():
     capped = temperature_token_budgets(counts, 3_000_000, temperature=0.0)
     assert capped["wiki"] == 10_000
     assert temperature_token_budgets({"x": 0}, 100) == {"x": 0}
+
+
+# --- token_budget_fill_report (underfill detector, VERDICT r9 #4) ---
+
+
+def test_fill_report_flags_underfilled_source(spark, token_frame):
+    """An over-aggressive pre-thin leaves a source under budget with
+    rows left behind — the report flags it; a well-filled source is
+    not flagged."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    rows, df = token_frame
+    # starve source "a": keep only its 2 hash-smallest docs, so the
+    # exact prefix cannot reach the 300-token budget although the
+    # full source could have filled it
+    a_rows = sorted(
+        (r for r in rows if r[1] == "a"),
+        key=lambda r: hashlib.md5(f"{r[0]}:mix".encode()).hexdigest()[:8],
+    )
+    keep_a = {r[0] for r in a_rows[:2]}
+    thin = df.where((F.col("source") != "a") | F.col("doc_id").isin(*keep_a))
+    kept = token_budget_per_source(thin, 300)
+    rep = {
+        r.source: r
+        for r in token_budget_fill_report(kept, 300, available=df).collect()
+    }
+    assert rep["a"].underfilled
+    assert rep["a"].kept_tokens < 300 and rep["a"].budget_tokens == 300
+    # b and c were not thinned: either they crossed the budget or the
+    # full source is exhausted — never flagged against `available`
+    assert not rep["b"].underfilled and not rep["c"].underfilled
+
+
+def test_fill_report_exhausted_source_not_flagged_with_available(spark, token_frame):
+    """A source genuinely smaller than its budget is NOT underfill
+    when the full input is supplied (no rows were left behind), but
+    the conservative no-available variant flags it."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    rows, df = token_frame
+    big = 10**6  # exceeds every source's total: everything kept
+    kept = token_budget_per_source(df, big)
+    with_avail = {
+        r.source: r.underfilled
+        for r in token_budget_fill_report(kept, big, available=df).collect()
+    }
+    assert with_avail == {"a": False, "b": False, "c": False}
+    without = {
+        r.source: r.underfilled
+        for r in token_budget_fill_report(kept, big).collect()
+    }
+    assert without == {"a": True, "b": True, "c": True}
+
+
+def test_fill_report_dict_budgets(spark, token_frame):
+    """Dict budgets flow through the report's threshold expression."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    _, df = token_frame
+    budgets = {"a": 60, "b": 10**6}
+    kept = token_budget_per_source(df, budgets)
+    rep = {r.source: r for r in token_budget_fill_report(kept, budgets, available=df).collect()}
+    assert set(rep) == {"a", "b"}  # "c" dropped by default_budget=0
+    assert rep["a"].budget_tokens == 60 and not rep["a"].underfilled
+    # b's budget exceeds its total but nothing was left behind
+    assert not rep["b"].underfilled
+
+
+def test_token_budget_rejects_tokens_before_collision(spark, token_frame):
+    """ADVICE r9 item 3: a pre-existing tokens_before column must not
+    be silently overwritten."""
+    import pytest
+
+    from bigdata_commerce_spark.operators.mixing import token_budget_per_source
+
+    _, df = token_frame
+    poisoned = df.withColumn("tokens_before", F.lit(0))
+    with pytest.raises(ValueError, match="tokens_before"):
+        token_budget_per_source(poisoned, 100)
