@@ -16,10 +16,14 @@ Two paths, as a 100 TB pipeline needs:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 # |x| band where ROUND(x, 4) is engine-portable: x*10^4 stays under
@@ -804,6 +808,16 @@ def semdedup(
     minimum). Cells at or under the cap are bit-identical to the
     unsalted result — the oracle-paired catalog query keeps
     ``max_cell_size=None`` (exact published semantics).
+
+    Hot-cell pre-check (VERDICT r9 item 3): when the cap is UNSET,
+    the per-cell histogram the salt path would have computed anyway
+    (one groupBy(centroid_id).count() over the already-checkpointed
+    assignment, <= n_centroids rows) runs as a detector instead — if
+    any cell exceeds 4x the median cell size, a warning is logged
+    naming the hot cell and suggesting ``max_cell_size``, because
+    per-task self-join work grows with the SQUARE of the largest
+    cell (SCALE.md's measured 4.93x blowup on a planted blob). The
+    exact result is unchanged; the warning is the cost model talking.
     """
     if centroids is None:
         centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
@@ -853,6 +867,32 @@ def semdedup(
             "__salt", F.pmod(F.xxhash64("__id"), F.col("__n_salt"))
         )
     else:
+        # hot-cell detector: same histogram the salt path broadcasts,
+        # collected instead (<= n_centroids rows — bounded by design;
+        # reads the eager localCheckpoint, not a re-scan). NULL cells
+        # (zero-magnitude vectors) never self-join, so they can't be
+        # hot — exclude them.
+        cell_sizes = sorted(
+            r["c"]
+            for r in assigned.where(F.col("centroid_id").isNotNull())
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        if cell_sizes:
+            median = cell_sizes[len(cell_sizes) // 2]
+            peak = cell_sizes[-1]
+            if peak > 4 * median:
+                _LOG.warning(
+                    "semdedup hot cell: largest cell holds %d vectors "
+                    "(median %d, %.1fx) and max_cell_size is unset — "
+                    "the within-cell self-join does O(cell^2) work per "
+                    "task; set max_cell_size to salt-split oversized "
+                    "cells (bounded recall loss, see docstring)",
+                    peak,
+                    median,
+                    peak / median,
+                )
         joined = assigned.withColumn("__salt", F.lit(0))
     a = joined.select(
         F.col("__id").alias("__xa"),

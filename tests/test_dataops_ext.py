@@ -1986,6 +1986,54 @@ def test_semdedup_zero_vector_contract(spark):
     assert out[2].kept is True
 
 
+def test_semdedup_hot_cell_warning_fires(spark, caplog):
+    """VERDICT r9 item 3: with max_cell_size UNSET, a cell over 4x
+    the median cell size logs a warning naming the blowup (the
+    detector is the same histogram the salt path broadcasts)."""
+    import logging
+
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    e1, e2, e3 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    rows = [(i, e1) for i in range(12)] + [(100, e2), (101, e3)]
+    cents = spark.createDataFrame(
+        [(0, e1), (1, e2), (2, e3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="bigdata_commerce_spark.operators.similarity"
+    ):
+        semdedup(_vecs(spark, rows), tau=0.99, centroids=cents).collect()
+    hot = [r for r in caplog.records if "hot cell" in r.getMessage()]
+    assert hot, "expected a hot-cell warning (cell sizes 12/1/1)"
+    assert "max_cell_size" in hot[0].getMessage()
+    assert "12" in hot[0].getMessage()
+
+
+def test_semdedup_hot_cell_warning_silent_when_balanced_or_capped(spark, caplog):
+    """No warning on balanced cells, and none when the caller already
+    set max_cell_size (the salt path IS the mitigation)."""
+    import logging
+
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    e1, e2, e3 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, e1), (1, e2), (2, e3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    balanced = [(1, e1), (2, e1), (3, e2), (4, e2), (5, e3), (6, e3)]
+    hot_rows = [(i, e1) for i in range(12)] + [(100, e2), (101, e3)]
+    with caplog.at_level(
+        logging.WARNING, logger="bigdata_commerce_spark.operators.similarity"
+    ):
+        semdedup(_vecs(spark, balanced), tau=0.99, centroids=cents).collect()
+        semdedup(
+            _vecs(spark, hot_rows), tau=0.99, centroids=cents, max_cell_size=4
+        ).collect()
+    assert not [r for r in caplog.records if "hot cell" in r.getMessage()]
+
+
 def test_semdedup_threshold_gates_the_prune(spark):
     from bigdata_commerce_spark.operators.similarity import semdedup
 
