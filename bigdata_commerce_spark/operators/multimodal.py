@@ -472,6 +472,118 @@ def phash_hamming_pairs(
 PHASH_REAL_BITS = 64
 
 
+def media_phash_real_wide(df: DataFrame, hash_size: int = 16) -> DataFrame:
+    """``hash_size`` x ``hash_size`` average-hash over the real decode
+    path — the production-width sibling of ``media_phash_real``'s 8x8:
+    a 16x16 grid gives a 256-bit hash, which separates near-dups from
+    chance collisions far better on large corpora (the 64-bit space
+    saturates around a few million images; pHash deployments run
+    64-256 bits). Bits pack little-endian into ``hash_size^2 / 64``
+    signed int64 WORDS: ``(media_id, phash_words array<long>)`` —
+    words because the banding join then needs no bit surgery (a
+    256-bit hash with max_hamming=3 bands as exactly one word per
+    band). NULL / undecodable media -> NULL phash_words. Same Arrow
+    mapInPandas shape as every real-decode kernel; decode cost is the
+    same (one image decode), only the resize target widens.
+    """
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import (
+        decode_image,
+        resize_nearest,
+    )
+
+    n_bits = hash_size * hash_size
+    if n_bits % 64:
+        raise ValueError(f"hash_size^2 must be a multiple of 64 (got {n_bits})")
+    n_words = n_bits // 64
+
+    def one(raw) -> list[int] | None:
+        if raw is None:
+            return None
+        try:
+            rgb = decode_image(bytes(raw))
+        except ValueError:
+            return None
+        gray = (
+            resize_nearest(rgb, hash_size, hash_size)
+            .astype("float64")
+            .mean(axis=2)
+            .ravel()
+        )
+        bits = gray >= gray.mean()
+        words = [0] * n_words
+        for k in np.flatnonzero(bits):
+            words[int(k) // 64] |= 1 << (int(k) % 64)
+        # wrap each word to signed int64 (bit 63 = sign)
+        return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash_words": [one(b) for b in pdf["content"]],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
+
+
+def phash_words_hamming_pairs(
+    h: DataFrame, n_words: int, max_hamming: int = 3
+) -> DataFrame:
+    """Banded hamming self-join over a ``(media_id, phash_words)``
+    frame of multi-word hashes — ``phash_hamming_pairs`` generalized
+    past 64 bits. Pigeonhole over WORD GROUPS: the ``n_words`` words
+    split into ``max_hamming + 1`` contiguous slices, any pair within
+    the bound agrees on >= 1 whole slice, so candidates are a UNION of
+    per-slice equi-joins (array<long> equality keys — Spark hashes
+    arrays natively, no bit surgery) and the exact check sums
+    bit_count over the word-wise XOR. Requires (max_hamming + 1) to
+    divide ``n_words``; at 256 bits / max_hamming=3 each band is
+    exactly one word. Shuffle keyed by (band, slice value): bounded by
+    bucket population — the dedup_simhash posture at 4x the hash
+    width."""
+    bands = max_hamming + 1
+    if n_words % bands:
+        raise ValueError(
+            f"max_hamming+1 must divide n_words (got {bands} over {n_words})"
+        )
+    width = n_words // bands
+    a = h.select(
+        F.col("media_id").alias("media_a"), F.col("phash_words").alias("__pa")
+    )
+    b = h.select(
+        F.col("media_id").alias("media_b"), F.col("phash_words").alias("__pb")
+    )
+    cands = None
+    for j in range(bands):
+        c = a.join(
+            b,
+            (
+                F.slice(F.col("__pa"), j * width + 1, width)
+                == F.slice(F.col("__pb"), j * width + 1, width)
+            )
+            & (F.col("media_a") < F.col("media_b")),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("__pa"),
+            F.col("__pb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    return (
+        cands.select("media_a", "media_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def media_phash_real(df: DataFrame) -> DataFrame:
     """64-bit average-hash over the REAL decode path: decode the
     BMP/PPM payload (operators/codecs.py), nearest-resize to 8x8,

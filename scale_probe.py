@@ -874,6 +874,103 @@ def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x"
     return out
 
 
+def round10_phash_probes(spark) -> dict:
+    """Round-10 (verdict item 5): the production-width 16x16 -> 256-bit
+    real-decode aHash, banding vs brute force at growing corpus sizes
+    — where is the crossover on the REAL seam (decoded pixels, 4-word
+    hashes, array-keyed band joins)?
+
+    Corpus: binary-valued 16x16 BMP/PPM images (bits sit at +-85 from
+    the mean, so cell flips ARE hash-bit flips); ~25% are near-dup
+    variants of an earlier base at hamming 1-3, the rest independent.
+    The hash frame is computed ONCE per size and localCheckpointed so
+    both timers measure the pair JOIN, not the Arrow decode kernel.
+    Brute force = the open (a < b) nested-loop join + exact hamming;
+    banded = phash_words_hamming_pairs (4 one-word bands at
+    max_hamming=3). Both are consumed through the same aggregate and
+    must agree pair-for-pair (asserted per size)."""
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import encode_bmp, encode_ppm
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_phash_real_wide,
+        phash_words_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    dark, bright = 40, 210
+
+    def build(n: int):
+        payloads = []
+        bases: list[np.ndarray] = []
+        for i in range(n):
+            if bases and rng.random() < 0.25:
+                var = bases[rng.integers(len(bases))].copy()
+                flat = var.reshape(256, 3)
+                for cell in rng.choice(256, rng.integers(1, 4), replace=False):
+                    flat[cell] = bright if flat[cell][0] == dark else dark
+            else:
+                var = (
+                    np.where(rng.random((16, 16, 1)) < 0.5, dark, bright)
+                    .astype(np.uint8)
+                    .repeat(3, axis=2)
+                )
+                bases.append(var)
+            payloads.append(encode_bmp(var) if i % 2 == 0 else encode_ppm(var))
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "media_id long, content binary",
+        ).repartition(32)
+        return media_phash_real_wide(df, hash_size=16).localCheckpoint(eager=True)
+
+    def consume(pairs_df) -> tuple[int, int]:
+        row = pairs_df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("hamming").alias("s")
+        ).collect()[0]
+        return int(row["n"]), int(row["s"] or 0)
+
+    out = {"metric": "scale_probe_phash256_banding_crossover", "sizes": {}}
+    for n in (500, 2000, 8000, 24000):
+        h = build(n)
+        banded = phash_words_hamming_pairs(h, n_words=4, max_hamming=3)
+        a = h.select(F.col("media_id").alias("media_a"), F.col("phash_words").alias("__pa"))
+        b = h.select(F.col("media_id").alias("media_b"), F.col("phash_words").alias("__pb"))
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col("__pa"),
+                F.col("__pb"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("int")
+        brute = (
+            a.join(b, F.col("media_a") < F.col("media_b"))
+            .select("media_a", "media_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= 3)
+        )
+        consume(banded), consume(brute)  # warm both plans
+        t0 = time.perf_counter()
+        nb = consume(banded)
+        wall_band = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nf = consume(brute)
+        wall_brute = time.perf_counter() - t0
+        assert nb == nf, f"banded {nb} != brute {nf} at n={n}"
+        out["sizes"][n] = {
+            "pairs": nb[0],
+            "wall_banded": round(wall_band, 2),
+            "wall_brute": round(wall_brute, 2),
+            "brute_over_banded": round(wall_brute / wall_band, 2),
+        }
+        print(
+            f"# phash256 n={n}: banded {wall_band:.2f}s vs brute "
+            f"{wall_brute:.2f}s ({wall_brute / wall_band:.2f}x), {nb[0]} pairs",
+            file=sys.stderr,
+        )
+    return out
+
+
 # ------------------------------------------------- skew-stress suite
 
 HOT_USER = -777  # outside the real user_id domain
@@ -1727,6 +1824,8 @@ def main() -> None:
             {"published_recipe_funnel": (funnel_run(docs1), funnel_run(docs10))},
             "scale_probe_10x_ratio_round9",
         )
+    elif suite == "round10":
+        out = round10_phash_probes(spark)
     elif suite == "mixing_budget":
         out = mixing_budget_probes(spark)
     elif suite == "memory":

@@ -16,6 +16,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators import multimodal
 from bigdata_commerce_spark.operators.codecs import (
@@ -398,3 +399,98 @@ def test_phash_real_decode_banding_equals_brute_force(spark):
     assert {(a, b) for a, b, _ in got} <= cands
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_phash_real_wide_256bit_banding_equals_brute_force(spark):
+    """VERDICT r9 item 5: the production-width 16x16 -> 256-bit aHash
+    over real decodes. Same invariants as the 64-bit seam at 4x the
+    width: banded candidates (4 one-word bands at max_hamming=3)
+    verify to EXACTLY the brute-force pair set, container (BMP vs
+    PPM) doesn't matter, NULL/undecodable -> NULL, and the plan has
+    no CartesianProduct."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_phash_real_wide,
+        phash_words_hamming_pairs,
+    )
+
+    dark, bright = 40, 210
+    rng = np.random.default_rng(29)
+    payloads = []
+    for g in range(4):  # 4 groups x 3 variants + 8 loners = 20 images
+        base = np.where(
+            rng.random((16, 16, 1)) < 0.5, dark, bright
+        ).astype(np.uint8).repeat(3, axis=2)
+        for k in (0, 1, 3):
+            var = base.copy()
+            flat = var.reshape(256, 3)
+            for cell in range(k):
+                pos = 16 * g + cell  # distinct cells per group
+                flat[pos] = bright if flat[pos][0] == dark else dark
+            payloads.append(
+                encode_bmp(var) if (g + k) % 2 == 0 else encode_ppm(var)
+            )
+    for _ in range(8):
+        base = np.where(
+            rng.random((16, 16, 1)) < 0.5, dark, bright
+        ).astype(np.uint8).repeat(3, axis=2)
+        payloads.append(encode_ppm(base))
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)]
+        + [(900, bytearray(b"not an image")), (901, None)],
+        "media_id long, content binary",
+    )
+    h = media_phash_real_wide(df, hash_size=16)
+    rows = {r.media_id: r.phash_words for r in h.collect()}
+    assert rows[900] is None and rows[901] is None
+    hashes = {
+        m: sum((w & ((1 << 64) - 1)) << (64 * i) for i, w in enumerate(ws))
+        for m, ws in rows.items()
+        if ws is not None
+    }
+    assert all(x < (1 << 256) for x in hashes.values())
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert len(brute) >= 8  # the planted hamming-1/-3 pairs exist
+    pairs = phash_words_hamming_pairs(
+        h.where(F.col("phash_words").isNotNull()), n_words=4, max_hamming=3
+    )
+    got = {(r.media_a, r.media_b, r.hamming) for r in pairs.collect()}
+    assert got == brute
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_real_wide_container_invariance_and_identity(spark):
+    """Same pixels, different container -> identical 256-bit hash;
+    and a 16x16 input resized to 16x16 is the identity, so the wide
+    hash of a 16x16 image is a pure function of its pixels."""
+    from bigdata_commerce_spark.operators.multimodal import media_phash_real_wide
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(img))), (1, bytearray(encode_ppm(img)))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r.phash_words for r in media_phash_real_wide(df).collect()}
+    assert out[0] is not None and list(out[0]) == list(out[1])
+    assert len(out[0]) == 4
+
+
+def test_phash_words_rejects_unaligned_bands():
+    import pytest
+
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_phash_real_wide,
+        phash_words_hamming_pairs,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        phash_words_hamming_pairs(None, n_words=4, max_hamming=2)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        media_phash_real_wide(None, hash_size=12)
