@@ -997,3 +997,48 @@ def test_max_files_per_trigger_sets_batch_size(spark, tmp_path):
 
     assert run(3) == (2, 6)
     assert run(1) == (6, 6)
+
+
+def test_trigger_sizing_throughput_ordering(spark, tmp_path):
+    """VERDICT r9 item 6: the trigger-sizing guidance in
+    run_ad_pipeline's docstring, executed — the four sink merges +
+    state reads are a near-fixed per-micro-batch cost, so the SAME 10
+    landed files run materially faster as 1 batch of 10 files
+    (max_files_per_trigger=10) than as 10 batches of 1
+    (max_files_per_trigger=1). Coarse ratio assertion, not a
+    benchmark: 10x fewer batches must buy at least 1.5x wall time."""
+    import datetime as dt
+    import time
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(10):
+        spark.createDataFrame(
+            [(dt.datetime(2020, 1, 1, 0, 0, i), dt.date(2020, 1, 1),
+              "p1", "c1", 100 + i, 7)],
+            ad_stream.AD_EVENT_SCHEMA,
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        part = next((tmp_path / f"stage_{i}").glob("part-*.parquet"))
+        shutil.copy(part, flat / f"{i:02d}.parquet")
+
+    def run(mfpt: int) -> float:
+        work = tmp_path / f"work_{mfpt}"
+        handles = pipelines.run_ad_pipeline(
+            pipelines.file_event_source(spark, str(flat), max_files_per_trigger=mfpt),
+            str(work),
+        )
+        t0 = time.monotonic()
+        handles.process_all()
+        wall = time.monotonic() - t0
+        handles.stop()
+        # same rows landed either way — the ordering claim is about
+        # wall time, not output (which the stream_result twins pin)
+        assert sinks.read_state(spark, handles.user_counts_dir).count() == 10
+        return wall
+
+    slow = run(1)   # 10 micro-batches
+    fast = run(10)  # 1 micro-batch
+    assert slow > 1.5 * fast, (
+        f"expected >=1.5x speedup from 10x larger trigger, got "
+        f"{slow:.1f}s (mfpt=1) vs {fast:.1f}s (mfpt=10)"
+    )
