@@ -530,6 +530,31 @@ def media_phash_real_wide(df: DataFrame, hash_size: int = 16) -> DataFrame:
     return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
 
 
+def media_phash_wide_det(df: DataFrame) -> DataFrame:
+    """Deterministic twin of ``media_phash_real_wide``'s word layout:
+    4 int64 words derived straight from the content sha2 hex — word w
+    is the 15-nibble slice ``hex[16w : 16w+15]`` parsed as an integer
+    (60 bits per word; the 16th nibble of each group is skipped so
+    the parse stays inside SIGNED int64 with no overflow surface on
+    either engine). Pure JVM projection (sha2 + conv), no Arrow
+    kernel, no float anywhere — the same oracle-exactness discipline
+    as ``media_phash``'s nibble rule, widened to the multi-word shape
+    the real-decode path emits, so ``phash_words_hamming_pairs`` is
+    exercised end-to-end under a DuckDB oracle. NULL content -> NULL
+    phash_words."""
+    hx = F.sha2(F.col("content"), 256)
+    words = F.array(
+        *[
+            F.conv(F.substring(hx, 16 * w + 1, 15), 16, 10).cast("long")
+            for w in range(4)
+        ]
+    )
+    return df.select(
+        "media_id",
+        F.when(F.col("content").isNotNull(), words).alias("phash_words"),
+    )
+
+
 def phash_words_hamming_pairs(
     h: DataFrame, n_words: int, max_hamming: int = 3
 ) -> DataFrame:

@@ -1159,6 +1159,132 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash_pairs(media, max_hamming=1)
 
 
+def _phash_wide_words_cte(m_body: str) -> str:
+    """The sha-nibble -> 4x60-bit-word construction as a CTE chain,
+    parameterized over the media frame (the pairs twin plants in-plan
+    copies so its pair set is non-vacuous on the dup-free testdata;
+    the words twin runs over the raw corpus)."""
+    return _PHASH_WIDE_WORDS_TEMPLATE.format(m_body=m_body)
+
+
+_PHASH_WIDE_M_PLAIN = """
+    SELECT doc_id AS media_id, sha256(text) AS hx
+    FROM documents WHERE text IS NOT NULL
+"""
+
+# every 7th doc gets an offset-keyed exact copy -> guaranteed
+# hamming-0 pairs (only exact content collides in a 240-bit space,
+# and the testdata corpus has no exact text dups)
+_PHASH_WIDE_M_PLANTED = """
+    SELECT doc_id AS media_id, sha256(text) AS hx
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + 10000000 AS media_id, sha256(text) AS hx
+    FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+"""
+
+_PHASH_WIDE_WORDS_TEMPLATE = """
+m AS (
+{m_body}
+), nib AS (
+    -- word w = the 15-nibble slice hex[16w+1 .. 16w+15] parsed as an
+    -- integer (60 bits; the 16th nibble of each group is skipped so
+    -- the value stays inside SIGNED int64 on both engines) — the
+    -- exact construction of multimodal.media_phash_wide_det. Integer
+    -- shifts, never pow() (16^14 > 2^53 would lose bits in a double)
+    SELECT media_id, w, i,
+           CAST(strpos('0123456789abcdef', substr(hx, 16 * w + i, 1)) - 1
+                AS BIGINT) AS v
+    FROM m,
+         (SELECT unnest(range(4)) AS w),
+         (SELECT unnest(generate_series(1, 15)) AS i)
+), words AS (
+    SELECT media_id, w, SUM(v << (4 * (15 - i))) AS word
+    FROM nib GROUP BY media_id, w
+), h AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN w = 0 THEN word ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN w = 1 THEN word ELSE 0 END) AS BIGINT) AS w1,
+           CAST(SUM(CASE WHEN w = 2 THEN word ELSE 0 END) AS BIGINT) AS w2,
+           CAST(SUM(CASE WHEN w = 3 THEN word ELSE 0 END) AS BIGINT) AS w3
+    FROM words GROUP BY media_id
+)
+"""
+
+
+@twin_query(
+    "multimodal_phash_wide",
+    oracle=f"""
+    WITH {_phash_wide_words_cte(_PHASH_WIDE_M_PLAIN)}
+    SELECT media_id, w0, w1, w2, w3 FROM h
+    """,
+)
+def multimodal_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-bit-class perceptual-hash WORD LAYOUT, oracle-checked
+    bit-for-bit (operators/multimodal.media_phash_wide_det): 4 int64
+    words per media from the content sha2 hex — the deterministic
+    twin of ``media_phash_real_wide``'s output shape (the real-decode
+    16x16 aHash cannot be SQL-oracled; this pins the multi-word
+    construction and NULL contract across engines instead, and the
+    pixel path is pytest-pinned against brute force in
+    tests/test_codecs.py). Words flattened to scalar columns for the
+    driver's canonicalizer. Twin slot: queued (r11)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    h = multimodal.media_phash_wide_det(media).where(
+        F.col("phash_words").isNotNull()
+    )
+    return h.select(
+        "media_id",
+        *[F.col("phash_words")[w].alias(f"w{w}") for w in range(4)],
+    )
+
+
+@twin_query(
+    "multimodal_phash_wide_pairs",
+    oracle=f"""
+    WITH {_phash_wide_words_cte(_PHASH_WIDE_M_PLANTED)}
+    -- DuckDB bit_count returns TINYINT: cast each term before the
+    -- 4-way sum (worst case 4 x 60 bits overflows INT8)
+    SELECT x.media_id AS media_a, y.media_id AS media_b,
+           CAST(CAST(bit_count(xor(x.w0, y.w0)) AS INT)
+              + CAST(bit_count(xor(x.w1, y.w1)) AS INT)
+              + CAST(bit_count(xor(x.w2, y.w2)) AS INT)
+              + CAST(bit_count(xor(x.w3, y.w3)) AS INT) AS INT) AS hamming
+    FROM h x JOIN h y
+      ON x.media_id < y.media_id
+     AND (x.w0 = y.w0 OR x.w1 = y.w1 OR x.w2 = y.w2 OR x.w3 = y.w3)
+    WHERE CAST(bit_count(xor(x.w0, y.w0)) AS INT)
+        + CAST(bit_count(xor(x.w1, y.w1)) AS INT)
+        + CAST(bit_count(xor(x.w2, y.w2)) AS INT)
+        + CAST(bit_count(xor(x.w3, y.w3)) AS INT) <= 3
+    """,
+)
+def multimodal_phash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the multi-word hash
+    (operators/multimodal.phash_words_hamming_pairs at n_words=4,
+    max_hamming=3 — each band exactly one word, array-keyed
+    equi-joins, never a cross join) vs the oracle's OR-banded brute
+    join as the semantic spec. In a 240-bit space only exact content
+    duplicates collide (hamming 0) — the testdata corpus has none, so
+    every 7th doc gets an offset-keyed exact copy planted IN-PLAN on
+    both engines (~14% of the corpus -> a guaranteed non-empty pair
+    set; the dup-heavy fuzz profile adds organic dup chains on top);
+    the near-miss bit arithmetic is pinned by the planted hamming-1/3
+    pairs in tests/test_codecs.py. Twin slot: queued (r11)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(docs)
+    planted = media.unionByName(
+        media.where(F.col("media_id") % 7 == 0).withColumn(
+            "media_id", F.col("media_id") + F.lit(10_000_000)
+        )
+    )
+    h = multimodal.media_phash_wide_det(planted).where(
+        F.col("phash_words").isNotNull()
+    )
+    return multimodal.phash_words_hamming_pairs(h, n_words=4, max_hamming=3)
+
+
 @twin_query(
     "multimodal_resize",
     oracle="""
@@ -1743,6 +1869,67 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
     return token_budget_per_source(counted, budget=800)
+
+
+@twin_query(
+    "token_budget_fill",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , counted AS (
+        SELECT t.doc_id, d.source,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 8) AS h
+        FROM tok_docs t JOIN documents d ON t.doc_id = d.doc_id
+    ), runs AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM counted
+    ), kept AS (
+        SELECT * FROM runs WHERE tokens_before < 800
+    ), rep AS (
+        SELECT source,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+               CAST(COUNT(*) AS BIGINT) AS kept_rows,
+               CAST(800 AS BIGINT) AS budget_tokens
+        FROM kept GROUP BY source
+    ), avail AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS available_rows
+        FROM counted GROUP BY source
+    )
+    SELECT r.source, r.kept_tokens, r.kept_rows, r.budget_tokens,
+           a.available_rows,
+           (COALESCE(r.kept_tokens, 0) < r.budget_tokens)
+               AND (r.kept_rows < a.available_rows) AS underfilled
+    FROM rep r LEFT JOIN avail a ON r.source = a.source
+    """,
+)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime underfill detector over the 800-token budget run
+    (operators/mixing.token_budget_fill_report with ``available`` =
+    the full counted input): per source, kept tokens/rows next to the
+    budget and an ``underfilled`` flag that fires only when the kept
+    set is under budget AND rows were left behind — the signal that
+    automates the mixture_sample pre-thin escape hatch (VERDICT r9
+    item 4). One tiny aggregation per side (<= n_sources output
+    rows); NULL-source docs form their own report row whose
+    ``available_rows`` never joins (NULL key), the same contract on
+    both engines. Twin slot: queued (r11)."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    kept = token_budget_per_source(counted, budget=800)
+    return token_budget_fill_report(kept, 800, available=counted)
 
 
 @twin_query(

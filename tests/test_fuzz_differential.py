@@ -138,6 +138,7 @@ DUP_FAMILY = sorted(
         "docs_bloom_semi",
         "docs_editdist_join",
         "cross_corpus_links",
+        "multimodal_phash_wide_pairs",
         "documents_canonical_urls",
         "url_dedup_survivors",
         "boilerplate_scrub",
