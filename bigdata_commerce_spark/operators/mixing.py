@@ -202,9 +202,10 @@ def temperature_token_budgets(
     That is deliberate: redistribution (iterative water-filling)
     would make a source's budget depend on every OTHER source's
     total, breaking the simple engine/oracle exactness contract.
-    Callers that need an exact global fill should water-fill
-    driver-side over this dict (it is <= n_sources entries) and
-    check the result with ``token_budget_fill_report``."""
+    Callers that need an exact global fill should use
+    ``water_fill_token_budgets`` instead (same signature, iterative
+    redistribution, sum(budgets) == min(budget, total available))
+    and check the result with ``token_budget_fill_report``."""
     pos = {s: n for s, n in token_counts.items() if n > 0}
     if not pos:
         return {s: 0 for s in token_counts}
@@ -214,6 +215,54 @@ def temperature_token_budgets(
         s: min(token_counts[s], int(budget_tokens * w[s] / total)) if s in pos else 0
         for s in token_counts
     }
+
+
+def water_fill_token_budgets(
+    token_counts: dict[str, int], budget_tokens: int, temperature: float = 0.5
+) -> dict[str, int]:
+    """``temperature_token_budgets`` with EXACT global fill (the
+    redistribution branch of ADVICE r9 item 2): iterative
+    water-filling — allocate the remaining budget over uncapped
+    sources by temperature weight, cap any source at its own total,
+    re-split the capped surplus over the rest, repeat until the
+    budget is spent or every source is exhausted. Guarantees
+    ``sum(budgets) == min(budget_tokens, sum(token_counts))`` and
+    ``budgets[s] <= token_counts[s]`` for every source; floor-
+    truncation residue is handed out one token at a time in sorted
+    source order, so the result is deterministic. The price vs the
+    simple helper: a source's budget now depends on every OTHER
+    source's total (that is what redistribution means), so prefer
+    ``temperature_token_budgets`` when per-source reproducibility
+    across corpus subsets matters more than hitting the global
+    number exactly. Driver-side over <= n_sources entries, like its
+    sibling."""
+    target = min(int(budget_tokens), sum(max(0, n) for n in token_counts.values()))
+    budgets = {s: 0 for s in token_counts}
+    remaining = target
+    active = {s for s, n in token_counts.items() if n > 0}
+    while remaining > 0 and active:
+        w = {s: float(token_counts[s]) ** temperature for s in active}
+        total_w = sum(w[s] for s in sorted(w))
+        alloc = {
+            s: min(token_counts[s] - budgets[s], int(remaining * w[s] / total_w))
+            for s in sorted(active)
+        }
+        if any(alloc.values()):
+            for s, a in alloc.items():
+                budgets[s] += a
+                remaining -= a
+        else:
+            # every floor share truncated to 0: hand out the residue
+            # one token per source in sorted order (terminates —
+            # remaining strictly decreases while any source has room)
+            for s in sorted(active):
+                if remaining == 0:
+                    break
+                give = min(1, token_counts[s] - budgets[s])
+                budgets[s] += give
+                remaining -= give
+        active = {s for s in active if budgets[s] < token_counts[s]}
+    return budgets
 
 
 def token_budget_per_source(
