@@ -369,23 +369,57 @@ def token_budget_fill_report(
     failure mode — re-run that source with a larger keep fraction or
     unthinned). The two are distinguishable only against the
     pre-thin input: pass it as ``available`` and the flag tightens to
-    "under budget AND rows were left behind"; without it the flag is
-    the conservative "under budget" (exhausted sources flag too).
+    "rows were left behind AND (under budget OR nothing kept)";
+    without it the flag is the conservative "under budget"
+    (exhausted sources flag too).
+
+    With ``available``, the report is keyed off the AVAILABLE side
+    (ADVICE r10 item 1): a source whose every row was dropped — a 0
+    budget, a dict spec with ``default_budget=0``, or a pre-thin that
+    removed the whole source — still appears, with ``kept_rows=0``
+    and ``underfilled=true``. Grouping only the kept frame would make
+    the fully-starved source, the case an underfill detector most
+    needs to surface, invisible. The join is null-safe so a
+    NULL-source group matches itself on both engines. Without
+    ``available`` the report can only describe sources that kept
+    rows (there is nothing else to enumerate).
     """
     rep = kept.groupBy(source_col).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("kept_tokens"),
         F.count("*").alias("kept_rows"),
     )
     thr = _budget_threshold(budget, source_col, default_budget)
-    rep = rep.withColumn("budget_tokens", thr.cast("bigint"))
-    under = F.coalesce(F.col("kept_tokens"), F.lit(0)) < F.col("budget_tokens")
-    if available is not None:
-        avail = available.groupBy(source_col).agg(
-            F.count("*").alias("available_rows")
-        )
-        rep = rep.join(avail, on=source_col, how="left")
-        under = under & (F.col("kept_rows") < F.col("available_rows"))
-    return rep.withColumn("underfilled", under)
+    if available is None:
+        rep = rep.withColumn("budget_tokens", thr.cast("bigint"))
+        under = F.coalesce(F.col("kept_tokens"), F.lit(0)) < F.col("budget_tokens")
+        return rep.withColumn("underfilled", under)
+    # rebuild the threshold against the avail-side column: after the
+    # self-aliased join the bare source name is ambiguous
+    thr = _budget_threshold(budget, f"a.{source_col}", default_budget)
+    avail = available.groupBy(source_col).agg(
+        F.count("*").alias("available_rows")
+    )
+    joined = avail.alias("a").join(
+        rep.alias("k"),
+        F.col(f"a.{source_col}").eqNullSafe(F.col(f"k.{source_col}")),
+        "left",
+    )
+    out = joined.select(
+        F.col(f"a.{source_col}").alias(source_col),
+        F.coalesce(F.col("k.kept_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("k.kept_rows"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_rows"),
+        thr.cast("bigint").alias("budget_tokens"),
+        F.col("a.available_rows"),
+    )
+    under = (F.col("kept_rows") < F.col("available_rows")) & (
+        (F.col("kept_tokens") < F.col("budget_tokens"))
+        | (F.col("kept_rows") == F.lit(0))
+    )
+    return out.withColumn("underfilled", under)
 
 
 def rate_cap_per_key_bucket(

@@ -439,7 +439,15 @@ def phash_hamming_pairs(
     ``n_bits``-bit hashes — the pigeonhole kernel shared by the
     deterministic and real-decode phash paths. Band extraction uses
     the UNSIGNED shift so a 64-bit hash with the sign bit set bands
-    identically to its unsigned value."""
+    identically to its unsigned value.
+
+    The input is persisted here (VERDICT r10 item 3): the band union
+    scans ``h`` 2 x bands times, and when ``h`` is the real-decode
+    Arrow kernel that would mean 2 x bands image decodes per image —
+    the cache makes it ONE, the same move the round-10 scale probe
+    made manually with localCheckpoint. The cached frame is just
+    (media_id, phash): ~16 bytes a row, memory-and-disk safe at any
+    corpus size."""
     bands = max_hamming + 1
     if n_bits % bands:
         raise ValueError(
@@ -451,6 +459,7 @@ def phash_hamming_pairs(
     def band(col: str, j: int):
         return F.shiftrightunsigned(F.col(col), j * width).bitwiseAND(F.lit(mask))
 
+    h = h.select("media_id", "phash").persist()
     a = h.select(F.col("media_id").alias("media_a"), F.col("phash").alias("__pa"))
     b = h.select(F.col("media_id").alias("media_b"), F.col("phash").alias("__pb"))
     cands = None
@@ -569,13 +578,21 @@ def phash_words_hamming_pairs(
     divide ``n_words``; at 256 bits / max_hamming=3 each band is
     exactly one word. Shuffle keyed by (band, slice value): bounded by
     bucket population — the dedup_simhash posture at 4x the hash
-    width."""
+    width.
+
+    The input is persisted here (VERDICT r10 item 3): the band union
+    scans ``h`` 2 x bands times, and when ``h`` is
+    ``media_phash_real_wide`` that would mean 2 x bands image decodes
+    per image — the cache makes it ONE (the round-10 scale probe's
+    manual localCheckpoint, now built in). Cached frame is
+    (media_id, phash_words): ~40 bytes a row at 256 bits."""
     bands = max_hamming + 1
     if n_words % bands:
         raise ValueError(
             f"max_hamming+1 must divide n_words (got {bands} over {n_words})"
         )
     width = n_words // bands
+    h = h.select("media_id", "phash_words").persist()
     a = h.select(
         F.col("media_id").alias("media_a"), F.col("phash_words").alias("__pa")
     )

@@ -762,6 +762,7 @@ def semdedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     max_cell_size: int | None = None,
+    warn_hot_cells: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -818,6 +819,10 @@ def semdedup(
     per-task self-join work grows with the SQUARE of the largest
     cell (SCALE.md's measured 4.93x blowup on a planted blob). The
     exact result is unchanged; the warning is the cost model talking.
+    The detector is a blocking driver collect (bounded — <=
+    n_centroids rows off the eager checkpoint), so it is opt-out-able
+    (ADVICE r10 item 3): pass ``warn_hot_cells=False`` when
+    n_centroids is very large or the driver is latency-sensitive.
     """
     if centroids is None:
         centroids = md5_centroids(corpus, n_centroids, id_col, vec_col)
@@ -867,32 +872,35 @@ def semdedup(
             "__salt", F.pmod(F.xxhash64("__id"), F.col("__n_salt"))
         )
     else:
-        # hot-cell detector: same histogram the salt path broadcasts,
-        # collected instead (<= n_centroids rows — bounded by design;
-        # reads the eager localCheckpoint, not a re-scan). NULL cells
-        # (zero-magnitude vectors) never self-join, so they can't be
-        # hot — exclude them.
-        cell_sizes = sorted(
-            r["c"]
-            for r in assigned.where(F.col("centroid_id").isNotNull())
-            .groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        if cell_sizes:
-            median = cell_sizes[len(cell_sizes) // 2]
-            peak = cell_sizes[-1]
-            if peak > 4 * median:
-                _LOG.warning(
-                    "semdedup hot cell: largest cell holds %d vectors "
-                    "(median %d, %.1fx) and max_cell_size is unset — "
-                    "the within-cell self-join does O(cell^2) work per "
-                    "task; set max_cell_size to salt-split oversized "
-                    "cells (bounded recall loss, see docstring)",
-                    peak,
-                    median,
-                    peak / median,
-                )
+        if warn_hot_cells:
+            # hot-cell detector: same histogram the salt path
+            # broadcasts, collected instead (<= n_centroids rows —
+            # bounded by design; reads the eager localCheckpoint, not
+            # a re-scan). NULL cells (zero-magnitude vectors) never
+            # self-join, so they can't be hot — exclude them.
+            # warn_hot_cells=False skips the blocking driver
+            # round-trip entirely (ADVICE r10 item 3).
+            cell_sizes = sorted(
+                r["c"]
+                for r in assigned.where(F.col("centroid_id").isNotNull())
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            if cell_sizes:
+                median = cell_sizes[len(cell_sizes) // 2]
+                peak = cell_sizes[-1]
+                if peak > 4 * median:
+                    _LOG.warning(
+                        "semdedup hot cell: largest cell holds %d vectors "
+                        "(median %d, %.1fx) and max_cell_size is unset — "
+                        "the within-cell self-join does O(cell^2) work per "
+                        "task; set max_cell_size to salt-split oversized "
+                        "cells (bounded recall loss, see docstring)",
+                        peak,
+                        median,
+                        peak / median,
+                    )
         joined = assigned.withColumn("__salt", F.lit(0))
     a = joined.select(
         F.col("__id").alias("__xa"),

@@ -28,10 +28,12 @@ from bigdata_commerce_spark.plans.rotation import (  # noqa: E402
     DEMOTE_R8,
     DEMOTE_R9,
     DEMOTE_R10,
+    DEMOTE_R11,
     PROMOTE_R7,
     PROMOTE_R8,
     PROMOTE_R9,
     PROMOTE_R10,
+    PROMOTE_R11,
     apply_rotation,
 )
 
@@ -40,5 +42,6 @@ apply_rotation(PROMOTE_R7, DEMOTE_R7)  # r7: closes the ledger
 apply_rotation(PROMOTE_R8, DEMOTE_R8)  # r8: maintenance (oldest-first)
 apply_rotation(PROMOTE_R9, DEMOTE_R9)  # r9: maintenance (oldest-first)
 apply_rotation(PROMOTE_R10, DEMOTE_R10)  # r10: maintenance (oldest-first)
+apply_rotation(PROMOTE_R11, DEMOTE_R11)  # r11: maintenance (oldest-first)
 
 __all__ = ["QUERIES", "ORACLES", "TWIN_QUERIES", "TWIN_ORACLES"]

@@ -1892,31 +1892,35 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rep AS (
         SELECT source,
                CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
-               CAST(COUNT(*) AS BIGINT) AS kept_rows,
-               CAST(800 AS BIGINT) AS budget_tokens
+               CAST(COUNT(*) AS BIGINT) AS kept_rows
         FROM kept GROUP BY source
     ), avail AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS available_rows
         FROM counted GROUP BY source
     )
-    SELECT r.source, r.kept_tokens, r.kept_rows, r.budget_tokens,
+    SELECT a.source,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(r.kept_rows, 0) AS BIGINT) AS kept_rows,
+           CAST(800 AS BIGINT) AS budget_tokens,
            a.available_rows,
-           (COALESCE(r.kept_tokens, 0) < r.budget_tokens)
-               AND (r.kept_rows < a.available_rows) AS underfilled
-    FROM rep r LEFT JOIN avail a ON r.source = a.source
+           (COALESCE(r.kept_rows, 0) < a.available_rows)
+               AND ((COALESCE(r.kept_tokens, 0) < 800)
+                    OR COALESCE(r.kept_rows, 0) = 0) AS underfilled
+    FROM avail a LEFT JOIN rep r ON r.source IS NOT DISTINCT FROM a.source
     """,
 )
 def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The runtime underfill detector over the 800-token budget run
     (operators/mixing.token_budget_fill_report with ``available`` =
     the full counted input): per source, kept tokens/rows next to the
-    budget and an ``underfilled`` flag that fires only when the kept
-    set is under budget AND rows were left behind — the signal that
-    automates the mixture_sample pre-thin escape hatch (VERDICT r9
-    item 4). One tiny aggregation per side (<= n_sources output
-    rows); NULL-source docs form their own report row whose
-    ``available_rows`` never joins (NULL key), the same contract on
-    both engines. Twin slot: queued (r11)."""
+    budget and an ``underfilled`` flag that fires when rows were left
+    behind AND the kept set is under budget or empty — the signal
+    that automates the mixture_sample pre-thin escape hatch (VERDICT
+    r9 item 4). Keyed off the AVAILABLE side (ADVICE r10 item 1) so a
+    fully-starved source still surfaces with ``kept_rows=0`` and
+    ``underfilled=true``; the join is null-safe so a NULL-source
+    group matches itself, the same contract on both engines. One tiny
+    aggregation per side (<= n_sources output rows)."""
     from bigdata_commerce_spark.operators.mixing import (
         token_budget_fill_report,
         token_budget_per_source,

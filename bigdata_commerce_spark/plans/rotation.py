@@ -340,6 +340,61 @@ PROMOTE_R10: tuple[str, ...] = (
 # (CORRECTNESS_r09 was 50/50).
 DEMOTE_R10: tuple[str, ...] = PROMOTE_R9
 
+# Round 11 (maintenance, ROTATION.md "Round-11 plan", finalized at
+# r10 close): anchors stay; the 35 non-anchor slots go to the three
+# `queued (r11)` round-10 additions (never driver-checked), then the
+# rest of the r7 cohort alphabetically (19 — these r7-only rows hit
+# the 4-round ledger horizon at r11 and cannot slip), then the first
+# 13 of the r8 cohort alphabetically through dedup_exact. All 35
+# pre-checked at sf0.01 under driver_slot=True strictness at
+# round-10 close (the three queued rows also green at sf0.001);
+# dedup_ngram_jaccard heads the r12 queue.
+PROMOTE_R11: tuple[str, ...] = (
+    # queued (r11) — never driver-checked
+    "multimodal_phash_wide",
+    "multimodal_phash_wide_pairs",
+    "token_budget_fill",
+    # r7 cohort rest, alphabetical (oldest driver row = r7; ledger
+    # horizon forces these in this round)
+    "events_running_value",
+    "events_snapshot_diff",
+    "events_value_winsorized",
+    "events_variant_fields",
+    "group_concat_distinct_udaf",
+    "latest_user_events",
+    "lineitem_corr_matrix",
+    "lineitem_unpivot",
+    "orders_customer_key_overlap",
+    "parts_bought_together",
+    "price_distribution_psi",
+    "source_dup_matrix",
+    "top_bigrams",
+    "ts_similar_users",
+    "user_decayed_value",
+    "user_next_event_examples",
+    "user_value_anomalies",
+    "user_value_robust_anomalies",
+    "user_value_trend",
+    # r8 cohort, alphabetical through dedup_exact
+    "ad_blacklist",
+    "ad_click_trend",
+    "ad_launch_window_counts",
+    "ad_minute_counts",
+    "ad_province_top3",
+    "approx_distinct_users",
+    "asof_click_attribution",
+    "c4_line_filter",
+    "ccnet_perplexity_buckets",
+    "chunk_documents_udtf",
+    "commerce_area_top3",
+    "commerce_session_stats",
+    "dedup_exact",
+)
+
+# Every r10 non-anchor slot demotes after its green r10 row
+# (CORRECTNESS_r10 was 50/50).
+DEMOTE_R11: tuple[str, ...] = PROMOTE_R10
+
 DRIVER_SLOT_CAP = 50
 
 

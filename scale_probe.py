@@ -884,7 +884,10 @@ def round10_phash_probes(spark) -> dict:
     the mean, so cell flips ARE hash-bit flips); ~25% are near-dup
     variants of an earlier base at hamming 1-3, the rest independent.
     The hash frame is computed ONCE per size and localCheckpointed so
-    both timers measure the pair JOIN, not the Arrow decode kernel.
+    both timers measure the pair JOIN, not the Arrow decode kernel
+    (since round 11 the banded op persists its input itself — VERDICT
+    r10 item 3 — so the explicit checkpoint here only keeps the
+    BRUTE-FORCE side honest, which bypasses the banded kernel).
     Brute force = the open (a < b) nested-loop join + exact hamming;
     banded = phash_words_hamming_pairs (4 one-word bands at
     max_hamming=3). Both are consumed through the same aggregate and

@@ -494,3 +494,52 @@ def test_phash_words_rejects_unaligned_bands():
         phash_words_hamming_pairs(None, n_words=4, max_hamming=2)
     with pytest.raises(ValueError, match="multiple of 64"):
         media_phash_real_wide(None, hash_size=12)
+
+
+def test_banded_pair_ops_decode_each_image_once(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 3: the banded pair kernels persist their hash
+    input, so composing them with the real-decode Arrow kernel pays
+    ONE decode per image across the 2 x bands band-union scans (the
+    round-10 scale probe's manual localCheckpoint, now built in).
+    Counts actual decode calls via an instrumented decoder that logs
+    to a file (local mode: workers share the filesystem), and pins
+    the plan shape: every band branch reads the InMemoryTableScan."""
+    from bigdata_commerce_spark.operators import codecs
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_phash_real_wide,
+        phash_words_hamming_pairs,
+    )
+
+    log = tmp_path / "decodes.log"
+    real_decode = codecs.decode_image
+
+    def counting_decode(raw: bytes):
+        with open(log, "a") as f:
+            f.write("x\n")
+        return real_decode(raw)
+
+    monkeypatch.setattr(codecs, "decode_image", counting_decode)
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        np.where(rng.random((16, 16, 1)) < 0.5, 40, 210)
+        .astype(np.uint8)
+        .repeat(3, axis=2)
+        for _ in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(im))) for i, im in enumerate(imgs)],
+        "media_id long, content binary",
+    ).coalesce(1)
+    pairs = phash_words_hamming_pairs(
+        media_phash_real_wide(df, hash_size=16), n_words=4, max_hamming=3
+    )
+    pairs.collect()
+    n_decodes = len(log.read_text().splitlines())
+    assert n_decodes == len(imgs), (
+        f"expected one decode per image, got {n_decodes} for {len(imgs)}"
+    )
+    # AQE prints final + initial plans after execution; count the final
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("InMemoryTableScan") == 2 * 4  # both sides x 4 bands

@@ -2034,6 +2034,32 @@ def test_semdedup_hot_cell_warning_silent_when_balanced_or_capped(spark, caplog)
     assert not [r for r in caplog.records if "hot cell" in r.getMessage()]
 
 
+def test_semdedup_hot_cell_warning_opt_out(spark, caplog):
+    """ADVICE r10 item 3: warn_hot_cells=False skips the blocking
+    driver collect (no warning even on a hot cell) and the kept set
+    is identical to the default path."""
+    import logging
+
+    from bigdata_commerce_spark.operators.similarity import semdedup
+
+    e1, e2, e3 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, e1), (1, e2), (2, e3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    hot_rows = [(i, e1) for i in range(12)] + [(100, e2), (101, e3)]
+    with caplog.at_level(
+        logging.WARNING, logger="bigdata_commerce_spark.operators.similarity"
+    ):
+        quiet = semdedup(
+            _vecs(spark, hot_rows), tau=0.99, centroids=cents, warn_hot_cells=False
+        ).collect()
+    assert not [r for r in caplog.records if "hot cell" in r.getMessage()]
+    noisy = semdedup(_vecs(spark, hot_rows), tau=0.99, centroids=cents).collect()
+    key = lambda rows: sorted((r.vec_id, r.kept) for r in rows)  # noqa: E731
+    assert key(quiet) == key(noisy)
+
+
 def test_semdedup_threshold_gates_the_prune(spark):
     from bigdata_commerce_spark.operators.similarity import semdedup
 

@@ -27,6 +27,11 @@ from __future__ import annotations
 
 import pytest
 
+# Suite tiering (VERDICT r10 item 7): the differential fuzz sweep is a
+# heavyweight certification sweep — the full `pytest tests/` run
+# keeps it; `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
+
 from bigdata_commerce_spark.plans import ORACLES, QUERIES, TWIN_ORACLES, TWIN_QUERIES
 from tests.fuzzgen import generate
 from tests.oracle_utils import compare_to_oracle

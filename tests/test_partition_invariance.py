@@ -27,6 +27,11 @@ from __future__ import annotations
 
 import pytest
 
+# Suite tiering (VERDICT r10 item 7): the partition-invariance sweep is a
+# heavyweight certification sweep — the full `pytest tests/` run
+# keeps it; `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
+
 from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import _canon

@@ -999,6 +999,7 @@ def test_max_files_per_trigger_sets_batch_size(spark, tmp_path):
     assert run(1) == (6, 6)
 
 
+@pytest.mark.perf
 def test_trigger_sizing_throughput_ordering(spark, tmp_path):
     """VERDICT r9 item 6: the trigger-sizing guidance in
     run_ad_pipeline's docstring, executed — the four sink merges +
@@ -1006,7 +1007,12 @@ def test_trigger_sizing_throughput_ordering(spark, tmp_path):
     landed files run materially faster as 1 batch of 10 files
     (max_files_per_trigger=10) than as 10 batches of 1
     (max_files_per_trigger=1). Coarse ratio assertion, not a
-    benchmark: 10x fewer batches must buy at least 1.5x wall time."""
+    benchmark: 10x fewer batches must buy at least 1.5x wall time.
+    Marked ``perf`` (ADVICE r10 item 2): a loaded CI host can squeeze
+    the absolute walls enough for scheduling jitter to break the 1.5x
+    margin, so ordinary `-m "not perf"` tiers skip it; the
+    DETERMINISTIC batch-count claim (10 files -> 10 vs 1 micro-batch)
+    stays always-on in test_max_files_per_trigger_sets_batch_size."""
     import datetime as dt
     import time
 

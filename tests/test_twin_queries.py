@@ -10,6 +10,11 @@ from __future__ import annotations
 
 import pytest
 
+# Suite tiering (VERDICT r10 item 7): the full twin-oracle pass is a
+# heavyweight certification sweep — the full `pytest tests/` run
+# keeps it; `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
+
 from bigdata_commerce_spark.plans import QUERIES, TWIN_ORACLES, TWIN_QUERIES
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import compare_to_oracle

@@ -332,10 +332,38 @@ def test_fill_report_dict_budgets(spark, token_frame):
     budgets = {"a": 60, "b": 10**6}
     kept = token_budget_per_source(df, budgets)
     rep = {r.source: r for r in token_budget_fill_report(kept, budgets, available=df).collect()}
-    assert set(rep) == {"a", "b"}  # "c" dropped by default_budget=0
+    # ADVICE r10 item 1: "c" is dropped by default_budget=0 but the
+    # report keys off `available`, so the starved source SURFACES —
+    # kept nothing, rows left behind — instead of vanishing
+    assert set(rep) == {"a", "b", "c"}
+    assert rep["c"].kept_rows == 0 and rep["c"].kept_tokens == 0
+    assert rep["c"].available_rows > 0 and rep["c"].underfilled
     assert rep["a"].budget_tokens == 60 and not rep["a"].underfilled
     # b's budget exceeds its total but nothing was left behind
     assert not rep["b"].underfilled
+
+
+def test_fill_report_surfaces_budget_zero_starved_source(spark, token_frame):
+    """VERDICT r10 item 2 Done criterion: a budget-0 source that HAS
+    rows must appear in the report flagged underfilled with
+    kept_rows=0 — the fully-starved case an underfill detector most
+    needs to surface."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    _, df = token_frame
+    kept = token_budget_per_source(df, 0)  # budget 0: everything dropped
+    assert kept.count() == 0
+    rep = {
+        r.source: r
+        for r in token_budget_fill_report(kept, 0, available=df).collect()
+    }
+    assert set(rep) == {"a", "b", "c"}
+    for r in rep.values():
+        assert r.kept_rows == 0 and r.kept_tokens == 0
+        assert r.available_rows > 0 and r.underfilled
 
 
 def test_token_budget_rejects_tokens_before_collision(spark, token_frame):
