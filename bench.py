@@ -24,8 +24,10 @@ warm best-of-3 is the measurement the plan actually supports.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -52,6 +54,82 @@ def headline_names() -> list[str]:
             raise KeyError(f"baseline queries missing from registries: {missing}")
         return names
     return sorted(QUERIES)
+
+
+# Run-varying tokens in a physical-plan string, in normalization
+# order: expression ids (#123), plan ids, codegen stage ids, cached
+# RDD / checkpoint numbers, and exchange/subquery reuse ids. What
+# remains is the plan SHAPE — operators, join strategies, pushed
+# filters, read schemas — which is a pure function of code + config +
+# data layout at a fixed SF.
+_PLAN_NOISE = (
+    (re.compile(r"#\d+"), "#"),
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"\*\(\d+\)"), "*(n)"),
+    (re.compile(r"\brdd_\d+\b"), "rdd_n"),
+    (re.compile(r"\[id=#?\d*\]"), "[id=n]"),
+    (re.compile(r"(Subquery(?:Broadcast)?|ReusedExchange|cte)\s*\d+"), r"\1 n"),
+    # higher-order-function variable names carry a session-global
+    # counter: `lambda x_11#` on one build is `lambda x_21#` on the next
+    (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_n"),
+    # a persisted subtree's InMemoryRelation prints its cached child
+    # plan, and once ANOTHER query materialized that shared cache
+    # entry the child gains an executed AdaptiveSparkPlan with a
+    # "== Final Plan ==" section — materialization state, not plan
+    # shape. Keep only the Initial Plan (what pre-execution plans
+    # show) so the fingerprint is cache-warmth-invariant.
+    (re.compile(r"== Final Plan ==.*?== Initial Plan ==", re.S), "== Initial Plan =="),
+    (re.compile(r"isFinalPlan=true"), "isFinalPlan=false"),
+)
+
+
+def plan_fingerprint(df) -> str:
+    """Stable hash of a DataFrame's compiled physical plan (VERDICT
+    r10 item 5): the pre-execution explain string with run-varying ids
+    normalized away, sha256'd to 16 hex chars. Computing it forces
+    planning, which the QueryExecution caches — the subsequent collect
+    reuses it, so fingerprinting inside the timed region does not add
+    work the collect wouldn't have done. Equal fingerprints across
+    rounds == "plan unchanged" as a machine-checkable artifact instead
+    of a hand-read; a changed fingerprint is the round a plan
+    regression (or intended improvement) actually landed.
+
+    Metadata strings (DataFilters, ReadSchema, ...) truncate at
+    spark.sql.maxMetadataStringLength CHARACTERS, so a 2-digit vs
+    3-digit expression id would shift the cut point and defeat the id
+    normalization — the cap is raised around the toString and
+    restored after.
+
+    One warmth effect is NOT normalized away, deliberately: once a
+    shared persisted subtree is materialized, Catalyst sees its
+    ACCURATE statistics and can pick a different join strategy for
+    later builds that reuse it (measured: dedup_ngram_jaccard plans
+    differently after its shingle cache materializes). That is a real
+    physical-plan difference, so the fingerprint reports it — treat a
+    changed fp across rounds as a prompt to READ the plan, not as an
+    automatic failure. The determinism test clears the cache between
+    passes, which pins the code-level property exactly."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    prev = conf.get(key)
+    conf.set(key, "100000")
+    try:
+        text = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set(key, prev)
+    for pat, repl in _PLAN_NOISE:
+        text = pat.sub(repl, text)
+    # canonicalize formatting: the tree gutter / indentation of a
+    # cached subtree differs between its executed and never-executed
+    # renderings even when the node content is identical — fingerprint
+    # the node lines, not the ASCII art
+    lines = []
+    for ln in text.splitlines():
+        ln = re.sub(r"^[\s:+\-*]+", "", ln).rstrip()
+        if not ln or ln.startswith("== "):
+            continue
+        lines.append(ln)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
 def aggregate_total(
@@ -131,16 +209,22 @@ def main() -> None:
     # Per-query error isolation: one broken query must never zero out
     # the whole round's bench signal — record null and keep going.
     timings: dict[str, float | None] = {}
+    plan_fp: dict[str, str | None] = {}
     errors: dict[str, str] = {}
     for name in headline_names():
         fn = ALL_QUERIES[name]
         t0 = time.perf_counter()
         try:
-            # collect() materializes the full result like the driver does.
-            fn(spark, sf_dir).collect()
+            # collect() materializes the full result like the driver
+            # does; the fingerprint's planning work is cached by the
+            # QueryExecution, so the timing contract is unchanged.
+            df = fn(spark, sf_dir)
+            plan_fp[name] = plan_fingerprint(df)
+            df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             timings[name] = None
+            plan_fp.setdefault(name, None)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
@@ -199,6 +283,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_fp": plan_fp,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

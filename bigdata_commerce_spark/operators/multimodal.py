@@ -626,6 +626,83 @@ def phash_words_hamming_pairs(
     )
 
 
+def media_phash_dct(
+    df: DataFrame, hash_size: int = 8, highfreq_factor: int = 4
+) -> DataFrame:
+    """TRUE perceptual hash (pHash) over the real decode path —
+    VERDICT r10 item 6: decode, grayscale, nearest-resize to
+    ``hash_size * highfreq_factor`` square, 2D DCT-II, keep the
+    top-left ``hash_size x hash_size`` LOW-FREQUENCY block, bit k =
+    (coefficient k > median of the block) — the published pHash
+    construction (Zauner 2010; the imagehash library's ``phash``).
+    Versus the average hash (``media_phash_real*``): aHash thresholds
+    PIXELS against the global mean, so any non-uniform luminance
+    change — a brightness gradient, highlight clipping, vignetting —
+    moves many pixels across the mean and flips bits all over the
+    hash; pHash thresholds DCT COEFFICIENTS, where that same gradient
+    is energy in one or two low-frequency terms, so the rest of the
+    spectrum (and the hash) survives. A uniform contrast SCALE leaves
+    both invariant (scales every coefficient); a smooth gradient or
+    clipped shift breaks aHash but not pHash — pinned by the crafted
+    brightness-gradient test in tests/test_codecs.py.
+
+    Output shape matches ``media_phash_real_wide``: ``(media_id,
+    phash_words array<long>)``, bits packed little-endian (row-major
+    coefficient order) into ``hash_size^2 / 64`` signed int64 words —
+    so ``phash_words_hamming_pairs`` runs the SAME banded hamming
+    join over it, nothing downstream changes. Default 8x8 block = the
+    classic 64-bit pHash in one word; hash_size=16 gives the 256-bit
+    production width. The DCT is a dense ``(N,N) @ (N,N) @ (N,N)``
+    numpy matmul per image inside the same Arrow ``mapInPandas``
+    kernel as every real-decode op — N = 32 by default, microseconds
+    per image, decode still dominates. NULL / undecodable media ->
+    NULL phash_words.
+    """
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import (
+        decode_image,
+        resize_nearest,
+    )
+
+    n_bits = hash_size * hash_size
+    if n_bits % 64:
+        raise ValueError(f"hash_size^2 must be a multiple of 64 (got {n_bits})")
+    n_words = n_bits // 64
+    n = hash_size * highfreq_factor
+    # orthonormal DCT-II matrix (row 0 scaled 1/sqrt(2)); dct2(A) =
+    # C @ A @ C.T — float64 throughout, deterministic across runs
+    k = np.arange(n, dtype="float64")
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * np.outer(k, 2 * k + 1) / (2 * n))
+    C[0] /= np.sqrt(2.0)
+
+    def one(raw) -> list[int] | None:
+        if raw is None:
+            return None
+        try:
+            rgb = decode_image(bytes(raw))
+        except ValueError:
+            return None
+        gray = resize_nearest(rgb, n, n).astype("float64").mean(axis=2)
+        low = (C @ gray @ C.T)[:hash_size, :hash_size].ravel()
+        bits = low > np.median(low)
+        words = [0] * n_words
+        for j in np.flatnonzero(bits):
+            words[int(j) // 64] |= 1 << (int(j) % 64)
+        return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash_words": [one(b) for b in pdf["content"]],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
+
+
 def media_phash_real(df: DataFrame) -> DataFrame:
     """64-bit average-hash over the REAL decode path: decode the
     BMP/PPM payload (operators/codecs.py), nearest-resize to 8x8,
