@@ -8,6 +8,12 @@ python-reference join, and parameter validation."""
 from __future__ import annotations
 
 import pytest
+
+# Suite tiering (VERDICT r10 item 7, extended after measuring the
+# round-11 durations): the banded edit-distance property sweeps
+# is wall-dominant — the full `pytest tests/` run keeps it;
+# `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -8,6 +8,14 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
+# Suite tiering (VERDICT r10 item 7, extended after measuring the
+# round-11 durations): hypothesis sweeps are wall-dominant — the
+# full `pytest tests/` run keeps them; `-m "not slow"` gives the
+# fast development signal.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

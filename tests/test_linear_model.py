@@ -12,6 +12,12 @@ from collections import Counter
 
 import numpy as np
 import pytest
+
+# Suite tiering (VERDICT r10 item 7, extended after measuring the
+# round-11 durations): the distributed-training convergence runs are
+# wall-dominant — the full `pytest tests/` run keeps them;
+# `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators import linear_model as lm

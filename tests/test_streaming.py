@@ -8,6 +8,12 @@ import shutil
 from pathlib import Path
 
 import pytest
+
+# Suite tiering (VERDICT r10 item 7, extended after measuring the
+# round-11 durations): the streaming e2e suite (checkpointed queries, restart-recovery, sink merges)
+# is wall-dominant — the full `pytest tests/` run keeps it;
+# `-m "not slow"` gives the fast development signal.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.topk import top_k_per_group
