@@ -132,6 +132,21 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+def fp_changes(
+    prev: dict[str, str | None], cur: dict[str, str | None]
+) -> dict[str, dict[str, str | None]]:
+    """Queries whose plan fingerprint differs from the previous
+    archive: {name: {"prev": fp, "cur": fp}}. Only names present in
+    BOTH dicts compare (a rotated/added query has no prior fp and is
+    not a plan change); None (errored build) counts as a change so a
+    query that stopped planning is loud."""
+    return {
+        q: {"prev": prev[q], "cur": cur[q]}
+        for q in cur
+        if q in prev and prev[q] != cur[q]
+    }
+
+
 def aggregate_total(
     timings: dict[str, float | None], base: dict[str, float]
 ) -> float | None:
@@ -312,6 +327,21 @@ def main() -> None:
             for q, t in timings.items()
             if t is not None and base.get(q) and t > 2 * base[q]
         }
+
+    # Plan-drift report (VERDICT r10 item 5, closed loop): compare
+    # this run's fingerprints against the PREVIOUS committed archive
+    # so a plan change is flagged the round it lands, in the bench
+    # output itself. Headline sf only — the archive is sf0.1.
+    repo_dir = Path(__file__).resolve().parent
+    prev_latest = repo_dir / "BENCH_LATEST.json"
+    if str(out["sf"]) == "0.1" and prev_latest.exists():
+        try:
+            prev_fp = json.loads(prev_latest.read_text()).get("plan_fp", {})
+        except (OSError, ValueError):
+            prev_fp = {}
+        changed = fp_changes(prev_fp, plan_fp)
+        if changed:
+            out["plan_fp_changed"] = changed
 
     # Self-archive the FULL result in-repo: the driver keeps only the
     # last ~2000 chars of stdout, which loses most of the 50 per-query

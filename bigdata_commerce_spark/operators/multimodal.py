@@ -654,9 +654,12 @@ def media_phash_dct(
     classic 64-bit pHash in one word; hash_size=16 gives the 256-bit
     production width. The DCT is a dense ``(N,N) @ (N,N) @ (N,N)``
     numpy matmul per image inside the same Arrow ``mapInPandas``
-    kernel as every real-decode op — N = 32 by default, microseconds
-    per image, decode still dominates. NULL / undecodable media ->
-    NULL phash_words.
+    kernel as every real-decode op — measured (scale_probe.py
+    round11): ~38us/image at 256 bits vs ~26us for the aHash kernel
+    (1.44x at 24k images; the delta is the 4x-larger resize grid +
+    the matmuls), microseconds either way, so real-payload decode
+    cost dominates and the hash should be chosen by robustness, not
+    kernel speed. NULL / undecodable media -> NULL phash_words.
     """
     import numpy as np
 

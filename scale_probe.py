@@ -974,6 +974,82 @@ def round10_phash_probes(spark) -> dict:
     return out
 
 
+def round11_dct_probes(spark) -> dict:
+    """Round-11 (verdict item 6 follow-through): does the DCT matmul
+    in ``media_phash_dct`` cost anything next to the decode, on the
+    same Arrow seam at growing corpus sizes? The claim in the operator
+    docstring — "decode still dominates" — measured instead of
+    asserted: the SAME images hashed by the 16x16 average hash
+    (``media_phash_real_wide``: decode + resize + mean threshold) and
+    by the 256-bit DCT pHash (``media_phash_dct``: decode + resize to
+    64x64 + dense (64,64) DCT matmuls + median threshold), both
+    consumed by the same checksum aggregate so the timers compare
+    kernel cost, not plan shape. The DCT path resizes to a 4x-larger
+    grid AND pays two matrix multiplies, so its overhead is the upper
+    bound for any production DCT width."""
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import encode_bmp, encode_ppm
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_phash_dct,
+        media_phash_real_wide,
+    )
+
+    rng = np.random.default_rng(43)
+    dark, bright = 40, 210
+
+    def build(n: int):
+        payloads = []
+        for i in range(n):
+            img = (
+                np.where(rng.random((16, 16, 1)) < 0.5, dark, bright)
+                .astype(np.uint8)
+                .repeat(3, axis=2)
+            )
+            payloads.append(encode_bmp(img) if i % 2 == 0 else encode_ppm(img))
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "media_id long, content binary",
+        ).repartition(32).localCheckpoint(eager=True)
+
+    def consume(h) -> tuple[int, int]:
+        # popcount checksum: summing raw words overflows int64 (ANSI)
+        row = h.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.aggregate(
+                "phash_words",
+                F.lit(0).cast("long"),
+                lambda a, v: a + F.bit_count(v),
+            )).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"] or 0)
+
+    out = {"metric": "scale_probe_dct_vs_ahash_kernel", "sizes": {}}
+    for n in (2000, 8000, 24000):
+        df = build(n)
+        ahash = media_phash_real_wide(df, hash_size=16)
+        dct = media_phash_dct(df, hash_size=16)
+        consume(ahash), consume(dct)  # warm both kernels' workers
+        t0 = time.perf_counter()
+        na = consume(ahash)
+        wall_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nd = consume(dct)
+        wall_d = time.perf_counter() - t0
+        assert na[0] == nd[0] == n
+        out["sizes"][n] = {
+            "wall_ahash": round(wall_a, 2),
+            "wall_dct": round(wall_d, 2),
+            "dct_over_ahash": round(wall_d / wall_a, 2),
+        }
+        print(
+            f"# dct-vs-ahash n={n}: aHash {wall_a:.2f}s vs DCT "
+            f"{wall_d:.2f}s ({wall_d / wall_a:.2f}x)",
+            file=sys.stderr,
+        )
+    return out
+
+
 # ------------------------------------------------- skew-stress suite
 
 HOT_USER = -777  # outside the real user_id domain
@@ -1829,6 +1905,8 @@ def main() -> None:
         )
     elif suite == "round10":
         out = round10_phash_probes(spark)
+    elif suite == "round11":
+        out = round11_dct_probes(spark)
     elif suite == "mixing_budget":
         out = mixing_budget_probes(spark)
     elif suite == "memory":

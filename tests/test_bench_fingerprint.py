@@ -48,3 +48,15 @@ def test_headline_fingerprints_deterministic(spark):
     unstable = [n for n in names if p1[n] != p2[n]]
     assert not unstable, f"fingerprints changed across identical builds: {unstable}"
     assert len(set(p1.values())) == len(names), "fingerprint collision"
+
+
+def test_fp_changes_diff_semantics():
+    """The plan-drift report compares only names present in both
+    archives (rotation adds/drops are not plan changes), and a query
+    whose build stopped planning (None) is loud."""
+    from bench import fp_changes
+
+    prev = {"a": "f1", "b": "f2", "gone": "f3"}
+    cur = {"a": "f1", "b": "XX", "new": "f4", "err": None}
+    assert fp_changes(prev, cur) == {"b": {"prev": "f2", "cur": "XX"}}
+    assert fp_changes({"err": "f5"}, cur) == {"err": {"prev": "f5", "cur": None}}
