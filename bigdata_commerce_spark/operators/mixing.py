@@ -381,8 +381,12 @@ def token_budget_fill_report(
     the fully-starved source, the case an underfill detector most
     needs to surface, invisible. The join is null-safe so a
     NULL-source group matches itself on both engines. Without
-    ``available`` the report can only describe sources that kept
-    rows (there is nothing else to enumerate).
+    ``available`` the report can only enumerate sources that kept
+    rows — EXCEPT when the budget is a DICT: the spec itself names
+    the intended sources, so every dict key appears even with zero
+    kept rows (a starved spec'd source surfaces as kept_rows=0 and,
+    for a positive budget, underfilled=true; there is no
+    ``available_rows`` column to tighten the flag with).
     """
     rep = kept.groupBy(source_col).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("kept_tokens"),
@@ -390,6 +394,20 @@ def token_budget_fill_report(
     )
     thr = _budget_threshold(budget, source_col, default_budget)
     if available is None:
+        if isinstance(budget, dict):
+            # the spec names the sources: outer-union the dict keys so
+            # a spec'd source that kept nothing still gets a row
+            spec = kept.sparkSession.createDataFrame(
+                [(s,) for s in sorted(k for k in budget if k is not None)],
+                f"{source_col} string",
+            )
+            rep = (
+                spec.join(rep, on=source_col, how="full")
+                .withColumn("kept_tokens",
+                            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint"))
+                .withColumn("kept_rows",
+                            F.coalesce(F.col("kept_rows"), F.lit(0)).cast("bigint"))
+            )
         rep = rep.withColumn("budget_tokens", thr.cast("bigint"))
         under = F.coalesce(F.col("kept_tokens"), F.lit(0)) < F.col("budget_tokens")
         return rep.withColumn("underfilled", under)

@@ -366,6 +366,37 @@ def test_fill_report_surfaces_budget_zero_starved_source(spark, token_frame):
         assert r.available_rows > 0 and r.underfilled
 
 
+def test_fill_report_dict_budget_surfaces_starved_source_without_available(
+    spark, token_frame
+):
+    """Without `available`, a DICT budget still names the intended
+    sources — a spec'd source that kept nothing must appear
+    (kept_rows=0, underfilled for a positive budget) instead of
+    vanishing; an int budget without `available` keeps the old
+    kept-only enumeration (nothing else to enumerate)."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    _, df = token_frame
+    budgets = {"a": 60, "c": 0, "ghost": 50}  # b unspecified -> dropped
+    kept = token_budget_per_source(df, budgets)
+    rep = {r.source: r for r in token_budget_fill_report(kept, budgets).collect()}
+    # every dict key appears, spec'd-but-starved included
+    assert set(rep) == {"a", "c", "ghost"}
+    assert rep["a"].kept_rows > 0 and not rep["a"].underfilled
+    # c: budget 0, kept nothing — present, exactly filled per spec
+    assert rep["c"].kept_rows == 0 and not rep["c"].underfilled
+    # ghost: positive budget, no such source in the corpus — flagged
+    assert rep["ghost"].kept_rows == 0 and rep["ghost"].underfilled
+    # int budget without available: kept-only rows, as before
+    kept_all = token_budget_per_source(df, 10**6)
+    assert {r.source for r in token_budget_fill_report(kept_all, 10**6).collect()} == {
+        "a", "b", "c",
+    }
+
+
 def test_token_budget_rejects_tokens_before_collision(spark, token_frame):
     """ADVICE r9 item 3: a pre-existing tokens_before column must not
     be silently overwritten."""
