@@ -373,14 +373,16 @@ def token_budget_fill_report(
     without it the flag is the conservative "under budget"
     (exhausted sources flag too).
 
-    With ``available``, the report is keyed off the AVAILABLE side
-    (ADVICE r10 item 1): a source whose every row was dropped — a 0
-    budget, a dict spec with ``default_budget=0``, or a pre-thin that
-    removed the whole source — still appears, with ``kept_rows=0``
-    and ``underfilled=true``. Grouping only the kept frame would make
-    the fully-starved source, the case an underfill detector most
-    needs to surface, invisible. The join is null-safe so a
-    NULL-source group matches itself on both engines. Without
+    With ``available``, the report enumerates the UNION of both
+    sides (full outer, null-safe — ADVICE r10 item 1 / r11 item 2):
+    a source whose every row was dropped — a 0 budget, a dict spec
+    with ``default_budget=0``, or a pre-thin that removed the whole
+    source — still appears, with ``kept_rows=0`` and
+    ``underfilled=true``; and a kept-side source missing from
+    ``available`` (mismatched frames) surfaces with
+    ``available_rows=0`` instead of silently vanishing. Grouping
+    only the kept frame would make the fully-starved source, the
+    case an underfill detector most needs to surface, invisible. Without
     ``available`` the report can only enumerate sources that kept
     rows — EXCEPT when the budget is a DICT: the spec itself names
     the intended sources, so every dict key appears even with zero
@@ -411,19 +413,37 @@ def token_budget_fill_report(
         rep = rep.withColumn("budget_tokens", thr.cast("bigint"))
         under = F.coalesce(F.col("kept_tokens"), F.lit(0)) < F.col("budget_tokens")
         return rep.withColumn("underfilled", under)
-    # rebuild the threshold against the avail-side column: after the
-    # self-aliased join the bare source name is ambiguous
-    thr = _budget_threshold(budget, f"a.{source_col}", default_budget)
+    # FULL outer, not left (ADVICE r11 item 2): a source present in
+    # ``kept`` but absent from ``available`` — mismatched frames, a
+    # caller passing a filtered availability view — must still appear
+    # in the report rather than silently vanish. Its available_rows
+    # coalesces to 0, so the row reads kept_rows > available_rows:
+    # the inconsistency is visible in the report itself (underfilled
+    # stays false — "rows left behind" cannot hold with nothing
+    # available). The source key coalesces across the two sides; the
+    # join is null-safe, so a NULL-source group still matches itself
+    # and lands in ONE row.
     avail = available.groupBy(source_col).agg(
         F.count("*").alias("available_rows")
     )
-    joined = avail.alias("a").join(
-        rep.alias("k"),
-        F.col(f"a.{source_col}").eqNullSafe(F.col(f"k.{source_col}")),
-        "left",
+    joined = (
+        avail.alias("a")
+        .join(
+            rep.alias("k"),
+            F.col(f"a.{source_col}").eqNullSafe(F.col(f"k.{source_col}")),
+            "full",
+        )
+        .withColumn(
+            "__src",
+            F.coalesce(F.col(f"a.{source_col}"), F.col(f"k.{source_col}")),
+        )
     )
+    # threshold keys off the coalesced source: after the self-aliased
+    # full join the bare source name is ambiguous, and the a-side one
+    # is NULL for kept-only sources
+    thr = _budget_threshold(budget, "__src", default_budget)
     out = joined.select(
-        F.col(f"a.{source_col}").alias(source_col),
+        F.col("__src").alias(source_col),
         F.coalesce(F.col("k.kept_tokens"), F.lit(0))
         .cast("bigint")
         .alias("kept_tokens"),
@@ -431,7 +451,9 @@ def token_budget_fill_report(
         .cast("bigint")
         .alias("kept_rows"),
         thr.cast("bigint").alias("budget_tokens"),
-        F.col("a.available_rows"),
+        F.coalesce(F.col("a.available_rows"), F.lit(0))
+        .cast("bigint")
+        .alias("available_rows"),
     )
     under = (F.col("kept_rows") < F.col("available_rows")) & (
         (F.col("kept_tokens") < F.col("budget_tokens"))

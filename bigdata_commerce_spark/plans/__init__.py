@@ -29,11 +29,13 @@ from bigdata_commerce_spark.plans.rotation import (  # noqa: E402
     DEMOTE_R9,
     DEMOTE_R10,
     DEMOTE_R11,
+    DEMOTE_R12,
     PROMOTE_R7,
     PROMOTE_R8,
     PROMOTE_R9,
     PROMOTE_R10,
     PROMOTE_R11,
+    PROMOTE_R12,
     apply_rotation,
 )
 
@@ -43,5 +45,6 @@ apply_rotation(PROMOTE_R8, DEMOTE_R8)  # r8: maintenance (oldest-first)
 apply_rotation(PROMOTE_R9, DEMOTE_R9)  # r9: maintenance (oldest-first)
 apply_rotation(PROMOTE_R10, DEMOTE_R10)  # r10: maintenance (oldest-first)
 apply_rotation(PROMOTE_R11, DEMOTE_R11)  # r11: maintenance (oldest-first)
+apply_rotation(PROMOTE_R12, DEMOTE_R12)  # r12: maintenance (oldest-first)
 
 __all__ = ["QUERIES", "ORACLES", "TWIN_QUERIES", "TWIN_ORACLES"]

@@ -1898,15 +1898,15 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, CAST(COUNT(*) AS BIGINT) AS available_rows
         FROM counted GROUP BY source
     )
-    SELECT a.source,
+    SELECT COALESCE(a.source, r.source) AS source,
            CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
            CAST(COALESCE(r.kept_rows, 0) AS BIGINT) AS kept_rows,
            CAST(800 AS BIGINT) AS budget_tokens,
-           a.available_rows,
-           (COALESCE(r.kept_rows, 0) < a.available_rows)
+           CAST(COALESCE(a.available_rows, 0) AS BIGINT) AS available_rows,
+           (COALESCE(r.kept_rows, 0) < COALESCE(a.available_rows, 0))
                AND ((COALESCE(r.kept_tokens, 0) < 800)
                     OR COALESCE(r.kept_rows, 0) = 0) AS underfilled
-    FROM avail a LEFT JOIN rep r ON r.source IS NOT DISTINCT FROM a.source
+    FROM avail a FULL JOIN rep r ON r.source IS NOT DISTINCT FROM a.source
     """,
 )
 def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,11 +1916,13 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget and an ``underfilled`` flag that fires when rows were left
     behind AND the kept set is under budget or empty — the signal
     that automates the mixture_sample pre-thin escape hatch (VERDICT
-    r9 item 4). Keyed off the AVAILABLE side (ADVICE r10 item 1) so a
-    fully-starved source still surfaces with ``kept_rows=0`` and
-    ``underfilled=true``; the join is null-safe so a NULL-source
-    group matches itself, the same contract on both engines. One tiny
-    aggregation per side (<= n_sources output rows)."""
+    r9 item 4). Full-outer over both sides (ADVICE r10 item 1 / r11
+    item 2) so a fully-starved source still surfaces with
+    ``kept_rows=0`` / ``underfilled=true`` and a kept-only source
+    surfaces with ``available_rows=0``; the join is null-safe so a
+    NULL-source group matches itself, the same contract on both
+    engines. One tiny aggregation per side (<= n_sources output
+    rows)."""
     from bigdata_commerce_spark.operators.mixing import (
         token_budget_fill_report,
         token_budget_per_source,

@@ -395,6 +395,61 @@ PROMOTE_R11: tuple[str, ...] = (
 # (CORRECTNESS_r10 was 50/50).
 DEMOTE_R11: tuple[str, ...] = PROMOTE_R10
 
+# Round 12 (maintenance, ROTATION.md "Round-12 plan", finalized at
+# r11 close): anchors stay; no `queued (r12)` rows exist (round 11's
+# new operator, media_phash_dct, is a real-decode kernel with no
+# SQL-expressible oracle — pytest pins, not the registry), so the 35
+# non-anchor slots go to the rest of the r8-latest cohort
+# alphabetically (all 22 — these hit the 4-round ledger horizon at
+# r12 and cannot slip), then the first 13 of the r9-latest cohort
+# alphabetically through doc_tfidf_keywords. All 35 pre-checked at
+# sf0.01 under driver_slot=True strictness at round-11 close;
+# docs_bloom_anti heads the r13 queue.
+PROMOTE_R12: tuple[str, ...] = (
+    # r8 cohort rest, alphabetical (oldest driver row = r8; ledger
+    # horizon forces these in this round)
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_encoding_quality",
+    "doc_fingerprints",
+    "doc_top_ngram_coverage",
+    "dsir_importance_weights",
+    "embedding_ann_ivf_indexed",
+    "embedding_ann_lsh",
+    "embedding_neardup",
+    "event_rollup_ladder",
+    "events_pivot",
+    "exact_price_percentiles",
+    "gopher_quality_flags",
+    "lang_id",
+    "lineitem_cube",
+    "lineitem_rollup",
+    "minhash_signatures",
+    "multimodal_resize",
+    "region_top3_parts_sql",
+    "simhash_values",
+    "text_stats",
+    "users_click_and_purchase",
+    # r9 cohort, alphabetical through doc_tfidf_keywords
+    "benchmark_contamination",
+    "bm25_doc_scores",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_token_economics",
+    "dedup_canonical_docs",
+    "doc_char_bigram_nll",
+    "doc_contaminated_spans",
+    "doc_duplicate_spans",
+    "doc_encoding_repair",
+    "doc_phrase_tags",
+    "doc_quality_linear_score",
+    "doc_tfidf_keywords",
+)
+
+# Every r11 non-anchor slot demotes after its green r11 row
+# (CORRECTNESS_r11 was 50/50).
+DEMOTE_R12: tuple[str, ...] = PROMOTE_R11
+
 DRIVER_SLOT_CAP = 50
 
 

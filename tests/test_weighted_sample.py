@@ -397,6 +397,42 @@ def test_fill_report_dict_budget_surfaces_starved_source_without_available(
     }
 
 
+def test_fill_report_kept_only_source_surfaces_with_available(spark, token_frame):
+    """ADVICE r11 item 2: a source present in `kept` but absent from
+    `available` (mismatched frames — e.g. a filtered availability
+    view) must surface with available_rows=0 instead of silently
+    vanishing from the report; underfilled stays false ("rows left
+    behind" cannot hold with nothing available), so the inconsistency
+    is visible as kept_rows > available_rows."""
+    from bigdata_commerce_spark.operators.mixing import (
+        token_budget_fill_report,
+        token_budget_per_source,
+    )
+
+    _, df = token_frame
+    kept = token_budget_per_source(df, 10**6)  # everything kept
+    avail_no_b = df.where(F.col("source") != "b")
+    rep = {
+        r.source: r
+        for r in token_budget_fill_report(
+            kept, 10**6, available=avail_no_b
+        ).collect()
+    }
+    assert set(rep) == {"a", "b", "c"}
+    assert rep["b"].available_rows == 0 and rep["b"].kept_rows > 0
+    assert not rep["b"].underfilled
+    # dict budgets still resolve the threshold for the kept-only
+    # source (the coalesced key feeds the CASE)
+    budgets = {"a": 60, "b": 70, "c": 80}
+    rep2 = {
+        r.source: r
+        for r in token_budget_fill_report(
+            kept, budgets, available=avail_no_b
+        ).collect()
+    }
+    assert rep2["b"].budget_tokens == 70 and rep2["b"].available_rows == 0
+
+
 def test_token_budget_rejects_tokens_before_collision(spark, token_frame):
     """ADVICE r9 item 3: a pre-existing tokens_before column must not
     be silently overwritten."""
