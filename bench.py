@@ -13,7 +13,13 @@ registry; the timing contract is identical.
 
 Each query is timed over a full materialization (collect) after a
 warm-up of the session itself; inputs are re-read per query (no
-cross-query caching) so the numbers reflect scan+plan+exec. Any
+cross-query caching). The timed region is the collect alone — the
+DataFrame build, planning, and plan fingerprint run BEFORE the timer
+(ADVICE r11 item 3: the fingerprint's toString + normalization inside
+the timer was a systematic additive bias, largest on the fastest
+queries); planning is cached by the QueryExecution so the collect
+reuses it. BENCH_BASELINE.json is recorded under the same protocol
+(see its provenance note), so ratios compare like with like. Any
 query whose single-shot ratio lands >1.2x its baseline is re-timed
 twice and the BEST of the three shots is recorded in `queries` (the
 shots are kept in `retimed` for audit): single-shot archiving let
@@ -72,6 +78,11 @@ _PLAN_NOISE = (
     # higher-order-function variable names carry a session-global
     # counter: `lambda x_11#` on one build is `lambda x_21#` on the next
     (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_n"),
+    # incremental_dedup_novel's fingerprint store is pid-suffixed so
+    # concurrent harness runs can't rmtree each other's live store —
+    # the pid in the scan's file-index Location is run identity, not
+    # plan shape (the sf-tag before it, which IS plan-relevant, stays)
+    (re.compile(r"(bcs_fpstore_twin_[0-9a-f]+)_\d+"), r"\1_pid"),
     # a persisted subtree's InMemoryRelation prints its cached child
     # plan, and once ANOTHER query materialized that shared cache
     # entry the child gains an executed AdaptiveSparkPlan with a
@@ -147,6 +158,25 @@ def fp_changes(
     }
 
 
+def time_query(fn, spark, sf_dir: str) -> tuple[float, str]:
+    """One timed shot: build + plan + fingerprint OUTSIDE the timed
+    region, then time the collect alone. ADVICE r11 item 3: the
+    fingerprint's executedPlan().toString() (with the metadata-length
+    cap raised) plus regex normalization and two conf RPCs ran inside
+    the timer, a small systematic additive bias largest in relative
+    terms on the fastest queries. Fingerprinting forces planning and
+    the QueryExecution caches it, so the collect reuses the plan —
+    the timed region is execution + result transfer, the same
+    quantity on every shot. BENCH_BASELINE.json records which
+    protocol produced it in its `provenance` note; ratios only
+    compare like with like."""
+    df = fn(spark, sf_dir)
+    fp = plan_fingerprint(df)
+    t0 = time.perf_counter()
+    df.collect()
+    return round(time.perf_counter() - t0, 3), fp
+
+
 def aggregate_total(
     timings: dict[str, float | None], base: dict[str, float]
 ) -> float | None:
@@ -165,14 +195,10 @@ def aggregate_total(
     return round(total, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bigdata_commerce_spark_bench")
-
-    # Warm the JVM/session, Hadoop FS/parquet reader, and the
-    # aggregate/join/window codegen paths so the alphabetically-first
-    # query isn't charged one-time init costs.
+def warm_session(spark, sf_dir: str) -> None:
+    """Warm the JVM/session, Hadoop FS/parquet reader, and the
+    aggregate/join/window codegen paths so the alphabetically-first
+    query isn't charged one-time init costs."""
     spark.range(1000).count()
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -221,6 +247,13 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bigdata_commerce_spark_bench")
+    warm_session(spark, sf_dir)
+
     # Per-query error isolation: one broken query must never zero out
     # the whole round's bench signal — record null and keep going.
     timings: dict[str, float | None] = {}
@@ -228,15 +261,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in headline_names():
         fn = ALL_QUERIES[name]
-        t0 = time.perf_counter()
         try:
-            # collect() materializes the full result like the driver
-            # does; the fingerprint's planning work is cached by the
-            # QueryExecution, so the timing contract is unchanged.
-            df = fn(spark, sf_dir)
-            plan_fp[name] = plan_fingerprint(df)
-            df.collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name], plan_fp[name] = time_query(fn, spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             timings[name] = None
             plan_fp.setdefault(name, None)
@@ -271,12 +297,11 @@ def main() -> None:
         # noise here is additive (GC, contention), so a warm min
         # confirms — or walks back — the lucky cold shot.
         while len(shots) < 5:
-            t0 = time.perf_counter()
             try:
-                ALL_QUERIES[name](spark, sf_dir).collect()
+                t_shot, _ = time_query(ALL_QUERIES[name], spark, sf_dir)
             except Exception:  # noqa: BLE001
                 break
-            shots.append(round(time.perf_counter() - t0, 3))
+            shots.append(t_shot)
             if len(shots) >= 3 and min(shots) <= 1.25 * b:
                 break
         retimed[name] = shots
@@ -363,5 +388,124 @@ def main() -> None:
     spark.stop()
 
 
+def rebaseline(n_warm: int = 5) -> None:
+    """Record a fresh BENCH_BASELINE.json (VERDICT r11 item 2): the
+    round-1 baseline was a per-query best-of that accumulated three
+    pinned "the baseline was a lucky shot" bands and ±50% plan-stable
+    movers every round — the per-query noise floor was eating the
+    signal the 2x regression gate carries. Protocol: same pinned
+    query set and warmups as the headline run; per query ONE
+    discarded cold shot (materializes shared persisted subtrees),
+    then ``n_warm`` timed shots via ``time_query`` (collect-only
+    timed region), recording the MEDIAN of the warm shots — not the
+    min, which just re-creates the lucky-shot denominator (measured:
+    dedup_minhash_lsh warm shots [1.497, 1.498, 0.912] — the 0.912
+    is a one-off a min would enshrine while the query's warm steady
+    state is ~1.5s). Every shot is kept in `shots` for audit, the
+    plan fingerprint in `plan_fp`. The old file must be archived
+    (git) before running; the headline suite stays pinned to the
+    same query set because the keys don't change."""
+    import statistics
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if sf != "0.1":
+        raise SystemExit("rebaseline must run at the headline sf (sf0.1)")
+    spark = get_spark(app_name="bigdata_commerce_spark_rebaseline")
+    warm_session(spark, sf_dir)
+    queries: dict[str, float] = {}
+    plan_fp: dict[str, str] = {}
+    shots_log: dict[str, list[float]] = {}
+    for name in headline_names():
+        fn = ALL_QUERIES[name]
+        shots = []
+        fp = None
+        for _ in range(n_warm + 1):
+            t, fp = time_query(fn, spark, sf_dir)
+            shots.append(t)
+        queries[name] = round(statistics.median(shots[1:]), 3)  # cold shot discarded
+        plan_fp[name] = fp
+        shots_log[name] = shots
+        print(f"  {name}: {queries[name]} (shots: {shots})", file=sys.stderr)
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=Path(__file__).parent,
+        ).stdout.strip()
+    except OSError:
+        head = "unknown"
+    out = {
+        "metric": "catalog_suite_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "plan_fp": plan_fp,
+        "shots": shots_log,
+        "provenance": {
+            "protocol": (
+                f"median of {n_warm} warm shots per query after one "
+                "discarded cold shot; timed region = collect only "
+                "(build/plan/fingerprint excluded — bench.time_query); "
+                f"quiet box, local[{spark.sparkContext.defaultParallelism}]"
+            ),
+            "recorded_at_head": head,
+            "replaces": "round-1 per-query best-of (BENCH_BASELINE_r1.json)",
+        },
+    }
+    path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps({"rebaselined": len(queries), "total": out["value"]}))
+    spark.stop()
+
+
+def fp_manifest(check: bool = False) -> None:
+    """Plan fingerprints for EVERY registered query — driver slots AND
+    twins (VERDICT r11 item 5: bench fingerprints only the 50 headline
+    queries, so a plan regression in one of the 97 twins was invisible
+    until its next rotation slot). Builds and fingerprints each plan at
+    sf0.01 WITHOUT executing it, so a full sweep is cheap (planning
+    only; constructors that collect tiny driver-side frames — funnel
+    specs, centroids — still run those). Deterministic by
+    construction: fresh process + fresh session, fixed sorted order
+    (in-pass persist() registrations from earlier constructors are
+    part of the plan state later queries legitimately see — the same
+    order reproduces the same fingerprints). With ``check``, diffs
+    against the committed PLAN_FP_MANIFEST.json and exits nonzero on
+    any change — regenerate with `python bench.py --fp-manifest` and
+    commit when a change is intended."""
+    sf_dir = os.environ.get("SPARK_GRAFT_FP_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="bigdata_commerce_spark_fp_manifest")
+    fps: dict[str, str] = {}
+    for name in sorted(ALL_QUERIES):
+        fps[name] = plan_fingerprint(ALL_QUERIES[name](spark, sf_dir))
+    path = Path(__file__).resolve().parent / "PLAN_FP_MANIFEST.json"
+    if check:
+        committed = json.loads(path.read_text())["plan_fp"]
+        changed = fp_changes(committed, fps)
+        added = sorted(set(fps) - set(committed))
+        removed = sorted(set(committed) - set(fps))
+        report = {"changed": changed, "added": added, "removed": removed}
+        print(json.dumps(report))
+        spark.stop()
+        raise SystemExit(1 if (changed or added or removed) else 0)
+    path.write_text(
+        json.dumps(
+            {"sf_dir": sf_dir, "n_queries": len(fps), "plan_fp": fps},
+            indent=2,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+    print(json.dumps({"manifest": len(fps)}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--rebaseline" in sys.argv:
+        rebaseline()
+    elif "--fp-manifest" in sys.argv:
+        fp_manifest(check="--check" in sys.argv)
+    else:
+        main()

@@ -432,6 +432,35 @@ def media_phash_pairs(df: DataFrame, max_hamming: int = 1) -> DataFrame:
     return phash_hamming_pairs(h, FEATURE_DIM, max_hamming)
 
 
+# The pair ops persist their narrow (id, hash) input so the band
+# union pays ONE image decode per image instead of 2 x bands — but
+# the returned pairs frame is lazy, so the operator cannot unpersist
+# before the caller consumes it. Instead of leaking one cache entry
+# per call for the session lifetime (VERDICT r11 hygiene item), a
+# bounded FIFO registry unpersists the oldest cached input once more
+# than _PERSIST_BOUND are live: a long-lived session (the 147-query
+# suite, a notebook) holds at most _PERSIST_BOUND narrow frames
+# (~40 B/row each) no matter how many times the ops run. The bound
+# is 4 so the wide/narrow paths and a re-run of either can coexist;
+# an evicted frame's pairs stay CORRECT if re-collected — the
+# lineage just re-decodes (the same _PAIRS_CACHE eviction contract
+# in plans/catalog_dataops.py).
+_PERSISTED_INPUTS: list[DataFrame] = []
+_PERSIST_BOUND = 4
+
+
+def _persist_bounded(h: DataFrame) -> DataFrame:
+    h = h.persist()
+    _PERSISTED_INPUTS.append(h)
+    while len(_PERSISTED_INPUTS) > _PERSIST_BOUND:
+        old = _PERSISTED_INPUTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may be stopped
+            pass
+    return h
+
+
 def phash_hamming_pairs(
     h: DataFrame, n_bits: int, max_hamming: int = 1
 ) -> DataFrame:
@@ -447,7 +476,9 @@ def phash_hamming_pairs(
     the cache makes it ONE, the same move the round-10 scale probe
     made manually with localCheckpoint. The cached frame is just
     (media_id, phash): ~16 bytes a row, memory-and-disk safe at any
-    corpus size."""
+    corpus size. Cache lifetime is bounded (VERDICT r11): see
+    ``_persist_bounded`` — repeated calls evict-and-unpersist the
+    oldest input past a fixed bound instead of accumulating."""
     bands = max_hamming + 1
     if n_bits % bands:
         raise ValueError(
@@ -459,7 +490,7 @@ def phash_hamming_pairs(
     def band(col: str, j: int):
         return F.shiftrightunsigned(F.col(col), j * width).bitwiseAND(F.lit(mask))
 
-    h = h.select("media_id", "phash").persist()
+    h = _persist_bounded(h.select("media_id", "phash"))
     a = h.select(F.col("media_id").alias("media_a"), F.col("phash").alias("__pa"))
     b = h.select(F.col("media_id").alias("media_b"), F.col("phash").alias("__pb"))
     cands = None
@@ -585,14 +616,17 @@ def phash_words_hamming_pairs(
     ``media_phash_real_wide`` that would mean 2 x bands image decodes
     per image — the cache makes it ONE (the round-10 scale probe's
     manual localCheckpoint, now built in). Cached frame is
-    (media_id, phash_words): ~40 bytes a row at 256 bits."""
+    (media_id, phash_words): ~40 bytes a row at 256 bits. Cache
+    lifetime is bounded (VERDICT r11): see ``_persist_bounded`` —
+    repeated calls evict-and-unpersist the oldest input past a fixed
+    bound instead of accumulating."""
     bands = max_hamming + 1
     if n_words % bands:
         raise ValueError(
             f"max_hamming+1 must divide n_words (got {bands} over {n_words})"
         )
     width = n_words // bands
-    h = h.select("media_id", "phash_words").persist()
+    h = _persist_bounded(h.select("media_id", "phash_words"))
     a = h.select(
         F.col("media_id").alias("media_a"), F.col("phash_words").alias("__pa")
     )

@@ -545,6 +545,45 @@ def test_banded_pair_ops_decode_each_image_once(spark, tmp_path, monkeypatch):
     assert final.count("InMemoryTableScan") == 2 * 4  # both sides x 4 bands
 
 
+def test_banded_pair_ops_cache_is_bounded(spark):
+    """VERDICT r11 hygiene item: the pair ops' built-in persist()
+    must not accumulate one cache entry per call for the session
+    lifetime — repeated calls (the 147-query suite, a notebook) keep
+    at most _PERSIST_BOUND inputs live, the oldest unpersisted on
+    eviction. Counts live cache entries via the JVM's persistent-RDD
+    registry; runs BOTH kernels interleaved so the shared bound is
+    the thing pinned."""
+    from bigdata_commerce_spark.operators import multimodal as mm
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def det_hash(seed: int):
+        df = spark.createDataFrame(
+            [(i, bytearray(f"payload-{seed}-{i}".encode())) for i in range(8)],
+            "media_id long, content binary",
+        )
+        return mm.media_phash(df).where(F.col("phash").isNotNull())
+
+    base = n_persistent()
+    for k in range(6):
+        mm.phash_hamming_pairs(det_hash(k), mm.FEATURE_DIM, max_hamming=1).collect()
+        mm.phash_words_hamming_pairs(
+            mm.media_phash_wide_det(
+                spark.createDataFrame(
+                    [(i, bytearray(f"wide-{k}-{i}".encode())) for i in range(8)],
+                    "media_id long, content binary",
+                )
+            ),
+            n_words=4,
+            max_hamming=3,
+        ).collect()
+    # 12 calls happened; live entries grew by at most the bound (other
+    # suite fixtures may hold their own caches — measure the delta)
+    assert n_persistent() - base <= mm._PERSIST_BOUND
+    assert len(mm._PERSISTED_INPUTS) <= mm._PERSIST_BOUND
+
+
 def _blob_image(rng) -> np.ndarray:
     """Smooth 'natural' 32x32 grayscale: a few gaussian blobs, values
     clipped into [30, 140] so an additive gradient never saturates."""
