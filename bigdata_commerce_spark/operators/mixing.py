@@ -152,6 +152,7 @@ def cap_per_source(
     quota: int,
     source_col: str = "source",
     id_col: str = "doc_id",
+    rank_col: str = "source_rank",
 ) -> DataFrame:
     """EXACT per-source quota cap: keep at most ``quota`` rows per
     source, chosen deterministically by the salted id hash (then id as
@@ -178,7 +179,7 @@ def cap_per_source(
         [source_col],
         [hash_uniform(id_col).asc(), F.col(id_col).asc()],
         quota,
-        rank_col="source_rank",
+        rank_col=rank_col,
     )
 
 

@@ -553,6 +553,43 @@ def lsh_ann_topk(
     return _exact_rerank(candidates, corpus, probes, k, id_col, vec_col)
 
 
+def topk_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    group_col: str = "probe_id",
+    id_col: str = "corpus_id",
+) -> DataFrame:
+    """Per-group recall of an approximate top-k result against the
+    exact one — the quality measurement an approximate index MUST
+    ship with at scale: at 100 TB the brute-force pass runs once on a
+    probe sample to calibrate band/probe counts, and this report says
+    whether the ANN path's recall actually holds. Returns one row per
+    ``group_col`` value in ``truth``: ``n_true`` (truth rows, <= k),
+    ``n_hit`` (truth rows the approximate result also returned),
+    ``recall`` (n_hit / n_true, 4dp).
+
+    Scale shape: both inputs are top-k RESULTS — n_probes x k rows,
+    tiny next to the corpus regardless of corpus size — so the
+    (group, id) equi-join and the per-group agg are trivially cheap;
+    the expensive work happened upstream in the two search passes. A
+    probe with no approximate rows at all still reports (left join
+    from truth): recall 0, never a dropped row.
+    """
+    t = truth.select(group_col, id_col)
+    a = approx.select(group_col, id_col).withColumn("__hit", F.lit(1))
+    per_group = (
+        t.join(a, [group_col, id_col], "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    return per_group.withColumn(
+        "recall", F.round(F.col("n_hit") / F.col("n_true"), 4)
+    )
+
+
 def embedding_dedup_clusters(
     corpus: DataFrame,
     threshold: float = 0.45,

@@ -909,6 +909,43 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, probes, k=5)
 
 
+@twin_query(
+    "embedding_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+        SELECT * FROM ({_COSINE_ORACLE})
+    ), approx AS (
+        SELECT * FROM ({_ann_oracle()})
+    )
+    SELECT e.probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.probe_id = e.probe_id AND a.corpus_id = e.corpus_id
+    GROUP BY e.probe_id
+    """,
+)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@5 of the sign-LSH ANN path against the exact
+    brute-force top-5 (operators/similarity.topk_recall) — the quality
+    report an approximate index ships with: at 100 TB the exact pass
+    runs once over a probe SAMPLE to calibrate plane/band counts, and
+    this measures whether the calibrated recall holds. Both inputs
+    are top-k results (n_probes x k rows — tiny however large the
+    corpus), so the report itself is one cheap equi-join + per-probe
+    agg; the oracle composes the two driver-verified search oracles
+    verbatim. Twin slot: queued for its first driver row."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.lsh_ann_topk(emb, probes, k=5)
+    return similarity.topk_recall(exact, approx)
+
+
 def _neardup_oracle(threshold: float = 0.45) -> str:
     """DuckDB twin of similarity.neardup_pairs: same LSH bucket CTEs,
     corpus self-join (id1 < id2) for candidates, exact-cosine verify
@@ -3863,6 +3900,43 @@ def documents_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
     out = urltools.with_registered_domain(urltools.with_canonical_url(docs))
     return out.select("doc_id", "canonical_url", "registered_domain")
+
+
+@twin_query(
+    "host_capped_docs",
+    oracle=f"""
+    WITH {_URL_CANON_CTE}
+    SELECT doc_id, registered_domain, CAST(rnk AS INT) AS domain_rank
+    FROM (
+        SELECT doc_id, registered_domain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY registered_domain
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8),
+                            doc_id
+               ) AS rnk
+        FROM url_dom
+    ) WHERE rnk <= 10
+    """,
+)
+def host_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST document cap: at most 10 documents per PSL registered
+    domain, selected by the deterministic salted-id hash rank — the
+    C4/crawl-curation step that stops any single site dominating the
+    corpus (the per-source cap's sibling, keyed on the URL pipeline's
+    registered_domain instead of the provenance label). Composition:
+    canonicalize -> registered domain (both pure scan-stage
+    projections, operators/urltools.py) -> the exact-quota ranking
+    kernel (operators/mixing.cap_per_source) partitioned by domain.
+    One shuffle on domain + a ranking window; rank order is content-
+    and partitioning-independent so the oracle reproduces it row for
+    row. Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators.mixing import cap_per_source
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("url", _messy_url())
+    dom = urltools.with_registered_domain(urltools.with_canonical_url(docs))
+    return cap_per_source(
+        dom, quota=10, source_col="registered_domain", rank_col="domain_rank"
+    ).select("doc_id", "registered_domain", "domain_rank")
 
 
 _URL_DEDUP_SQL = f"""

@@ -34,6 +34,35 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall@5 = {recall}"
 
 
+def test_topk_recall_report_matches_set_arithmetic(spark):
+    """similarity.topk_recall (the distributed recall report behind
+    the embedding_ann_recall query) must agree with the driver-side
+    set arithmetic the recall tests above use, and must surface a
+    probe the approximate side missed ENTIRELY as recall 0, not a
+    dropped row."""
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.lsh_ann_topk(emb, probes, k=5)
+    rep = {r.probe_id: r for r in similarity.topk_recall(exact, approx).collect()}
+    truth = {(r.probe_id, r.corpus_id) for r in exact.collect()}
+    got = {(r.probe_id, r.corpus_id) for r in approx.collect()}
+    assert set(rep) == {p for p, _ in truth}
+    for pid, row in rep.items():
+        t = {c for p, c in truth if p == pid}
+        assert row.n_true == len(t)
+        assert row.n_hit == len(t & {c for p, c in got if p == pid})
+        assert row.recall == round(row.n_hit / row.n_true, 4)
+    # a probe absent from the approximate side reports recall 0
+    one_probe_gone = approx.where(F.col("probe_id") != 0)
+    rep0 = {
+        r.probe_id: r
+        for r in similarity.topk_recall(exact, one_probe_gone).collect()
+    }
+    assert rep0[0].n_hit == 0 and rep0[0].recall == 0.0
+    assert rep0[0].n_true == rep[0].n_true
+
+
 def test_ann_scores_match_exact_for_shared_pairs(spark):
     """Where ANN and brute force agree on a pair, the exact re-rank
     score must be identical (same fold, same rounding)."""
