@@ -89,3 +89,62 @@ def pack_sequences(
         F.expr(f"token_start div {int(budget)}").alias("pack_id"),
         (F.col("token_start") % budget).alias("pack_offset"),
     )
+
+
+def length_bucketed_index(
+    df: DataFrame,
+    n_buckets: int = 4,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = ":shuf",
+) -> DataFrame:
+    """Length-bucketed batching index: assign each document to one of
+    ``n_buckets`` token-length buckets (exact interpolated quantile
+    boundaries), then a dense 0-based SHUFFLED position within its
+    bucket — the data-loader prep that minimizes padding waste: a
+    trainer drawing batch k of bucket b as positions
+    [k*batch, (k+1)*batch) gets length-homogeneous batches in a
+    deterministic pseudo-random order, with no cross-bucket length
+    mixing and no in-loader sort.
+
+    Bucketing: boundaries are the i/n_buckets interpolated percentiles
+    of ``token_col`` (Spark `percentile` == DuckDB `quantile_cont`,
+    the exact_price_percentiles parity), ROUNDED TO 6dp on both
+    engines so the integer-vs-boundary comparisons below cannot flip
+    on a 1-ULP interpolation difference; bucket = 1 + count of
+    boundaries strictly below the value (ties go DOWN, NULL token
+    counts land deterministically in bucket 1 — every comparison is
+    null, every CASE arm 0). The one-row boundary frame rides a
+    broadcast cross join, never a driver round-trip.
+
+    Positions: ``sources/shards.with_group_shuffled_index`` — the
+    two-level hash-prefix prefix sum, so no single-reducer-per-bucket
+    stage even though n_buckets is small (the naive window would put
+    a QUARTER of a 100 TB corpus on one reducer at n_buckets=4).
+    Shuffle inventory: one tiny percentile agg (map-side partials),
+    one count agg + broadcast (buckets x 256 rows), one shuffle keyed
+    by (bucket, hash-prefix) for the ranking window.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    bounds = df.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(`{token_col}`, {i / n_buckets!r})"), 6
+            ).alias(f"__b{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + F.when(F.col(token_col) > F.col(f"__b{i}"), 1).otherwise(0)
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("int"))
+        .drop(*[f"__b{i}" for i in range(1, n_buckets)])
+    )
+    from bigdata_commerce_spark.sources.shards import with_group_shuffled_index
+
+    return with_group_shuffled_index(
+        bucketed, ["bucket"], id_col=id_col, index_col="pos", salt=salt
+    )

@@ -1976,6 +1976,59 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "length_bucketed_docs",
+    oracle=f"""
+    WITH {_NORM_CTE}
+    , counted AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok_docs
+    ), bounds AS (
+        SELECT ROUND(quantile_cont(n_tokens, 0.25), 6) AS b1,
+               ROUND(quantile_cont(n_tokens, 0.5), 6) AS b2,
+               ROUND(quantile_cont(n_tokens, 0.75), 6) AS b3
+        FROM counted
+    ), bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(1 + (CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_tokens > b3 THEN 1 ELSE 0 END) AS INT) AS bucket
+        FROM counted CROSS JOIN bounds
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY substr(md5(doc_id || ':shuf'), 1, 16), doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM bucketed
+    """,
+)
+def length_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching index (operators/packing.
+    length_bucketed_index): 4 token-length quantile buckets + a dense
+    0-based shuffled position within each — the data-loader prep that
+    minimizes padding waste (batch k of bucket b = positions
+    [k*batch, (k+1)*batch), length-homogeneous by construction).
+    Boundaries are exact interpolated percentiles rounded to 6dp on
+    both engines (the exact_price_percentiles parity) so integer-vs-
+    boundary comparisons cannot flip on interpolation ULPs; positions
+    come from the two-level hash-prefix prefix sum
+    (sources/shards.with_group_shuffled_index) so there is NO
+    single-reducer-per-bucket stage — the oracle's plain per-bucket
+    ROW_NUMBER proves the two-level construction equals the global
+    hash order. NULL-token docs land deterministically in bucket 1.
+    Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators.packing import length_bucketed_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        F.size(text_ops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucketed_index(counted, n_buckets=4).select(
+        "doc_id", "n_tokens", "bucket", "pos"
+    )
+
+
+@twin_query(
     "temperature_token_mix",
     oracle=f"""
     WITH {_NORM_CTE}

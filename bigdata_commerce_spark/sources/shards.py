@@ -65,6 +65,56 @@ def with_global_index(
     )
 
 
+def with_group_shuffled_index(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    index_col: str = "pos",
+    salt: str = ":shuf",
+) -> DataFrame:
+    """Dense 0-based SHUFFLED position within each group — the keyed
+    sibling of ``with_global_index``, with the deterministic md5
+    order standing in for a random permutation (the
+    documents_shuffled_index discipline: same salt, same hash, so
+    re-runs and engines agree row for row).
+
+    Never a single reducer per group: positions come from a two-level
+    prefix sum over the hash's 2-hex-char PREFIX (256 sub-buckets per
+    group). Because the sub-bucket is a prefix of the fixed-width hex
+    hash, (sub asc, hash asc within sub) IS hash order within the
+    group — so per-(group, sub) counts (tiny: groups x 256 rows) take
+    an exclusive running offset within the group, and each row's
+    position is that offset + its rank within its (group, sub) cell.
+    The heavy window partitions by (group, sub): bounded memory at
+    any group size, exactly the ``with_global_index`` posture with a
+    key. ``id_col`` must be unique — it is both the hash input and
+    the total-order tiebreak.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 16
+    )
+    rows = df.withColumn("__h", h).withColumn("__sub", F.substring("__h", 1, 2))
+    counts = rows.groupBy(*group_cols, "__sub").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__sub",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = Window.partitionBy(*group_cols, "__sub").orderBy("__h", id_col)
+    return (
+        rows.join(F.broadcast(offsets), [*group_cols, "__sub"])
+        .withColumn(index_col, F.col("__offset") + F.row_number().over(w_in) - 1)
+        .drop("__h", "__sub", "__n", "__offset")
+    )
+
+
 def assign_shards(
     df: DataFrame,
     rows_per_shard: int,

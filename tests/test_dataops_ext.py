@@ -266,6 +266,73 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
     assert "hashpartitioning(bucket" in plan, plan
 
 
+def test_group_shuffled_index_matches_naive_window(spark):
+    """The two-level hash-prefix prefix sum
+    (shards.with_group_shuffled_index) must equal the naive
+    single-window-per-group construction row for row — the same
+    equivalence the length_bucketed_docs oracle proves against DuckDB,
+    pinned here engine-internally on a multi-group frame with skewed
+    group sizes."""
+    from pyspark.sql import Window
+
+    from bigdata_commerce_spark.sources.shards import with_group_shuffled_index
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (0 if i % 7 else 1)) for i in range(500)],
+        "doc_id long, grp string",
+    )
+    got = {
+        (r.doc_id): (r.grp, r.pos)
+        for r in with_group_shuffled_index(df, ["grp"]).collect()
+    }
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuf"))), 1, 16)
+    naive = df.withColumn("__h", h).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("grp").orderBy("__h", "doc_id")) - 1,
+    )
+    want = {r.doc_id: (r.grp, r.pos) for r in naive.collect()}
+    assert got == want
+    # dense 0..n-1 per group
+    sizes = {r.grp: r.c for r in df.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    for g, n in sizes.items():
+        assert sorted(p for (gg, p) in got.values() if gg == g) == list(range(n))
+
+
+def test_length_bucketed_index_contract(spark):
+    """Bucket balance, NULL handling, and the scale posture of
+    packing.length_bucketed_index: quantile buckets hold ~n/4 docs
+    each (ties go down), NULL token counts land in bucket 1, and the
+    heavy ranking window partitions by (bucket, hash-prefix
+    sub-bucket) — never bucket alone, which would put a quarter of
+    the corpus on one reducer."""
+    from bigdata_commerce_spark.operators.packing import length_bucketed_index
+
+    rows = [(i, (i * 37) % 997 + 1) for i in range(400)] + [(1000, None), (1001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = length_bucketed_index(df, n_buckets=4)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == len(rows)
+    # NULL token counts: every comparison null -> bucket 1, still positioned
+    assert got[1000].bucket == 1 and got[1001].bucket == 1
+    # non-null docs spread ~evenly (ties at boundaries go down)
+    from collections import Counter
+
+    c = Counter(r.bucket for r in got.values())
+    assert set(c) == {1, 2, 3, 4}
+    assert all(60 <= c[b] <= 140 for b in c), c
+    # dense positions per bucket
+    for b in c:
+        assert sorted(r.pos for r in got.values() if r.bucket == b) == list(range(c[b]))
+    # buckets are length-homogeneous: every bucket-1 doc <= every
+    # bucket-4 doc (NULLs excluded)
+    b1 = [r.n_tokens for r in got.values() if r.bucket == 1 and r.n_tokens is not None]
+    b4 = [r.n_tokens for r in got.values() if r.bucket == 4]
+    assert max(b1) <= min(b4)
+    # scale posture: the full-data window partitions by (bucket, __sub)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__sub" in plan, plan
+
+
 def test_percentile_approx_rank_guarantee_past_compression(spark):
     """price_quantiles passes its hash oracle only because the GK
     sketch stays exact below the compression threshold; this pins the
