@@ -186,6 +186,86 @@ def jaccard_pairs(
     return _verify_jaccard(candidates, ex, sizes, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate ORDERED pairs by exact shingle-set CONTAINMENT
+    — Broder's second resemblance measure: C(A, B) = |A ∩ B| / |A|,
+    the fraction of the CONTAINED document's shingles the container
+    also has. Jaccard misses the case curation pipelines care about
+    most after plain dup removal: a short document embedded verbatim
+    in a much longer one (a quoted article inside a page, a snippet
+    inside its source) — |A ∩ B| / |A ∪ B| is tiny when |B| >> |A|
+    even though A is wholly inside B. Returns (id1, id2, containment)
+    with id1 the contained side; a mutual near-dup appears in both
+    directions (C == 1 both ways for exact dups).
+
+    Candidate generation is the ASYMMETRIC prefix filter: with
+    shingles globally ordered rarest-first, C(A, B) >= t forces
+    |A ∩ B| >= ceil(t * |A|), so the intersection must touch A's
+    first ``|A| - ceil(t|A|) + 1`` shingles — the probe joins A's
+    PREFIX against the FULL postings list of every other document
+    (the container side has no size bound, so unlike the symmetric
+    Jaccard join its prefix cannot be used). Zipf safety comes from
+    the rarest-first order: prefixes prefer low-df shingles, so the
+    candidate count is sum(df) over RARE shingles, not hot ones; the
+    worst case is a document made entirely of stopword shingles,
+    whose prefix is still only ~(1 - t) of its length. The exact
+    verify (cross-multiplied int64, threshold before rounding — the
+    jaccard_pairs discipline) keeps the result identical to the
+    all-pairs definition, which is what the DuckDB oracle computes.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    # the shingle stream feeds doc-frequency, the prefix rank AND the
+    # verify — bounded-registry persist (cache_util), so repeated
+    # calls don't accumulate cache entries for the session lifetime
+    ex = persist_bounded(_exploded_shingles(df, text_col, id_col, n))
+    doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        ex.join(doc_freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    p, q = _threshold_fraction(threshold)
+    ceil_tn = _ceil_div(F.lit(p) * F.col("n_shingles"), q)
+    prefix = ranked.where(F.col("pos") <= F.col("n_shingles") - ceil_tn + 1).select(
+        "id", "shingle"
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(
+            ex.select(F.col("id").alias("id2"), "shingle").alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("id2")),
+        )
+        .select(F.col("a.id").alias("id1"), "id2")
+        .distinct()
+    )
+    e1 = ex.select(F.col("id").alias("id1"), "shingle")
+    e2 = ex.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        candidates.join(e1, "id1")
+        .join(e2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        common.join(sizes.withColumnRenamed("id", "id1"), "id1")
+        .where(F.lit(q) * F.col("common") >= F.lit(p) * F.col("n1"))
+        .withColumn("containment", F.round(F.col("common") / F.col("n1"), 4))
+        .select("id1", "id2", "containment")
+    )
+
+
 def _verify_jaccard(
     candidates: DataFrame, ex: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:

@@ -435,30 +435,16 @@ def media_phash_pairs(df: DataFrame, max_hamming: int = 1) -> DataFrame:
 # The pair ops persist their narrow (id, hash) input so the band
 # union pays ONE image decode per image instead of 2 x bands — but
 # the returned pairs frame is lazy, so the operator cannot unpersist
-# before the caller consumes it. Instead of leaking one cache entry
-# per call for the session lifetime (VERDICT r11 hygiene item), a
-# bounded FIFO registry unpersists the oldest cached input once more
-# than _PERSIST_BOUND are live: a long-lived session (the 147-query
-# suite, a notebook) holds at most _PERSIST_BOUND narrow frames
-# (~40 B/row each) no matter how many times the ops run. The bound
-# is 4 so the wide/narrow paths and a re-run of either can coexist;
-# an evicted frame's pairs stay CORRECT if re-collected — the
-# lineage just re-decodes (the same _PAIRS_CACHE eviction contract
-# in plans/catalog_dataops.py).
-_PERSISTED_INPUTS: list[DataFrame] = []
-_PERSIST_BOUND = 4
-
-
-def _persist_bounded(h: DataFrame) -> DataFrame:
-    h = h.persist()
-    _PERSISTED_INPUTS.append(h)
-    while len(_PERSISTED_INPUTS) > _PERSIST_BOUND:
-        old = _PERSISTED_INPUTS.pop(0)
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001 — session may be stopped
-            pass
-    return h
+# before the caller consumes it. The shared bounded registry
+# (operators/cache_util.py — VERDICT r11 hygiene item) evicts and
+# unpersists the oldest cached input past the bound, so a long-lived
+# session holds a fixed number of these ~40 B/row frames no matter
+# how many times the ops run.
+from bigdata_commerce_spark.operators.cache_util import (  # noqa: E402
+    PERSIST_BOUND as _PERSIST_BOUND,
+    _PERSISTED_INPUTS,
+    persist_bounded as _persist_bounded,
+)
 
 
 def phash_hamming_pairs(

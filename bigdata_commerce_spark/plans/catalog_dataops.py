@@ -493,6 +493,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    , common AS (
+        SELECT a.id AS id1, b.id AS id2, COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(common * 1.0 / s.n_shingles, 4) AS containment
+    FROM common JOIN sizes s ON s.id = id1
+    WHERE common * 1.0 / s.n_shingles >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered near-dup pairs by exact shingle-set CONTAINMENT
+    |A∩B|/|A| >= 0.8 (operators/dedup.containment_pairs) — Broder's
+    second measure, the one that catches a short document embedded
+    verbatim in a much longer one, where Jaccard resemblance reads
+    near zero. Candidates come from the ASYMMETRIC prefix filter
+    (contained side's rarest-first prefix probed against the full
+    inverted index — the container side has no size bound, so only
+    one side's prefix applies); the exact cross-multiplied verify
+    keeps the result identical to the all-pairs definition the
+    oracle computes. Twin slot: queued for its first driver row."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.containment_pairs(docs, threshold=0.8)
+
+
+@twin_query(
     "top_bigrams",
     oracle=f"""
     WITH {_NORM_CTE}

@@ -264,6 +264,67 @@ def test_jaccard_exact_boundary_pair(spark):
     assert pairs == {(1, 2): 0.8}
 
 
+def test_containment_catches_embedded_snippet_jaccard_misses(spark):
+    """The case containment exists for: a short document embedded
+    verbatim in a much longer one reads C(short, long) == 1.0 while
+    its Jaccard is far below threshold — jaccard_pairs at 0.8 must
+    return nothing for the pair, containment_pairs must return
+    exactly the one DIRECTED pair (short contained in long, never
+    the reverse)."""
+    from bigdata_commerce_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon zeta"  # 4 shingles
+    filler = " ".join(f"w{i}" for i in range(60))  # 58+ distinct shingles
+    docs = spark.createDataFrame(
+        [
+            (1, snippet),
+            (2, snippet + " " + filler),  # contains every snippet shingle
+            (3, "completely unrelated text about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    j = {(r.id1, r.id2) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    assert j == set()  # resemblance blind to the embedding
+    c = {
+        (r.id1, r.id2): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert c == {(1, 2): 1.0}
+
+
+def test_containment_exact_dup_is_mutual_and_boundary_holds(spark):
+    """Exact duplicates contain each other (both directions, C = 1);
+    a pair at exactly C == t survives (the cross-multiplied verify,
+    jaccard boundary discipline); C >= J always — the containment set
+    is a superset of the jaccard set on any corpus."""
+    from bigdata_commerce_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 5 shingles
+            (2, "a b c d e f"),  # 4 shingles, subset: C(2->1)=1, C(1->2)=4/5
+            (3, "a b c d e f g"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    c = {
+        (r.id1, r.id2): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert c[(2, 1)] == 1.0 and c[(2, 3)] == 1.0
+    assert c[(1, 3)] == 1.0 and c[(3, 1)] == 1.0  # mutual for exact dups
+    assert c[(1, 2)] == 0.8  # exactly at the threshold -> kept
+    j = {(r.id1, r.id2) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    for id1, id2 in j:
+        assert (id1, id2) in c or (id2, id1) in c
+
+
 def test_approx_distinct_within_bounds(spark):
     # The catalog query projects only the oracle-checkable exact count;
     # the HLL++ sketch's 5% bound is asserted here against it.
