@@ -892,6 +892,52 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "events_value_ks",
+    oracle="""
+    WITH base AS (
+        SELECT value AS v, event_type FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), counts AS (
+        SELECT v,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        FROM base GROUP BY v
+    ), cum AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+        FROM counts
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n_a,
+               CAST(SUM(c2) AS BIGINT) AS n_b
+        FROM counts
+    )
+    SELECT ROUND(ABS(f1 * n_b - f2 * n_a) * 1.0 / (n_a * n_b), 4) AS ks_stat,
+           v AS at_value, n_a, n_b
+    FROM cum CROSS JOIN tot
+    ORDER BY ABS(f1 * n_b - f2 * n_a) DESC, v ASC
+    LIMIT 1
+    """,
+)
+def events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    click and view value distributions (operators/drift.ks_report) —
+    PSI's sharper sibling: the largest empirical-CDF gap plus the
+    value where it peaks, no binning choice to defend. The gap is
+    compared as the cross-multiplied INTEGER |F_a*n_b - F_b*n_a| (one
+    final division, 4dp), so both engines agree to the bit; the
+    cumulative sums run as a two-level ordered prefix sum keyed by
+    equi-depth value ranges — never the classic single-reducer global
+    window the textbook formulation implies (the oracle's plain
+    OVER (ORDER BY v) proves the two-level construction). Twin slot:
+    queued for its first driver row."""
+    from bigdata_commerce_spark.operators.drift import ks_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return ks_report(ev, "value", "event_type", "click", "view")
+
+
+@twin_query(
     "user_hourly_ohlc",
     oracle="""
     WITH obs AS (

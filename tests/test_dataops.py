@@ -325,6 +325,35 @@ def test_containment_exact_dup_is_mutual_and_boundary_holds(spark):
         assert (id1, id2) in c or (id2, id1) in c
 
 
+def test_ks_report_hand_computed_and_bucket_invariant(spark):
+    """drift.ks_report against a hand-computed KS: A={1,2,3,4} vs
+    B={3,4,5,6} peaks at gap 0.5 first reached at v=2 (smallest
+    attaining value wins the tiebreak — gaps at v=3 and v=4 are also
+    0.5); identical samples give 0; and the result must be invariant
+    to n_buckets (the bucketing is execution layout, not math)."""
+    from bigdata_commerce_spark.operators.drift import ks_report
+
+    rows = [(float(v), "a") for v in (1, 2, 3, 4)] + [
+        (float(v), "b") for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    for nb in (2, 8, 64):
+        r = ks_report(df, "value", "grp", "a", "b", n_buckets=nb).collect()[0]
+        assert (r.ks_stat, r.at_value, r.n_a, r.n_b) == (0.5, 2.0, 4, 4), (nb, r)
+    same = spark.createDataFrame(
+        [(float(v), g) for v in (1, 2, 3) for g in ("a", "b")],
+        "value double, grp string",
+    )
+    r = ks_report(same, "value", "grp", "a", "b").collect()[0]
+    assert r.ks_stat == 0.0
+    # NULL values are not observations
+    with_null = df.union(
+        spark.createDataFrame([(None, "a")], "value double, grp string")
+    )
+    r = ks_report(with_null, "value", "grp", "a", "b").collect()[0]
+    assert (r.ks_stat, r.n_a) == (0.5, 4)
+
+
 def test_approx_distinct_within_bounds(spark):
     # The catalog query projects only the oracle-checkable exact count;
     # the HLL++ sketch's 5% bound is asserted here against it.
