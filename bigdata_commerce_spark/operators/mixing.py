@@ -183,6 +183,81 @@ def cap_per_source(
     )
 
 
+def negative_samples(
+    positives: DataFrame,
+    n_items: DataFrame,
+    k: int = 5,
+    oversample: int = 2,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    salt: str = ":neg:",
+) -> DataFrame:
+    """Deterministic negative sampling for recommendation/contrastive
+    training: for every user in ``positives``, up to ``k``
+    pseudo-random items the user did NOT interact with — the standard
+    rejection-sampling construction made fully deterministic so
+    re-runs, engines, and the DuckDB oracle agree row for row.
+
+    Construction: slot j in [0, k * oversample) maps to candidate
+    item ``md5(user || salt || j) mod n_items`` (items must be densely
+    keyed 0..n_items-1 — the shard/partkey layout); duplicate hits of
+    the same item keep their smallest slot; positives are removed by
+    an anti-join; the survivors rank by (slot, item) and the first
+    ``k`` win. With |positives per user| << n_items the chance of
+    fewer than k survivors is negligible, but the semantics are exact
+    either way: a user interacting with nearly the whole catalog
+    simply yields a shorter (well-defined) list — never a positive
+    leaking in.
+
+    Scale shape: users x (k * oversample) candidate rows (linear in
+    users, never users x items); ONE shuffle for the anti-join
+    against the interaction set; the ranking window sees at most
+    k * oversample rows per user. ``n_items`` rides a broadcast
+    one-row cross join, in-plan.
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError(f"k and oversample must be >= 1 (got {k}, {oversample})")
+    users = positives.select(user_col).distinct()
+    slots = users.select(
+        user_col, F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("__j")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(user_col).cast("string"),
+                    F.lit(salt),
+                    F.col("__j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cands = (
+        slots.crossJoin(F.broadcast(n_items))
+        .withColumn(item_col, F.pmod(h, F.col("n_items")))
+        .groupBy(user_col, item_col)
+        .agg(F.min("__j").alias("__j"))
+    )
+    surv = cands.join(
+        positives.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+    from bigdata_commerce_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        surv,
+        [user_col],
+        [F.col("__j").asc(), F.col(item_col).asc()],
+        k,
+        rank_col="neg_rank",
+    ).drop("__j")
+
+
 def temperature_token_budgets(
     token_counts: dict[str, int], budget_tokens: int, temperature: float = 0.5
 ) -> dict[str, int]:

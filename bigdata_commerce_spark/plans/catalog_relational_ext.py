@@ -1046,6 +1046,63 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "customer_negative_parts",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS user_id, CAST(l_partkey AS BIGINT) AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM part
+    ), slots AS (
+        SELECT u.user_id, j,
+               CAST(concat('0x', substr(md5(u.user_id || ':neg:' || j), 1, 15))
+                    AS BIGINT) % n_items AS item_id
+        FROM (SELECT DISTINCT user_id FROM pos) u
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(range(10)) AS j)
+    ), cand AS (
+        SELECT user_id, item_id, MIN(j) AS j FROM slots GROUP BY 1, 2
+    ), surv AS (
+        SELECT c.user_id, c.item_id, c.j
+        FROM cand c
+        LEFT JOIN pos p ON p.user_id = c.user_id AND p.item_id = c.item_id
+        WHERE p.item_id IS NULL
+    )
+    SELECT user_id, item_id, CAST(rn AS INT) AS neg_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY j, item_id) AS rn
+        FROM surv
+    ) WHERE rn <= 5
+    """,
+)
+def customer_negative_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training (operators/mixing.negative_samples): for every customer,
+    5 pseudo-random parts they never bought — rejection sampling over
+    deterministic hash slots (md5(user||':neg:'||slot) mod n_items on
+    the dense 0-based partkey space), duplicates keep their smallest
+    slot, positives removed by anti-join, survivors ranked by slot.
+    Linear in users (never users x items); one anti-join shuffle
+    against the interaction set; <= k*oversample rows per user at the
+    ranking window. Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators.mixing import negative_samples
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    positives = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").cast("bigint").alias("item_id"),
+        )
+        .distinct()
+    )
+    n_items = part.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    return negative_samples(positives, n_items, k=5, oversample=2)
+
+
+@twin_query(
     "parts_bought_together",
     oracle="""
     WITH items AS (

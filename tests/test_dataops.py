@@ -325,6 +325,44 @@ def test_containment_exact_dup_is_mutual_and_boundary_holds(spark):
         assert (id1, id2) in c or (id2, id1) in c
 
 
+def test_negative_samples_never_leak_positives_and_are_deterministic(spark):
+    """mixing.negative_samples: no sampled negative is ever a
+    positive; re-runs are identical (deterministic hash slots); ranks
+    are dense 1..k; and a user who interacted with most of a tiny
+    catalog gets the SHORT list the construction defines (never a
+    positive padded in)."""
+    from bigdata_commerce_spark.operators.mixing import negative_samples
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in range(u % 4)],  # user u bought items 0..(u%4 - 1)
+        "user_id long, item_id long",
+    )
+    n_items = spark.createDataFrame([(50,)], "n_items long")
+    out1 = sorted(
+        (r.user_id, r.item_id, r.neg_rank)
+        for r in negative_samples(pos, n_items, k=5, oversample=2).collect()
+    )
+    out2 = sorted(
+        (r.user_id, r.item_id, r.neg_rank)
+        for r in negative_samples(pos, n_items, k=5, oversample=2).collect()
+    )
+    assert out1 == out2 and out1
+    positives = {(u, i) for u in range(20) for i in range(u % 4)}
+    users_with_pos = {u for u, _ in positives}
+    for u, i, r in out1:
+        assert (u, i) not in positives
+        assert 0 <= i < 50 and 1 <= r <= 5
+        assert u in users_with_pos  # only users present in positives sampled
+    for u in users_with_pos:
+        ranks = sorted(r for uu, _, r in out1 if uu == u)
+        assert ranks == list(range(1, len(ranks) + 1))  # dense from 1
+    # tiny catalog: user bought 2 of 3 items -> at most the 1 remaining
+    tiny_pos = spark.createDataFrame([(1, 0), (1, 1)], "user_id long, item_id long")
+    tiny_n = spark.createDataFrame([(3,)], "n_items long")
+    tiny = negative_samples(tiny_pos, tiny_n, k=2, oversample=3).collect()
+    assert {(r.user_id, r.item_id) for r in tiny} <= {(1, 2)}
+
+
 def test_ks_report_hand_computed_and_bucket_invariant(spark):
     """drift.ks_report against a hand-computed KS: A={1,2,3,4} vs
     B={3,4,5,6} peaks at gap 0.5 first reached at v=2 (smallest
