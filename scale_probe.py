@@ -1687,6 +1687,30 @@ def main() -> None:
             for name in RELATIONAL_PROBE
         }
         out = run_probe(pairs, "scale_probe_10x_ratio_relational")
+    elif suite == "round12":
+        # the six round-12 catalog additions at 1x vs 10x data — the
+        # standing 10x probe every new operator family gets
+        from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
+
+        all_q = {**TWIN_QUERIES, **QUERIES}
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        names = [
+            "dedup_containment",
+            "length_bucketed_docs",
+            "events_value_ks",
+            "customer_negative_parts",
+            "host_capped_docs",
+            "embedding_ann_recall",
+        ]
+        pairs = {
+            name: (
+                lambda n=name: len(all_q[n](spark, sf1).collect()),
+                lambda n=name: len(all_q[n](spark, sf10).collect()),
+            )
+            for name in names
+        }
+        out = run_probe(pairs, "scale_probe_10x_ratio_round12")
     elif suite == "round4":
         sf1 = build_relational_corpus(spark, docs10, emb10, 1)
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
