@@ -304,3 +304,78 @@ def published_recipe_funnel(
         n(s_ccnet).alias("n_ccnet"),
         n(s_dsir).alias("n_dsir"),
     )
+
+
+def unigram_kl_report(
+    docs: DataFrame,
+    source_a: str,
+    source_b: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Vocabulary-shift report between two sources: KL(P_a || P_b)
+    over Laplace-smoothed token unigram distributions, with the
+    ``top_k`` tokens driving the divergence — the signal mixture
+    tuning and contamination triage actually read ("which words make
+    source A unlike source B"). Returns ``top_k`` rows
+    (token, c_a, c_b, contribution, kl_total, rank); ``kl_total`` (the
+    full-vocabulary sum, nats) repeats on every row so the one frame
+    carries both the headline number and its explanation.
+
+    Engine-exactness discipline (the char-bigram-NLL/DSIR pattern):
+    the per-token contribution is
+    ``p_a * ln((c_a+1)(n_b+V) / ((c_b+1)(n_a+V)))`` — the log's
+    argument is ONE correctly-rounded division of two exact int64
+    products, so both engines feed ln() the identical double — rounded
+    to 8dp; the total sums those terms as DECIMAL(20,8) (exact,
+    order-independent) and rounds in the decimal domain before the
+    double cast. Ranking orders by the rounded contribution with the
+    token as tiebreak, so rank order cannot flip on libm ulps.
+
+    Scale shape: one explode + one hash aggregate to per-token
+    counts; totals ride a broadcast one-row cross join; the top-k is
+    a TakeOrderedAndProject, never a full vocabulary sort.
+    """
+    from bigdata_commerce_spark.operators.text import tokens
+    from bigdata_commerce_spark.operators.topk import global_top_k
+
+    toks = docs.where(
+        F.col(source_col).isin([source_a, source_b])
+    ).select(source_col, F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col(source_col) == source_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col(source_col) == source_b, 1).otherwise(0)).alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    num = (F.col("c_a") + 1) * (F.col("n_b") + F.col("V"))
+    den = (F.col("c_b") + 1) * (F.col("n_a") + F.col("V"))
+    p_a = (F.col("c_a") + 1) / (F.col("n_a") + F.col("V"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.round(p_a * F.log(num / den), 8).alias("contribution"),
+    )
+    total = terms.agg(
+        F.round(F.sum(F.col("contribution").cast("decimal(20,8)")), 6)
+        .cast("double")
+        .alias("kl_total")
+    )
+    top = global_top_k(
+        terms, [F.col("contribution").desc(), F.col("token").asc()], top_k
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(
+        F.col("contribution").desc(), F.col("token").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select("token", "c_a", "c_b", "contribution", "kl_total", "rank")
+    )

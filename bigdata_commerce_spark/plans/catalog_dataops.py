@@ -4223,6 +4223,65 @@ FROM w CROSS JOIN cut
 """
 
 
+_UNIGRAM_KL_SQL = f"""
+WITH {_NORM_CTE}
+, tk AS (
+    SELECT d.source, unnest(t.toks) AS token
+    FROM tok_docs t JOIN documents d USING (doc_id)
+    WHERE d.source IN ('src1', 'src2')
+), counts AS (
+    SELECT token,
+           SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_a,
+           SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c_b
+    FROM tk GROUP BY 1
+), tot AS (
+    SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS V FROM counts
+), terms AS (
+    -- contribution rounded via the shortest-decimal-repr emulation
+    -- (VARCHAR -> DECIMAL(38,18) -> ROUND): Spark's ROUND(double)
+    -- rounds the shortest repr HALF_UP, DuckDB's rounds the binary
+    -- value — they diverge on half-boundaries (the round-8 fuzz find)
+    SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           CAST(ROUND(CAST(CAST(
+               ((c_a + 1) * 1.0 / (n_a + V))
+               * ln(((c_a + 1) * (n_b + V)) * 1.0 / ((c_b + 1) * (n_a + V)))
+           AS VARCHAR) AS DECIMAL(38,18)), 8) AS DOUBLE) AS contribution
+    FROM counts CROSS JOIN tot
+), total AS (
+    -- ROUND the DECIMAL sum (exact half-away), THEN go to double via
+    -- VARCHAR — the DSIR discipline
+    SELECT CAST(CAST(ROUND(SUM(CAST(contribution AS DECIMAL(20,8))), 6)
+                AS VARCHAR) AS DOUBLE) AS kl_total
+    FROM terms
+)
+SELECT token, c_a, c_b, contribution, kl_total, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY contribution DESC, token ASC) AS rn
+    FROM terms
+) CROSS JOIN total
+WHERE rn <= 20
+"""
+
+
+@twin_query("source_unigram_kl", oracle=_UNIGRAM_KL_SQL)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-shift report between two sources
+    (operators/lm_quality.unigram_kl_report): KL(P_src1 || P_src2)
+    over Laplace-smoothed token unigrams, with the 20 tokens driving
+    the divergence — the signal mixture tuning reads ("which words
+    make source A unlike source B"). Per-token contributions are
+    8dp-rounded doubles fed by ONE correctly-rounded division of
+    exact int64 products (both engines hand ln() the identical
+    double); the total sums as DECIMAL(20,8) and rounds in the
+    decimal domain, so float order cannot drift the hash. One explode
+    + one hash aggregate + a TakeOrderedAndProject top-k — never a
+    vocabulary sort. Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators.lm_quality import unigram_kl_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_kl_report(docs, "src1", "src2")
+
+
 @twin_query("dsir_importance_weights", oracle=_DSIR_SQL)
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) with the English slice as

@@ -325,6 +325,29 @@ def test_containment_exact_dup_is_mutual_and_boundary_holds(spark):
         assert (id1, id2) in c or (id2, id1) in c
 
 
+def test_unigram_kl_hand_computed(spark):
+    """lm_quality.unigram_kl_report on a 3-token vocabulary, KL
+    computed by hand: a={apple x2, banana}, b={banana x2, cherry},
+    Laplace over V=3 -> contributions 0.5*ln(3), (1/3)*ln(2/3),
+    (1/6)*ln(1/2); total 0.298627. Symmetry check: KL(a||b) !=
+    KL(b||a) but both rank their own over-represented token first."""
+    from bigdata_commerce_spark.operators.lm_quality import unigram_kl_report
+
+    docs = spark.createDataFrame(
+        [(1, "a", "apple apple banana"), (2, "b", "banana banana cherry")],
+        "doc_id long, source string, text string",
+    )
+    rows = unigram_kl_report(docs, "a", "b", top_k=10).collect()
+    by_token = {r.token: r for r in rows}
+    assert set(by_token) == {"apple", "banana", "cherry"}
+    assert by_token["apple"].contribution == round(0.5 * 1.0986122886681098, 8)
+    assert by_token["apple"].rank == 1 and by_token["apple"].c_a == 2
+    assert rows[0].kl_total == 0.298627
+    rev = unigram_kl_report(docs, "b", "a", top_k=10).collect()
+    assert rev[0].token in ("banana", "cherry")  # b's over-represented side
+    assert rev[0].kl_total != rows[0].kl_total  # KL is asymmetric
+
+
 def test_negative_samples_never_leak_positives_and_are_deterministic(spark):
     """mixing.negative_samples: no sampled negative is ever a
     positive; re-runs are identical (deterministic hash slots); ranks
