@@ -726,6 +726,96 @@ def media_phash_dct(
     return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
 
 
+def media_audio_fingerprint(
+    df: DataFrame,
+    n_frames: int = 8,
+    n_bands: int = 33,
+    frame_len: int = 2048,
+    f_min: float = 300.0,
+    f_max: float = 2000.0,
+) -> DataFrame:
+    """Haitsma-Kalker audio fingerprint over the REAL WAV decode path
+    (Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprint
+    System" — the published construction behind industrial audio
+    matching): per frame, FFT energy in ``n_bands`` log-spaced bands
+    between ``f_min`` and ``f_max``; bit (n, m) is the sign of the
+    band-energy difference differentiated ALONG TIME —
+    ``(E(n,m) - E(n,m+1)) - (E(n-1,m) - E(n-1,m+1)) > 0`` (the first
+    frame uses the pure band difference). Energy DIFFERENCES make the
+    bits exactly invariant to global gain (a volume change scales
+    every energy by the same factor) and robust to mild additive
+    noise — the audio analogue of what the DCT buys the image hash.
+
+    Per clip: ``n_frames`` frames at EVENLY SPACED offsets (the
+    frame_sample discipline — duration-independent width), 32
+    difference bits each at the default 33 bands, packed little-endian
+    (frame-major) into ``phash_words array<long>`` — the SAME layout
+    as ``media_phash_real_wide``/``media_phash_dct``, so
+    ``phash_words_hamming_pairs`` runs the identical banded hamming
+    join over audio with nothing downstream changing (8 x 32 = 256
+    bits = 4 words = one word per band at max_hamming=3). Clips
+    shorter than ``frame_len`` samples zero-pad. NULL / undecodable
+    media -> NULL fingerprint. Same Arrow ``mapInPandas`` posture as
+    every real-decode kernel; the FFT is a (frame_len)-point rfft per
+    frame, microseconds next to payload decode/fetch."""
+    import numpy as np
+
+    from bigdata_commerce_spark.operators.codecs import decode_wav
+
+    bits_per_frame = n_bands - 1
+    n_bits = n_frames * bits_per_frame
+    if n_bits % 64:
+        raise ValueError(
+            f"n_frames * (n_bands - 1) must be a multiple of 64 (got {n_bits})"
+        )
+    n_words = n_bits // 64
+
+    def one(raw) -> list[int] | None:
+        if raw is None:
+            return None
+        try:
+            samples, sr, _ = decode_wav(bytes(raw))
+        except ValueError:
+            return None
+        mono = samples.mean(axis=1)
+        if len(mono) < frame_len:
+            mono = np.pad(mono, (0, frame_len - len(mono)))
+        # log-spaced band edges -> FFT bin indices (>= 1 bin per band)
+        edges = np.geomspace(f_min, min(f_max, sr / 2.0), n_bands + 1)
+        bins = np.maximum(1, (edges / sr * frame_len).astype(int))
+        bins = np.maximum.accumulate(bins)  # monotone even at low sr
+        span = max(len(mono) - frame_len, 0)
+        starts = [
+            round(i * span / max(n_frames - 1, 1)) for i in range(n_frames)
+        ]
+        words = [0] * n_words
+        prev = None
+        for n, s in enumerate(starts):
+            spec = np.abs(np.fft.rfft(mono[s : s + frame_len])) ** 2
+            e = np.array(
+                [spec[bins[m] : max(bins[m + 1], bins[m] + 1)].sum()
+                 for m in range(n_bands)]
+            )
+            d = e[:-1] - e[1:]
+            diff = d if prev is None else d - prev
+            prev = d
+            for m in np.flatnonzero(diff > 0):
+                j = n * bits_per_frame + int(m)
+                words[j // 64] |= 1 << (j % 64)
+        return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash_words": [one(b) for b in pdf["content"]],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
+
+
 def media_phash_real(df: DataFrame) -> DataFrame:
     """64-bit average-hash over the REAL decode path: decode the
     BMP/PPM payload (operators/codecs.py), nearest-resize to 8x8,

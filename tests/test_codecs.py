@@ -584,6 +584,95 @@ def test_banded_pair_ops_cache_is_bounded(spark):
     assert len(mm._PERSISTED_INPUTS) <= mm._PERSIST_BOUND
 
 
+def _hk_clip(freqs, bed, sr=16000):
+    """Broadband test clip: tone mixture over a fixed-seed noise bed
+    (pure tones are the adversarial case for band-energy fingerprints
+    — empty bands flip on any perturbation; real audio is broadband)."""
+    t = np.arange(sr) / sr
+    return sum(np.sin(2 * np.pi * f * t) for f in freqs) * 0.15 + 0.05 * bed
+
+
+def test_audio_fingerprint_gain_invariant_noise_robust_discriminative(spark):
+    """media_audio_fingerprint (Haitsma-Kalker): a global VOLUME
+    change leaves the fingerprint bit-identical (energy differences
+    scale uniformly — the construction's headline invariance); small
+    additive noise flips only a few bits; a different clip reads far
+    apart. NULL and non-WAV payloads yield NULL."""
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_fingerprint,
+    )
+
+    sr = 16000
+    bed = np.random.default_rng(7).standard_normal(sr)
+    a = _hk_clip([440, 880, 1320], bed)
+    pert = np.random.default_rng(9).standard_normal(sr)
+    payloads = [
+        encode_wav(a, sr),
+        encode_wav(a + 0.003 * pert, sr),     # mild additive noise
+        encode_wav(0.4 * a, sr),              # global gain change
+        encode_wav(_hk_clip([523, 1046, 1569], bed), sr),  # different clip
+        b"not a wav payload",
+    ]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)] + [(99, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    fp = {r.media_id: r.phash_words for r in media_audio_fingerprint(df).collect()}
+
+    def ham(x, y):
+        return sum(bin((u ^ v) & ((1 << 64) - 1)).count("1") for u, v in zip(x, y))
+
+    assert all(len(fp[i]) == 4 for i in range(4))  # 256 bits, 4 words
+    assert ham(fp[0], fp[2]) == 0          # gain: exactly invariant
+    assert ham(fp[0], fp[1]) <= 8          # noise: a few bits
+    assert ham(fp[0], fp[3]) >= 60         # different content: far
+    assert fp[4] is None and fp[99] is None
+
+
+def test_audio_fingerprint_banding_equals_brute_force(spark):
+    """The audio fingerprint rides the SAME phash_words layout, so
+    phash_words_hamming_pairs must return exactly the brute-force
+    pair set over it — near-dup audio joins with nothing downstream
+    changing."""
+    from itertools import combinations
+
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_fingerprint,
+        phash_words_hamming_pairs,
+    )
+
+    sr = 16000
+    bed = np.random.default_rng(11).standard_normal(sr)
+    clips = []
+    for base_i, freqs in enumerate([[440, 880], [660, 990], [523, 1569]]):
+        a = _hk_clip(freqs, bed)
+        clips.append(a)             # original
+        clips.append(0.5 * a)       # gain twin: hamming 0 -> a pair
+        clips.append(1.7 * a)       # clipping-range gain twin
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(c, sr))) for i, c in enumerate(clips)],
+        "media_id long, content binary",
+    )
+    fp = media_audio_fingerprint(df)
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_words_hamming_pairs(fp, n_words=4, max_hamming=3).collect()
+    }
+    words = {r.media_id: r.phash_words for r in fp.collect()}
+
+    def ham(x, y):
+        return sum(bin((u ^ v) & ((1 << 64) - 1)).count("1") for u, v in zip(x, y))
+
+    brute = {
+        (i, j): ham(words[i], words[j])
+        for i, j in combinations(sorted(words), 2)
+        if ham(words[i], words[j]) <= 3
+    }
+    assert got == brute and got  # equality AND at least the planted twins
+    for base in (0, 3, 6):  # each clip's gain twins pair with it
+        assert (base, base + 1) in got
+
+
 def _blob_image(rng) -> np.ndarray:
     """Smooth 'natural' 32x32 grayscale: a few gaussian blobs, values
     clipped into [30, 140] so an additive gradient never saturates."""
