@@ -4084,6 +4084,101 @@ def url_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("registered_domain").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _r8(x: str) -> str:
+    """DuckDB emulation of Spark's ROUND(double, 8): round the
+    shortest decimal repr HALF_UP (VARCHAR -> DECIMAL(38,18) ->
+    ROUND), not the binary value — the round-8 fuzz find."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({x}) AS VARCHAR) AS DECIMAL(38,18)), 8)"
+        " AS DOUBLE)"
+    )
+
+
+_DOMAIN_CONC_SQL = f"""
+WITH {_URL_CANON_CTE},
+km AS (
+    SELECT u.registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(d.n_chars) AS BIGINT) AS mass
+    FROM url_dom u JOIN documents d USING (doc_id)
+    WHERE u.registered_domain IS NOT NULL
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(mass) AS BIGINT) AS total_mass
+    FROM km
+), r AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (ORDER BY mass, registered_domain)
+                AS BIGINT) AS asc_rank,
+           CAST(SUM(mass) OVER (ORDER BY mass, registered_domain
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass_asc
+    FROM km
+), s AS (
+    SELECT r.*, tot.n_keys, tot.total_mass,
+           {_r8('mass * 1.0 / NULLIF(total_mass, 0)')} AS share,
+           CAST(n_keys - asc_rank + 1 AS BIGINT) AS mass_rank,
+           {_r8('(total_mass - cum_mass_asc + mass) * 1.0'
+                ' / NULLIF(total_mass, 0)')} AS cum_share
+    FROM r CROSS JOIN tot
+), g AS (
+    SELECT
+        CAST(CAST(SUM(CAST(asc_rank AS DECIMAL(18,0))
+                      * CAST(mass AS DECIMAL(18,0))) AS VARCHAR)
+             AS DOUBLE) AS s1,
+        CAST(CAST(SUM(CAST({_r8('(mass * 1.0 / NULLIF(total_mass, 0))'
+                                ' * (mass * 1.0 / NULLIF(total_mass, 0))')}
+                      AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS hhi,
+        MAX(CASE WHEN mass_rank = 1 THEN share END) AS top1_share,
+        MAX(CASE WHEN mass_rank = LEAST(5, n_keys) THEN cum_share END)
+            AS topn_share
+    FROM s
+)
+SELECT s.registered_domain, s.n_rows, s.mass, s.share, s.cum_share,
+       CAST(s.mass_rank AS INT) AS mass_rank,
+       s.n_keys, s.total_mass,
+       CASE WHEN s.total_mass > 0 AND s.n_keys > 0 THEN
+           {_r8('(2.0 * g.s1'
+                ' - (CAST(s.n_keys AS DOUBLE) + 1)'
+                '   * CAST(s.total_mass AS DOUBLE))'
+                ' / (CAST(s.n_keys AS DOUBLE)'
+                '    * CAST(s.total_mass AS DOUBLE))')}
+       END AS gini,
+       g.hhi, g.top1_share, g.topn_share
+FROM s CROSS JOIN g
+"""
+
+
+@twin_query("domain_concentration", oracle=_DOMAIN_CONC_SQL)
+def domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mass concentration by registered domain
+    (operators/concentration.py): per-domain char mass, share, and
+    largest-first cumulative share (the Lorenz curve), with the Gini
+    coefficient, Herfindahl index, and top-1/top-5 shares repeated as
+    corpus-level columns — the diversity dashboard behind C4-style
+    per-host caps ("one site owns 30% of the tokens" is a curation
+    bug before it is a model bug). One hash aggregate over the corpus;
+    ranks/running sums run on the |domains| frame via the two-level
+    bucketed prefix-sum kernel (no single-reducer window at 1e8
+    hosts); every ratio is one correctly-rounded division of exact
+    int64 masses and the Gini/HHI follow the exact-DECIMAL-sum
+    discipline, so the oracle hash cannot drift. Twin slot: queued
+    for its first driver row."""
+    from bigdata_commerce_spark.operators.concentration import (
+        concentration_report,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "url", _messy_url()
+    )
+    dom = urltools.with_registered_domain(urltools.with_canonical_url(docs))
+    return concentration_report(
+        dom.select("registered_domain", "n_chars"),
+        key_col="registered_domain",
+        mass_col="n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Published curation recipes: Gopher rules, CCNet buckets, DSIR weights
 # ---------------------------------------------------------------------------
