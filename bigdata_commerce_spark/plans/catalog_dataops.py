@@ -4255,6 +4255,76 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.gopher_quality_flags(docs)
 
 
+def _calibration_sql() -> str:
+    return f"""
+WITH scored AS (SELECT * FROM ({_linscore_sql()}) ls),
+flags AS (SELECT doc_id, passes_gopher FROM ({_gopher_sql()}) gf),
+j AS (
+    SELECT s.prob, f.passes_gopher
+    FROM scored s JOIN flags f USING (doc_id)
+    WHERE s.prob IS NOT NULL
+), per AS (
+    SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes_gopher THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           SUM(CAST(CAST(prob AS VARCHAR) AS DECIMAL(16,6))) AS psum
+    FROM j GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per),
+b AS (
+    SELECT bin, n_docs, n_pos, n_total,
+           {_r8('CAST(CAST(psum AS VARCHAR) AS DOUBLE) / n_docs')}
+               AS mean_prob,
+           {_r8('n_pos * 1.0 / n_docs')} AS pass_rate
+    FROM per CROSS JOIN tot
+), b2 AS (
+    SELECT *, {_r8('ABS(mean_prob - pass_rate)')} AS gap FROM b
+), e AS (
+    SELECT CAST(CAST(SUM(CAST({_r8('gap * n_docs / n_total')}
+                AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS ece
+    FROM b2
+)
+SELECT b2.bin, b2.n_docs, b2.n_pos, b2.mean_prob, b2.pass_rate, b2.gap,
+       b2.n_total, e.ece
+FROM b2 CROSS JOIN e
+"""
+
+
+@twin_query("quality_calibration_bins", oracle=_calibration_sql())
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    learned quality filter against the Gopher rule verdict as weak
+    label (operators/calibration.py; Naeini 2015 / Guo 2017): decile
+    bins of the linear model's probability, each bin's mean predicted
+    probability vs its empirical rule-pass rate, |gap| per bin, and
+    the mass-weighted ECE as a corpus column — "does the cheap
+    learned filter agree with the rule-based one, and where on the
+    score axis does it drift". The label side is a pure scan-stage
+    projection (gopher flags: integer arithmetic, no shuffle) joined
+    onto the scorer's existing per-doc aggregate; binning is ONE
+    ≤10-group hash aggregate, so the report adds no corpus-sized
+    shuffle of its own. Probabilities enter bin sums via their
+    shortest decimal repr (exact DECIMAL(16,6)); rates/gaps are
+    8dp-rounded single divisions; ECE sums 8dp terms as
+    DECIMAL(20,8). Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators import linear_model as lm
+    from bigdata_commerce_spark.operators.calibration import (
+        calibration_bins,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = spark.createDataFrame(_lin_weights(), "bucket long, w double")
+    scored = lm.score_linear(
+        docs, w, bias=_LIN_BIAS, n_buckets=_LIN_BUCKETS
+    )
+    flags = text_ops.gopher_quality_flags(docs).select(
+        "doc_id", "passes_gopher"
+    )
+    return calibration_bins(
+        scored.join(flags, "doc_id"), "prob", "passes_gopher"
+    )
+
+
 _CCNET_SQL = f"""
 WITH {_NLL_DOCS_CTE},
 j AS (
