@@ -4325,6 +4325,74 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _preference_sql() -> str:
+    return f"""
+WITH scored AS (SELECT * FROM ({_linscore_sql()}) ls),
+j AS (
+    SELECT d.doc_id, d.source,
+           CAST(d.n_chars // 100 AS BIGINT) AS len_bucket, s.prob
+    FROM documents d JOIN scored s USING (doc_id)
+    WHERE s.prob IS NOT NULL
+), t AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source, len_bucket ORDER BY prob DESC, doc_id ASC
+    ) AS rn FROM j
+), b AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source, len_bucket ORDER BY prob ASC, doc_id DESC
+    ) AS rn FROM j
+), n AS (
+    SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY 1, 2
+)
+SELECT t.source, t.len_bucket, CAST(t.rn AS INT) AS pair_rank,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.prob AS chosen_score, b.prob AS rejected_score,
+       {_r8('t.prob - b.prob')} AS gap
+FROM t
+JOIN b ON t.source = b.source AND t.len_bucket = b.len_bucket
+      AND b.rn = t.rn
+JOIN n ON t.source = n.source AND t.len_bucket = n.len_bucket
+WHERE t.rn <= 3 AND 2 * t.rn <= n.n AND t.prob - b.prob >= 0.05
+"""
+
+
+@twin_query("preference_pairs", oracle=_preference_sql())
+def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference pairs mined from the quality score
+    (operators/preference.py): within each (source, length-bucket)
+    group — matched groups, so the pair teaches quality rather than
+    length — the i-th best document pairs with the i-th worst
+    (i ≤ 3), gated on a ≥0.05 probability gap so near-ties carry no
+    noise into the preference loss. Each side comes from a
+    rank-limited window (row_number ≤ k, the WindowGroupLimit
+    per-partition-heap shape), so no group is ever fully sorted; the
+    recombination joins two ≤3-rows-per-group frames. Deterministic:
+    ties break on doc_id, pairing is partitioning-independent. Twin
+    slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators import linear_model as lm
+    from bigdata_commerce_spark.operators.preference import (
+        preference_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = spark.createDataFrame(_lin_weights(), "bucket long, w double")
+    scored = lm.score_linear(
+        docs, w, bias=_LIN_BIAS, n_buckets=_LIN_BUCKETS
+    ).select("doc_id", "prob")
+    graded = docs.select(
+        "doc_id", "source", F.expr("n_chars div 100").alias("len_bucket")
+    ).join(scored, "doc_id")
+    return preference_pairs(
+        graded,
+        group_cols=["source", "len_bucket"],
+        score_col="prob",
+        id_col="doc_id",
+        margin=0.05,
+        max_pairs=3,
+    )
+
+
 _CCNET_SQL = f"""
 WITH {_NLL_DOCS_CTE},
 j AS (

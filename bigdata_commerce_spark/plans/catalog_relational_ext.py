@@ -586,6 +586,64 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @twin_query(
+    "customer_kanonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), g AS (
+        SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+               CAST(COALESCE(SUM(CASE WHEN class_size < 5 THEN 1 END), 0)
+                    AS BIGINT) AS n_risky_classes,
+               CAST(COALESCE(SUM(CASE WHEN class_size < 5
+                                      THEN class_size END), 0)
+                    AS BIGINT) AS n_risky_rows
+        FROM classes
+    ), smallest AS (
+        SELECT * FROM classes
+        ORDER BY class_size, c_nationkey, c_mktsegment, bal_band
+        LIMIT 20
+    )
+    SELECT s.c_nationkey, s.c_mktsegment, s.bal_band, s.class_size,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY s.class_size, s.c_nationkey, s.c_mktsegment,
+                        s.bal_band) AS INT) AS class_rank,
+           g.n_rows, g.n_classes, g.k_anonymity, g.n_risky_classes,
+           g.n_risky_rows
+    FROM smallest s CROSS JOIN g
+    """,
+)
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table
+    (operators/privacy.py; Sweeney 2002) over the quasi-identifier
+    combination (nation, market segment, account-balance band): the
+    achieved k (smallest equivalence class), how many classes/rows
+    fall below k=5, and the 20 smallest classes — the combinations a
+    release reviewer must generalize or suppress before the table
+    ships as training data. ONE hash aggregate keyed by the
+    quasi-identifiers, a tiny aggregate over the class frame, and a
+    global top-k (TakeOrderedAndProject, never a full sort); pure
+    integer outputs, nothing to drift. Twin slot: queued for its
+    first driver row."""
+    from bigdata_commerce_spark.operators.privacy import kanonymity_report
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return kanonymity_report(
+        cust,
+        qi_cols=["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+        show_n=20,
+    )
+
+
+@twin_query(
     "events_agg_refresh",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date, event_type,
