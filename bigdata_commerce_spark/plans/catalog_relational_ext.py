@@ -643,6 +643,82 @@ def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_sql() -> str:
+    from bigdata_commerce_spark.plans.catalog_dataops import _r8
+
+    credit = _r8(
+        "value * CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5"
+        " WHEN rnk = 1 OR rnk = n THEN 0.4"
+        " ELSE 0.2 / (n - 2) END"
+    )
+    return f"""
+WITH {_EVENTS_ORACLE_CTE},
+t AS (
+    SELECT user_id, ts, event_id, ad_id % 10 AS campaign
+    FROM events_n WHERE event_type = 'click' AND ad_id IS NOT NULL
+), c AS (
+    SELECT user_id, ts AS c_ts, event_id AS conv_id, value
+    FROM events_n WHERE event_type = 'purchase'
+), j AS (
+    SELECT t.campaign, t.event_id AS touch_id, t.ts, c.conv_id,
+           c.value, c.c_ts
+    FROM t JOIN c ON t.user_id = c.user_id
+     AND t.ts < c.c_ts AND t.ts >= c.c_ts - INTERVAL 7 DAY
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY ts, touch_id) AS rnk,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n
+    FROM j
+), a AS (
+    SELECT campaign, conv_id, rnk, n, {credit} AS credit FROM r
+)
+SELECT CAST(campaign AS INT) AS campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first,
+       CAST(SUM(CASE WHEN rnk = n THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_last,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(CAST(SUM(CAST(credit AS DECIMAL(20,8))) AS VARCHAR)
+            AS DOUBLE) AS attributed_value
+FROM a GROUP BY campaign
+"""
+
+
+@twin_query("multitouch_attribution", oracle=_attribution_sql())
+def multitouch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution over the ad stream
+    (operators/attribution.py): each purchase's value splits 40/20/40
+    across the user's clicks in the preceding 7 days (100% / 50-50
+    for one- and two-touch paths), rolled up per campaign — the
+    which-campaigns-open-vs-close view that complements the
+    last-touch as-of join (asof_click_attribution). Touches join
+    conversions on the user equi-key (range predicate rides as a
+    filter — no nested-loop), position ranks window per CONVERSION
+    (bounded by touches-per-conversion), one final hash aggregate per
+    campaign. Per-touch credit rounds to 8 dp and sums as
+    DECIMAL(20,8). Twin slot: queued for its first driver row."""
+    from bigdata_commerce_spark.operators.attribution import (
+        multitouch_attribution,
+    )
+
+    ev = _events(spark, sf_dir)
+    touches = ev.where(
+        (F.col("event_type") == "click") & F.col("ad_id").isNotNull()
+    ).withColumn("channel", F.col("ad_id") % 10)
+    conversions = ev.where(F.col("event_type") == "purchase")
+    out = multitouch_attribution(touches, conversions)
+    return out.withColumn("campaign", F.col("channel").cast("int")).select(
+        "campaign",
+        "n_touches",
+        "n_first",
+        "n_last",
+        "n_conversions",
+        "attributed_value",
+    )
+
+
 @twin_query(
     "events_agg_refresh",
     oracle="""
