@@ -816,6 +816,103 @@ def media_audio_fingerprint(
     return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
 
 
+SCENES_SCHEMA = (
+    "media_id long, n_frames int, n_scenes int, scene_no int,"
+    " start_frame int, end_frame int, keyframe_sha string"
+)
+
+
+def media_scene_changes(df: DataFrame, threshold: float = 32.0) -> DataFrame:
+    """Scene-boundary detection over the REAL frame decode path: one
+    output row per detected scene, with the scene's frame span and
+    the sha of its first frame (the keyframe a thumbnailer or a
+    frame-dedup pass would keep — one representative per scene
+    instead of ``frame_sample``'s blind every-k-th stride).
+
+    The cut detector is the classic frame-differencing rule: a new
+    scene starts at frame i when the mean absolute pixel difference
+    against frame i-1 exceeds ``threshold`` (0..255 scale), or when
+    the frame geometry changes (a hard cut by construction). Solid
+    content, small noise, and gradual motion stay below a sane
+    threshold; a cut between unrelated frames lands near the mean
+    inter-frame distance of random content (~85) and clears it.
+
+    Same Arrow ``mapInPandas`` posture as the other real-decode
+    kernels: the per-clip fan-out (rows = scenes) happens INSIDE the
+    kernel, so no explode shuffle and output partitioning follows
+    input splits. The differencing is one int16 subtraction per pixel
+    pair — microseconds next to payload decode. NULL / undecodable
+    media contribute no rows (the ``frame_sample`` contract).
+    Single-frame media are one scene. No SQL-expressible oracle
+    (real pixel decode), so correctness is pytest-pinned like
+    ``media_phash_dct`` / ``media_audio_fingerprint``."""
+    import numpy as np
+
+    def scenes_of(raw: bytes) -> list[tuple[int, int, int, str]] | None:
+        from bigdata_commerce_spark.operators.codecs import (
+            decode_image,
+            encode_ppm,
+            iter_ppm_frames,
+        )
+
+        try:
+            if raw[:2] == b"P6":
+                frames = list(iter_ppm_frames(raw))
+            else:
+                frames = [decode_image(raw)]
+        except ValueError:
+            return None
+        if not frames:
+            return None
+        bounds = [0]
+        for i in range(1, len(frames)):
+            a, b = frames[i - 1], frames[i]
+            if a.shape != b.shape:
+                bounds.append(i)
+                continue
+            mad = float(
+                np.abs(a.astype(np.int16) - b.astype(np.int16)).mean()
+            )
+            if mad > threshold:
+                bounds.append(i)
+        bounds.append(len(frames))
+        out = []
+        for s, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            sha = hashlib.sha256(encode_ppm(frames[lo])).hexdigest()[:16]
+            out.append((s, lo, hi - 1, sha))
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "media_id": [],
+                "n_frames": [],
+                "n_scenes": [],
+                "scene_no": [],
+                "start_frame": [],
+                "end_frame": [],
+                "keyframe_sha": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                found = scenes_of(bytes(content))
+                if found is None:
+                    continue
+                n_frames = found[-1][2] + 1
+                for scene_no, lo, hi, sha in found:
+                    cols["media_id"].append(mid)
+                    cols["n_frames"].append(n_frames)
+                    cols["n_scenes"].append(len(found))
+                    cols["scene_no"].append(scene_no)
+                    cols["start_frame"].append(lo)
+                    cols["end_frame"].append(hi)
+                    cols["keyframe_sha"].append(sha)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(kernel, schema=SCENES_SCHEMA)
+
+
 def media_phash_real(df: DataFrame) -> DataFrame:
     """64-bit average-hash over the REAL decode path: decode the
     BMP/PPM payload (operators/codecs.py), nearest-resize to 8x8,

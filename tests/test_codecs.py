@@ -796,3 +796,106 @@ def test_dct_phash_contract_edges(spark):
     assert bin(out[0] ^ out[1]).count("1") <= 3
     with pytest.raises(ValueError, match="multiple of 64"):
         media_phash_dct(None, hash_size=12)
+
+
+# ---------------------------------------------- scene changes
+
+
+def test_scene_changes_detects_cuts(spark):
+    """A stream of 4 red frames, a hard cut to 3 blue frames, then a
+    gradual small-noise tail stays 2 scenes: the cut clears the MAD
+    threshold, the noise does not; keyframes are the first frame of
+    each scene; spans tile [0, n_frames-1]."""
+    import hashlib as _hl
+
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_scene_changes,
+    )
+
+    red = np.zeros((6, 6, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    blue = np.zeros((6, 6, 3), dtype=np.uint8)
+    blue[..., 2] = 200
+    rng = np.random.default_rng(11)
+    noisy = [
+        np.clip(
+            blue.astype(np.int16) + rng.integers(-4, 5, blue.shape), 0, 255
+        ).astype(np.uint8)
+        for _ in range(2)
+    ]
+    frames = [red] * 4 + [blue] + noisy
+    stream = b"".join(encode_ppm(f) for f in frames)
+    media = _media_df(spark, [stream])
+    rows = sorted(
+        media_scene_changes(media).collect(), key=lambda r: r.scene_no
+    )
+    assert [(r.scene_no, r.start_frame, r.end_frame) for r in rows] == [
+        (0, 0, 3),
+        (1, 4, 6),
+    ]
+    assert all(r.n_scenes == 2 and r.n_frames == 7 for r in rows)
+    assert rows[0].keyframe_sha == _hl.sha256(
+        encode_ppm(red)
+    ).hexdigest()[:16]
+    assert rows[1].keyframe_sha == _hl.sha256(
+        encode_ppm(blue)
+    ).hexdigest()[:16]
+
+
+def test_scene_changes_static_and_single_frame(spark):
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_scene_changes,
+    )
+
+    frame = np.full((4, 4, 3), 90, dtype=np.uint8)
+    static = b"".join(encode_ppm(frame) for _ in range(5))
+    single = encode_bmp(frame)
+    media = _media_df(spark, [static, single])
+    by_id = {}
+    for r in media_scene_changes(media).collect():
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[0]) == 1
+    assert (by_id[0][0].start_frame, by_id[0][0].end_frame) == (0, 4)
+    assert len(by_id[1]) == 1 and by_id[1][0].n_frames == 1
+
+
+def test_scene_changes_geometry_cut_and_garbage(spark):
+    """A frame-size change is a hard cut by construction; undecodable
+    payloads and NULL content contribute no rows."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_scene_changes,
+    )
+
+    small = np.full((4, 4, 3), 90, dtype=np.uint8)
+    big = np.full((8, 8, 3), 90, dtype=np.uint8)
+    stream = encode_ppm(small) + encode_ppm(big)
+    rows_all = [
+        (0, bytearray(stream), ("image/x-ppm", None, None, None)),
+        (1, bytearray(b"not media"), ("image/bmp", None, None, None)),
+        (2, None, ("image/bmp", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows_all, multimodal.MEDIA_SCHEMA)
+    rows = media_scene_changes(media).collect()
+    assert {r.media_id for r in rows} == {0}
+    assert [(r.scene_no, r.start_frame, r.end_frame)
+            for r in sorted(rows, key=lambda r: r.scene_no)] == [
+        (0, 0, 0),
+        (1, 1, 1),
+    ]
+
+
+def test_scene_changes_threshold_dial(spark):
+    """The threshold is the sensitivity dial: a mid-size jump counts
+    as a cut at a low threshold and merges at a high one."""
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_scene_changes,
+    )
+
+    a = np.full((4, 4, 3), 100, dtype=np.uint8)
+    b = np.full((4, 4, 3), 140, dtype=np.uint8)  # MAD = 40
+    stream = encode_ppm(a) + encode_ppm(b)
+    media = _media_df(spark, [stream])
+    low = media_scene_changes(media, threshold=30.0).collect()
+    high = media_scene_changes(media, threshold=50.0).collect()
+    assert max(r.n_scenes for r in low) == 2
+    assert max(r.n_scenes for r in high) == 1
