@@ -58,15 +58,32 @@ def concentration_report(
     error. ``topn_share`` is the cumulative share at rank
     ``min(top_n, n_keys)``.
     """
-    km = (
-        df.where(F.col(key_col).isNotNull())
-        .groupBy(key_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(mass_col).cast("long")).alias("mass"),
-        )
+    km = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(mass_col).cast("long")).alias("mass"),
     )
-    km = persist_bounded(km)
+    # Lineage CUT, not just a persist: the report references the
+    # per-key aggregate from several branches (ranks, bucket offsets,
+    # totals, the global-stats aggregate), and each logical-plan
+    # reference would re-embed the whole upstream expression tree —
+    # ruinous when the input projection is expression-heavy (the PSL
+    # registered-domain CASE is megabytes of plan; 6 copies took the
+    # sf0.1 report from ~2s to ~20s of pure driver planning). After
+    # the eager localCheckpoint every branch sees a LogicalRDD leaf.
+    # The incremental_dedup.py caveat applies verbatim: on a real
+    # cluster prefer a reliable checkpoint dir for executor-loss
+    # safety; the frame is |keys| rows either way.
+    km = km.localCheckpoint(eager=True)
+    # NULL keys are dropped AFTER the lineage cut, never with a
+    # pre-agg filter: a predicate on a derived key column gets pushed
+    # below the aggregate onto the key expression (filter-through-
+    # aggregate is a standard rewrite), and for expression-heavy keys
+    # (the PSL registered-domain CASE) that duplication pushed the
+    # scan stage past the codegen cache — every call re-paid a ~15s
+    # compile. Null rows instead collapse into ONE group that this
+    # post-checkpoint predicate (which nothing can push down through
+    # the RDD boundary) removes.
+    km = km.where(F.col(key_col).isNotNull())
 
     # Two-level prefix sums over the aggregate frame: bucket by the
     # integer mass so bucket order == mass order; ties (same mass)

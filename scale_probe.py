@@ -1711,6 +1711,32 @@ def main() -> None:
             for name in names
         }
         out = run_probe(pairs, "scale_probe_10x_ratio_round12")
+    elif suite == "round12b":
+        # the round-12 continuation additions at 1x vs 10x data.
+        # customer_kanonymity is excluded by construction: the probe
+        # corpus copies dimension tables verbatim (dims stay
+        # broadcast-sized), so its input does not scale here — its
+        # shape (one hash aggregate keyed by the quasi-identifiers +
+        # a top-k) is the already-probed dedup_exact/topk regime.
+        from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
+
+        all_q = {**TWIN_QUERIES, **QUERIES}
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        names = [
+            "domain_concentration",
+            "quality_calibration_bins",
+            "preference_pairs",
+            "multitouch_attribution",
+        ]
+        pairs = {
+            name: (
+                lambda n=name: len(all_q[n](spark, sf1).collect()),
+                lambda n=name: len(all_q[n](spark, sf10).collect()),
+            )
+            for name in names
+        }
+        out = run_probe(pairs, "scale_probe_10x_ratio_round12b")
     elif suite == "round4":
         sf1 = build_relational_corpus(spark, docs10, emb10, 1)
         sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
