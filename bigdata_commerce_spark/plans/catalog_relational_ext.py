@@ -719,6 +719,87 @@ def multitouch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_sql() -> str:
+    from bigdata_commerce_spark.plans.catalog_dataops import _r8
+
+    return f"""
+WITH {_EVENTS_ORACLE_CTE},
+users AS (SELECT DISTINCT user_id FROM events_n),
+conv_u AS (
+    SELECT DISTINCT user_id FROM events_n WHERE event_type = 'purchase'
+), flags AS (
+    SELECT u.user_id,
+           CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+    FROM users u LEFT JOIN conv_u c USING (user_id)
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_converted
+    FROM flags
+), exp_u AS (
+    SELECT DISTINCT ad_id % 10 AS campaign, user_id
+    FROM events_n WHERE event_type = 'click' AND ad_id IS NOT NULL
+), per AS (
+    SELECT e.campaign,
+           CAST(COUNT(*) AS BIGINT) AS exposed,
+           CAST(SUM(f.conv) AS BIGINT) AS converted_exposed
+    FROM exp_u e JOIN flags f USING (user_id)
+    GROUP BY e.campaign
+), z AS (
+    SELECT per.*, tot.n_users, tot.n_converted,
+           CAST(converted_exposed * n_users - exposed * n_converted
+                AS DOUBLE) AS x,
+           CAST(exposed AS DOUBLE)
+             * (CAST(n_users AS DOUBLE) - CAST(exposed AS DOUBLE))
+             * CAST(n_converted AS DOUBLE)
+             * (CAST(n_users AS DOUBLE) - CAST(n_converted AS DOUBLE))
+               AS den
+    FROM per CROSS JOIN tot
+)
+SELECT CAST(campaign AS INT) AS campaign, exposed, converted_exposed,
+       {_r8('CAST(converted_exposed AS DOUBLE) * 1.0'
+            ' / CAST(exposed AS DOUBLE)')} AS rate_exposed,
+       CASE WHEN n_users - exposed > 0 THEN
+           {_r8('(CAST(n_converted AS DOUBLE)'
+                ' - CAST(converted_exposed AS DOUBLE)) * 1.0'
+                ' / (CAST(n_users AS DOUBLE) - CAST(exposed AS DOUBLE))')}
+       END AS rate_rest,
+       CASE WHEN den > 0 THEN
+           {_r8('CAST(n_users AS DOUBLE) * x * x / den')}
+       END AS chi2,
+       CASE WHEN den > 0 THEN
+           {_r8('CAST(n_users AS DOUBLE) * x * x / den')} > 3.841459
+       END AS significant,
+       n_users, n_converted
+FROM z
+"""
+
+
+@twin_query("campaign_conversion_chi2", oracle=_chi2_sql())
+def campaign_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign conversion significance (operators/abtest.py):
+    the one-vs-rest 2x2 chi-square over USERS — exposed (clicked the
+    campaign) vs not, converted (purchased) vs not — with exposed/
+    rest rates and the 95% df=1 verdict, the column that stops a
+    lift dashboard from reporting noise as signal. Cells are exact
+    int64 via a*N - E*C; the statistic is a fixed left-associative
+    IEEE double chain rounded once at 8 dp (the token-economics
+    discipline), so the verdict boolean cannot drift. Two
+    user-keyed hash-distincts + one user equi-join + one per-campaign
+    aggregate; population totals broadcast as one row. Twin slot:
+    queued for its first driver row."""
+    from bigdata_commerce_spark.operators.abtest import conversion_chi2
+
+    ev = _events(spark, sf_dir)
+    exposures = ev.where(
+        (F.col("event_type") == "click") & F.col("ad_id").isNotNull()
+    ).select((F.col("ad_id") % 10).alias("campaign"), "user_id")
+    conversions = ev.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    out = conversion_chi2(ev.select("user_id"), exposures, conversions)
+    return out.withColumn("campaign", F.col("campaign").cast("int"))
+
+
 @twin_query(
     "events_agg_refresh",
     oracle="""

@@ -1728,6 +1728,7 @@ def main() -> None:
             "quality_calibration_bins",
             "preference_pairs",
             "multitouch_attribution",
+            "campaign_conversion_chi2",
         ]
         pairs = {
             name: (
