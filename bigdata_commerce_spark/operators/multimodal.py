@@ -816,6 +816,92 @@ def media_audio_fingerprint(
     return df.mapInPandas(kernel, schema="media_id long, phash_words array<long>")
 
 
+AUDIO_SEGMENTS_SCHEMA = (
+    "media_id long, n_segments int, seg_no int, start_ms long,"
+    " end_ms long, seg_rms double"
+)
+
+
+def media_audio_segments(
+    df: DataFrame, frame_len: int = 1024, threshold: float = 0.02
+) -> DataFrame:
+    """Energy-based activity segmentation over the REAL WAV decode
+    path — the classic VAD front-end: frame the mono signal into
+    non-overlapping ``frame_len``-sample frames, mark a frame active
+    when its RMS (on the decoder's [-1, 1] scale) exceeds
+    ``threshold``, and merge consecutive active frames into segments.
+    One row per segment with its millisecond span and mean frame RMS
+    — the "where is there anything to transcribe/fingerprint" index
+    an audio pipeline computes before paying for any heavier model,
+    and the trim mask a training-data pass uses to drop silence.
+
+    Same Arrow ``mapInPandas`` posture as the other real-decode
+    kernels (per-clip fan-out inside the kernel, rows = segments, no
+    explode shuffle); the framing is one reshape + one vectorized
+    RMS per clip. All-silent or undecodable/NULL clips contribute no
+    rows (the frame_sample contract); the trailing partial frame is
+    padded with zeros, so a clip shorter than one frame still
+    segments. No SQL-expressible oracle (real PCM decode) — pytest-
+    pinned like ``media_scene_changes``."""
+    import numpy as np
+
+    def segments_of(raw: bytes) -> list[tuple[int, int, float]] | None:
+        from bigdata_commerce_spark.operators.codecs import decode_wav
+
+        try:
+            samples, sr, _ = decode_wav(bytes(raw))
+        except ValueError:
+            return None
+        if sr == 0 or len(samples) == 0:
+            return None
+        mono = samples.mean(axis=1)
+        pad = (-len(mono)) % frame_len
+        if pad:
+            mono = np.pad(mono, (0, pad))
+        frames = mono.reshape(-1, frame_len)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        active = rms > threshold
+        out = []
+        start = None
+        for i, on in enumerate(list(active) + [False]):
+            if on and start is None:
+                start = i
+            elif not on and start is not None:
+                seg_rms = float(rms[start:i].mean())
+                start_ms = start * frame_len * 1000 // sr
+                end_ms = i * frame_len * 1000 // sr
+                out.append((start_ms, end_ms, round(seg_rms, 6)))
+                start = None
+        return out or None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "media_id": [],
+                "n_segments": [],
+                "seg_no": [],
+                "start_ms": [],
+                "end_ms": [],
+                "seg_rms": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                found = segments_of(bytes(content))
+                if found is None:
+                    continue
+                for seg_no, (s_ms, e_ms, seg_rms) in enumerate(found):
+                    cols["media_id"].append(mid)
+                    cols["n_segments"].append(len(found))
+                    cols["seg_no"].append(seg_no)
+                    cols["start_ms"].append(s_ms)
+                    cols["end_ms"].append(e_ms)
+                    cols["seg_rms"].append(seg_rms)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(kernel, schema=AUDIO_SEGMENTS_SCHEMA)
+
+
 SCENES_SCHEMA = (
     "media_id long, n_frames int, n_scenes int, scene_no int,"
     " start_frame int, end_frame int, keyframe_sha string"

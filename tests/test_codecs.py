@@ -899,3 +899,93 @@ def test_scene_changes_threshold_dial(spark):
     high = media_scene_changes(media, threshold=50.0).collect()
     assert max(r.n_scenes for r in low) == 2
     assert max(r.n_scenes for r in high) == 1
+
+
+# ---------------------------------------------- audio segments
+
+
+def _seg_media(spark, payloads):
+    rows = [
+        (i, bytearray(p), ("audio/wav", None, None, None))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_audio_segments_silence_tone_pattern(spark):
+    """silence-tone-silence-tone at 16 kHz with 1024-sample frames:
+    two segments whose ms spans match the frame grid, RMS near the
+    tone's theoretical sin RMS (0.5/sqrt(2)), and spans strictly
+    inside the clip."""
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_segments,
+    )
+
+    sr = 16000
+    blk = 4096  # 4 frames of 1024
+    t = np.arange(blk) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sig = np.concatenate(
+        [np.zeros(blk), tone, np.zeros(blk), tone, np.zeros(blk)]
+    )
+    media = _seg_media(spark, [encode_wav(sig, sample_rate=sr)])
+    rows = sorted(
+        media_audio_segments(media).collect(), key=lambda r: r.seg_no
+    )
+    assert [r.n_segments for r in rows] == [2, 2]
+    # frame grid: blocks of 4096 samples = 256 ms each
+    assert (rows[0].start_ms, rows[0].end_ms) == (256, 512)
+    assert (rows[1].start_ms, rows[1].end_ms) == (768, 1024)
+    want_rms = 0.5 / np.sqrt(2)
+    for r in rows:
+        assert abs(r.seg_rms - want_rms) < 0.01
+
+
+def test_audio_segments_silence_and_garbage(spark):
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_segments,
+    )
+
+    silent = encode_wav(np.zeros(8192), sample_rate=16000)
+    rows_all = [
+        (0, bytearray(silent), ("audio/wav", None, None, None)),
+        (1, bytearray(b"not audio"), ("audio/wav", None, None, None)),
+        (2, None, ("audio/wav", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows_all, multimodal.MEDIA_SCHEMA)
+    assert media_audio_segments(media).count() == 0
+
+
+def test_audio_segments_threshold_gates_quiet_audio(spark):
+    """A tone below the RMS threshold produces no segments; raising
+    its level (or lowering the threshold) surfaces it — the dial a
+    pipeline tunes per corpus."""
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_segments,
+    )
+
+    sr = 16000
+    t = np.arange(4096) / sr
+    quiet = 0.01 * np.sin(2 * np.pi * 440 * t)  # rms ~0.007
+    media = _seg_media(spark, [encode_wav(quiet, sample_rate=sr)])
+    assert media_audio_segments(media, threshold=0.02).count() == 0
+    assert media_audio_segments(media, threshold=0.005).count() == 1
+
+
+def test_audio_segments_short_clip_pads(spark):
+    """A clip shorter than one frame still segments (zero-padded
+    trailing frame); the end_ms lands on the padded frame edge."""
+    from bigdata_commerce_spark.operators.codecs import encode_wav
+    from bigdata_commerce_spark.operators.multimodal import (
+        media_audio_segments,
+    )
+
+    sr = 16000
+    sig = 0.5 * np.ones(100)  # 100 samples, frame_len 1024
+    media = _seg_media(spark, [encode_wav(sig, sample_rate=sr)])
+    rows = media_audio_segments(media).collect()
+    assert len(rows) == 1
+    assert (rows[0].start_ms, rows[0].end_ms) == (0, 64)  # 1024/16000 s
