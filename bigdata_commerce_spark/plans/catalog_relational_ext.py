@@ -800,6 +800,89 @@ def campaign_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("campaign", F.col("campaign").cast("int"))
 
 
+def _bootstrap_sql() -> str:
+    from bigdata_commerce_spark.operators.bootstrap import (
+        _weight_case_sql,
+    )
+    from bigdata_commerce_spark.plans.catalog_dataops import _r8
+
+    u = (
+        "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)"
+        " || ':boot:' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH rows_b AS (
+    SELECT event_type, value, {_weight_case_sql(u)} AS w, b
+    FROM events CROSS JOIN (SELECT unnest(range(0, 40)) AS b)
+    WHERE value IS NOT NULL
+), per AS (
+    SELECT event_type, b,
+           CAST(SUM(w) AS BIGINT) AS wsum,
+           SUM(CAST(value AS DECIMAL(30,8)) * CAST(w AS DECIMAL(2,0)))
+               AS wxsum
+    FROM rows_b GROUP BY 1, 2
+), means AS (
+    SELECT event_type, b,
+           {_r8('CAST(CAST(wxsum AS VARCHAR) AS DOUBLE) / wsum')}
+               AS mean_b
+    FROM per WHERE wsum > 0
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY mean_b, b) AS rnk,
+           COUNT(*) OVER (PARTITION BY event_type) AS nb
+    FROM means
+), ci AS (
+    -- integer ceil: (num + den - 1) // den — the engine-portable
+    -- form (binary-double CEIL(0.025*40) reads 2, decimal reads 1)
+    SELECT event_type,
+           MAX(CASE WHEN rnk = GREATEST((nb * 50 + 1999) // 2000, 1)
+               THEN mean_b END) AS ci_lo,
+           MAX(CASE WHEN rnk = (nb * 1950 + 1999) // 2000
+               THEN mean_b END) AS ci_hi
+    FROM ranked GROUP BY 1
+), base AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_r8('CAST(CAST(SUM(CAST(value AS DECIMAL(30,8)))'
+                ' AS VARCHAR) AS DOUBLE) / COUNT(*)')} AS mean_value
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT base.event_type, base.n_rows, base.mean_value,
+       ci.ci_lo, ci.ci_hi
+FROM base JOIN ci USING (event_type)
+"""
+
+
+@twin_query("events_value_bootstrap_ci", oracle=_bootstrap_sql())
+def events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean event
+    value per event type (operators/bootstrap.py; Chamandy 2012 —
+    the distributed bootstrap: per-row Poisson(1) weights instead of
+    a multinomial resample, so every row decides its 40 resample
+    weights locally from the md5 integer grid). The resample fan-out
+    happens in the map stage feeding ONE hash aggregate keyed
+    (event_type, resample) — with partial combine the shuffle
+    carries groups x 40 rows, never 40 copies of the corpus; CI
+    endpoints are exact order statistics of the resample means
+    (rank-picked, not interpolated). Weighted sums ride DECIMAL(30,8)
+    and each mean is one correctly-rounded division — nothing
+    floats free of the oracle. Twin slot: queued for its first
+    driver row."""
+    from bigdata_commerce_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return poisson_bootstrap_ci(
+        ev,
+        value_col="value",
+        id_col="event_id",
+        group_cols=["event_type"],
+        n_resamples=40,
+        level=0.95,
+    )
+
+
 @twin_query(
     "events_agg_refresh",
     oracle="""

@@ -1729,6 +1729,7 @@ def main() -> None:
             "preference_pairs",
             "multitouch_attribution",
             "campaign_conversion_chi2",
+            "events_value_bootstrap_ci",
         ]
         pairs = {
             name: (
