@@ -60,7 +60,12 @@ def concentration_report(
     """
     km = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(mass_col).cast("long")).alias("mass"),
+        # COALESCE: a key whose every mass is NULL owns 0 mass — a
+        # NULL here would hit the engines' opposite null-ordering
+        # defaults in the rank tie-break (the kanonymity fuzz find)
+        F.coalesce(
+            F.sum(F.col(mass_col).cast("long")), F.lit(0)
+        ).alias("mass"),
     )
     # Lineage CUT, not just a persist: the report references the
     # per-key aggregate from several branches (ranks, bucket offsets,

@@ -4099,7 +4099,10 @@ WITH {_URL_CANON_CTE},
 km AS (
     SELECT u.registered_domain,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(d.n_chars) AS BIGINT) AS mass
+           -- COALESCE restates the operator's all-NULL-mass -> 0
+           -- contract (NULL mass would hit opposite null-ordering
+           -- defaults in the rank tie-break)
+           CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS mass
     FROM url_dom u JOIN documents d USING (doc_id)
     WHERE u.registered_domain IS NOT NULL
     GROUP BY 1

@@ -605,14 +605,19 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_risky_rows
         FROM classes
     ), smallest AS (
+        -- NULLS FIRST restates Spark's ascending default (DuckDB
+        -- defaults NULLS LAST): a NULL quasi-identifier class must
+        -- pick the same side of the top-20 cut in both engines
         SELECT * FROM classes
-        ORDER BY class_size, c_nationkey, c_mktsegment, bal_band
+        ORDER BY class_size, c_nationkey NULLS FIRST,
+                 c_mktsegment NULLS FIRST, bal_band NULLS FIRST
         LIMIT 20
     )
     SELECT s.c_nationkey, s.c_mktsegment, s.bal_band, s.class_size,
            CAST(ROW_NUMBER() OVER (
-               ORDER BY s.class_size, s.c_nationkey, s.c_mktsegment,
-                        s.bal_band) AS INT) AS class_rank,
+               ORDER BY s.class_size, s.c_nationkey NULLS FIRST,
+                        s.c_mktsegment NULLS FIRST,
+                        s.bal_band NULLS FIRST) AS INT) AS class_rank,
            g.n_rows, g.n_classes, g.k_anonymity, g.n_risky_classes,
            g.n_risky_rows
     FROM smallest s CROSS JOIN g
