@@ -91,43 +91,153 @@ def ngram_fold(t: Column, n: int) -> Column:
     return acc
 
 
-def _stat_exprs(text_col: str) -> list[Column]:
-    """The per-document statistic columns, reusable wherever stats are
-    needed next to other columns (text_stats, curate)."""
-    t = tokens(text_col)
-    n_chars = F.length(F.col(text_col))
-    n_tokens = F.size(t)
-    en_stops = LANG_STOPWORDS["en"]
-    stop_hits = F.size(F.filter(t, lambda x: x.isin(*en_stops)))
-    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
-    digits = F.length(F.regexp_replace(F.col(text_col), DIGIT_CLASS, ""))
-    norm_len = F.length(normalize_text(text_col))
-    # try_divide on the n_chars ratios: an empty-string document has
-    # n_chars=0 and plain `/` THROWS under Spark 4's default ANSI mode
-    # (one dirty row kills the whole curation job). NULL-on-zero is
-    # also exactly DuckDB's division semantics, so the oracle agrees;
-    # downstream quality gates then fail the doc (NULL comparisons are
-    # false), which is the right fate for empty text. n_tokens is
-    # never 0 (split of "" yields [""]), so those divisions stay plain.
-    return [
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round((norm_len - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
-        F.round(F.try_divide(punct, n_chars), 4).alias("punct_ratio"),
-        F.round(F.try_divide(digits, n_chars), 4).alias("digit_ratio"),
-        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
-    ]
+_STAT_COLS = (
+    "n_chars",
+    "n_tokens",
+    "mean_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+)
+
+
+def _doc_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    *,
+    stats: bool = False,
+    lang: bool = False,
+    fp: bool = False,
+) -> DataFrame:
+    """Shared per-document enrichment (stats / language / fingerprint)
+    with every expensive subexpression BOUND exactly once.
+
+    The naive single-projection form re-evaluates shared expression
+    trees per consumer: CollapseProject inlines the token-array alias
+    into every reference, conditional branches (the language when-
+    chain, the ratio guards) defeat codegen subexpression elimination,
+    and higher-order functions (filter/transform lambdas) are
+    interpreted, so the regex normalization + split ran up to ~20x
+    per row (measured 2.2-2.5x whole-query cost on lang_id /
+    corpus_curation / repetition_stats at sf0.1). The fix is the
+    one-element ``explode(array(struct(...)))`` barrier (the
+    _exploded_shingles trick): a Generate node materializes its
+    generator output as bound attributes, so downstream expressions
+    reference the computed value instead of re-deriving it. Three
+    levels, each binding what the next needs at most once:
+
+    - L1 binds the normalized text (one regex pass);
+    - L2 binds the token array, raw-text scalar counts, md5 and the
+      CJK test;
+    - L3 binds the per-language stopword hit counts and token count.
+
+    Output ratios / predictions are the byte-identical expressions of
+    the pre-barrier form over the bound inputs, so every oracle
+    contract is unchanged. Still one scan, zero shuffles, and the
+    arrays never outlive the projection.
+    """
+    keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
+    raw = F.col(text_col)
+
+    # L1: one regex normalization pass, bound.
+    b1 = df.select(
+        *keep,
+        raw,
+        F.explode(F.array(F.struct(normalize_text(text_col).alias("n")))).alias("__x0"),
+    )
+    norm = F.col("__x0.n")
+
+    # L2: token array + raw-text scalars + fingerprint + CJK test.
+    f2: list[Column] = []
+    scalar2: list[str] = []  # L2 struct fields carried past L3
+    if stats or lang:
+        f2.append(F.split(norm, " ").alias("t"))
+    if stats:
+        f2 += [
+            F.length(raw).alias("n_chars"),
+            F.length(F.regexp_replace(raw, PUNCT_CLASS, "")).alias("punct"),
+            F.length(F.regexp_replace(raw, DIGIT_CLASS, "")).alias("digits"),
+            F.length(norm).alias("norm_len"),
+        ]
+        scalar2 += ["n_chars", "punct", "digits", "norm_len"]
+    if fp:
+        f2.append(F.md5(norm).alias("fp"))
+        scalar2.append("fp")
+    if lang:
+        f2.append(
+            (F.length(F.regexp_replace(raw, CJK_PATTERN, "")) < F.length(raw)).alias(
+                "cjk"
+            )
+        )
+        scalar2.append("cjk")
+    b2 = b1.select(*keep, F.explode(F.array(F.struct(*f2))).alias("__x1"))
+    t = F.col("__x1.t")
+
+    # L3: counts over the bound token array — each filter runs once.
+    hit_langs: list[str] = []
+    if stats:
+        hit_langs.append("en")  # stopword_ratio
+    if lang:
+        hit_langs += [lg for lg in LANG_ORDER if lg not in hit_langs]
+    f3: list[Column] = []
+    if stats or lang:
+        f3.append(F.size(t).alias("nt"))
+    for lg in hit_langs:
+        stops = LANG_STOPWORDS[lg]
+        f3.append(F.size(F.filter(t, lambda x: x.isin(*stops))).alias(f"h_{lg}"))
+    passthrough = [F.col(f"__x1.{c}").alias(f"__{c}") for c in scalar2]
+    b3 = b2.select(
+        *keep, *passthrough, F.explode(F.array(F.struct(*f3))).alias("__x2")
+    )
+
+    n_tokens = F.col("__x2.nt")
+    hit = {lg: F.col(f"__x2.h_{lg}") for lg in hit_langs}
+
+    out: list[Column] = [*keep]
+    if stats:
+        n_chars = F.col("__n_chars")
+        # try_divide on the n_chars ratios: an empty-string document
+        # has n_chars=0 and plain `/` THROWS under Spark 4's default
+        # ANSI mode (one dirty row kills the whole curation job).
+        # NULL-on-zero is also exactly DuckDB's division semantics, so
+        # the oracle agrees; downstream quality gates then fail the
+        # doc (NULL comparisons are false), which is the right fate
+        # for empty text. n_tokens is never 0 (split of "" yields
+        # [""]), so those divisions stay plain.
+        out += [
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round((F.col("__norm_len") - (n_tokens - 1)) / n_tokens, 4).alias(
+                "mean_token_len"
+            ),
+            F.round(F.try_divide(F.col("__punct"), n_chars), 4).alias("punct_ratio"),
+            F.round(F.try_divide(F.col("__digits"), n_chars), 4).alias("digit_ratio"),
+            F.round(hit["en"] / n_tokens, 4).alias("stopword_ratio"),
+        ]
+    if lang:
+        best = F.greatest(*[hit[lg] for lg in LANG_ORDER])
+        pred = F.when(F.col("__cjk"), F.lit("zh"))
+        for lg in LANG_ORDER:
+            pred = pred.when((best > 0) & (hit[lg] == best), F.lit(lg))
+        out.append(pred.otherwise(F.lit("unknown")).alias("predicted_lang"))
+    if fp:
+        out.append(F.col("__fp").alias("fp"))
+    return b3.select(*out)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality statistics: lengths, token counts,
     punctuation/digit ratios, stopword ratio, mean token length.
-    One projection — no shuffle, no UDF."""
-    return df.select(id_col, *_stat_exprs(text_col))
+    One scan, no shuffle, no UDF (expression binding: _doc_profile)."""
+    return _doc_profile(df, text_col, id_col, stats=True).select(
+        id_col, *_STAT_COLS
+    )
 
 
 def _quality_expr() -> Column:
-    """Composite quality score in [0,1] over the _stat_exprs columns."""
+    """Composite quality score in [0,1] over the _STAT_COLS columns."""
     score = (
         F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
         + F.lit(0.3)
@@ -146,31 +256,15 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return s.select(id_col, _quality_expr().alias("quality"))
 
 
-def _lang_pred(text_col: str) -> Column:
-    """The language prediction as a single column expression."""
-    t = tokens(text_col)
-    cjk = F.length(F.regexp_replace(F.col(text_col), CJK_PATTERN, "")) < F.length(
-        F.col(text_col)
-    )
-
-    def _hits(stops: tuple[str, ...]) -> Column:
-        # (closure factory: a default-arg lambda would change the
-        # lambda's arity and PySpark would pass the element index)
-        return F.size(F.filter(t, lambda x: x.isin(*stops)))
-
-    hit_cols = {lang: _hits(stops) for lang, stops in LANG_STOPWORDS.items()}
-    best = F.greatest(*[hit_cols[lang] for lang in LANG_ORDER])
-    pred = F.when(cjk, F.lit("zh"))
-    for lang in LANG_ORDER:
-        pred = pred.when((best > 0) & (hit_cols[lang] == best), F.lit(lang))
-    return pred.otherwise(F.lit("unknown"))
-
-
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """n-gram/stopword language heuristic: CJK characters -> zh, else
     the language with the most stopword hits (ties: LANG_ORDER), else
-    'unknown' when nothing matches."""
-    return df.select(id_col, _lang_pred(text_col).alias("predicted_lang"))
+    'unknown' when nothing matches. Expression-bound via _doc_profile
+    (the tie-break when-chain otherwise re-evaluates every language's
+    stopword filter per branch — measured 2.2x whole-query cost)."""
+    return _doc_profile(df, text_col, id_col, lang=True).select(
+        id_col, "predicted_lang"
+    )
 
 
 def repetition_stats(
@@ -195,19 +289,35 @@ def repetition_stats(
             n > 0, F.round((n - F.size(F.array_distinct(arr))) / n, 4)
         ).otherwise(F.lit(0.0))
 
-    # one-element explode barrier: t is referenced by six expressions
-    # below; without the barrier each one re-tokenizes the text.
+    # Two-level explode barrier: L1 binds the token array (one
+    # tokenize), L2 binds the 2-/3-gram fold arrays. Without L2 the
+    # `when` guard around _dup_fraction defeats codegen subexpression
+    # elimination and each fold array is rebuilt 3x per row (size
+    # twice + array_distinct) — measured 2.5x whole-query cost at
+    # sf0.1. The fold of a short document is an empty array (clamped
+    # slice), so unconditional binding is cheap and the guarded
+    # fractions are byte-identical.
     barrier = df.select(
-        id_col, F.explode(F.array(F.struct(t.alias("t")))).alias("x")
+        id_col, F.explode(F.array(F.struct(t.alias("t")))).alias("x0")
+    ).select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x0.t").alias("t"),
+                    ngram_fold(F.col("x0.t"), 2).alias("g2"),
+                    ngram_fold(F.col("x0.t"), 3).alias("g3"),
+                )
+            )
+        ).alias("x"),
     )
     tb = F.col("x.t")
+    grams = {2: F.col("x.g2"), 3: F.col("x.g3")}
 
     def _dup_of(n: int) -> Column:
         if n == 1:
             return _dup_fraction(tb)
-        return F.when(F.size(tb) >= n, _dup_fraction(ngram_fold(tb, n))).otherwise(
-            F.lit(0.0)
-        )
+        return F.when(F.size(tb) >= n, _dup_fraction(grams[n])).otherwise(F.lit(0.0))
 
     return barrier.select(
         id_col,
@@ -420,8 +530,28 @@ def top_ngram_char_fraction(
     shuffle is skew-safe at any corpus size. Documents with fewer
     than n tokens are absent at that n.
     """
-    t = tokens(text_col)
-    norm_len = F.length(normalize_text(text_col))
+    # Two-level explode barrier: L1 binds the normalized text (one
+    # regex pass), L2 binds the token array + norm length — the
+    # ngram_fold slices below otherwise re-tokenize the text ~n+2
+    # times per level (no barrier existed here; the lambda-bearing
+    # transform/concat is interpreted, outside codegen CSE).
+    b1 = df.select(
+        id_col,
+        F.explode(F.array(F.struct(normalize_text(text_col).alias("n")))).alias("x0"),
+    )
+    norm = F.col("x0.n")
+    b2 = b1.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.split(norm, " ").alias("t"),
+                    F.length(norm).alias("nl"),
+                )
+            )
+        ).alias("x1"),
+    )
+    t = F.col("x1.t")
 
     def level(n: int):
         return F.transform(
@@ -430,9 +560,9 @@ def top_ngram_char_fraction(
         )
 
     combined = F.concat(*[level(n) for n in ns])
-    ex = df.select(
+    ex = b2.select(
         id_col,
-        norm_len.alias("n_chars_norm"),
+        F.col("x1.nl").alias("n_chars_norm"),
         F.explode(combined).alias("x"),
     ).select(id_col, "n_chars_norm", F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
     counts = ex.groupBy(id_col, "n", "n_chars_norm", "gram").agg(
@@ -628,11 +758,8 @@ def curate(
     document per duplicate group (min id), with how many kept
     duplicates it represents.
     """
-    enriched = df.select(
-        id_col,
-        *_stat_exprs(text_col),
-        _lang_pred(text_col).alias("predicted_lang"),
-        fingerprint(text_col).alias("fp"),
+    enriched = _doc_profile(
+        df, text_col, id_col, stats=True, lang=True, fp=True
     ).withColumn("quality", _quality_expr())
     kept = enriched.where(
         (F.col("quality") >= min_quality) & (F.col("predicted_lang") == lang)
@@ -878,12 +1005,8 @@ def curation_funnel(
     funnels run to millions of rows), so nothing may route through
     the driver (round-7 verdict item 2).
     """
-    enriched = df.select(
-        F.col(id_col),
-        F.col(source_col),
-        *_stat_exprs(text_col),
-        _lang_pred(text_col).alias("predicted_lang"),
-        fingerprint(text_col).alias("fp"),
+    enriched = _doc_profile(
+        df, text_col, id_col, extra_cols=(source_col,), stats=True, lang=True, fp=True
     ).withColumn("quality", _quality_expr())
     q = F.col("quality") >= min_quality
     ql = q & (F.col("predicted_lang") == lang)

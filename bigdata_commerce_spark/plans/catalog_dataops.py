@@ -340,12 +340,12 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree — measured 0.7011 vs 0.7010 at sf0.01). One projection
     (stats + quality are pure expressions) and one hash aggregate.
     Twin slot: driver catalog is at its 50-entry cap."""
-    from bigdata_commerce_spark.operators.text import _quality_expr, _stat_exprs
+    from bigdata_commerce_spark.operators.text import _doc_profile, _quality_expr
 
     docs = load_table(spark, "documents", sf_dir)
-    base = docs.select("doc_id", "source", "lang", *_stat_exprs("text")).withColumn(
-        "quality", _quality_expr()
-    )
+    base = _doc_profile(
+        docs, "text", "doc_id", extra_cols=("source", "lang"), stats=True
+    ).withColumn("quality", _quality_expr())
     return base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
