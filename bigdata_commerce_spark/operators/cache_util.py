@@ -29,7 +29,22 @@ _PERSISTED_INPUTS: list[DataFrame] = []
 
 def persist_bounded(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it; unpersist the oldest
-    registered frame once more than ``PERSIST_BOUND`` are live."""
+    registered frame once more than ``PERSIST_BOUND`` are live.
+
+    Plan-identical registrations refresh recency instead of
+    appending: Spark's CacheManager keys cached data by the
+    canonicalized plan, so two operators persisting the same subtree
+    (the minhash-LSH and n-gram-Jaccard dedup paths share one shingle
+    frame) hold ONE cache entry — a duplicate registration would let
+    the eviction of the stale handle unpersist the cache the newer
+    consumer still rides."""
+    for i, old in enumerate(_PERSISTED_INPUTS):
+        try:
+            if df.sameSemantics(old):
+                _PERSISTED_INPUTS.append(_PERSISTED_INPUTS.pop(i))
+                return df.persist()
+        except Exception:  # noqa: BLE001 — stopped session, foreign plan
+            continue
     df = df.persist()
     _PERSISTED_INPUTS.append(df)
     while len(_PERSISTED_INPUTS) > PERSIST_BOUND:

@@ -137,7 +137,9 @@ def jaccard_pairs(
     # ex feeds doc-frequency, the prefix rank AND the verify — persist
     # it or the whole shingle pipeline re-runs per consumer (LRU
     # eviction reclaims it; at scale use MEMORY_AND_DISK spill).
-    ex = _exploded_shingles(df, text_col, id_col, n).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    ex = persist_bounded(_exploded_shingles(df, text_col, id_col, n))
     doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
@@ -159,10 +161,9 @@ def jaccard_pairs(
     # prefix feeds BOTH sides of the self-join and (via its per-doc
     # sizes) the verify — persist, or the ranked-window chain runs
     # three times.
-    prefix = (
+    prefix = persist_bounded(
         ranked.where(F.col("pos") <= F.col("n_shingles") - ceil_tn + 1)
         .select("id", "shingle", "n_shingles")
-        .persist()
     )
     # Every doc keeps >= 1 prefix row (the bound is >= 1), so per-doc
     # sizes are recoverable from the persisted prefix — no extra pass
@@ -357,7 +358,9 @@ def minhash_lsh_pairs(
             f"bands must divide num_hashes (got bands={bands}, num_hashes={num_hashes})"
         )
     rows_per_band = num_hashes // bands
-    ex = _exploded_shingles(df, text_col, id_col, n).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    ex = persist_bounded(_exploded_shingles(df, text_col, id_col, n))
     exprs = minhash_hash_exprs(num_hashes)
     sig = ex.groupBy("id").agg(*[F.min(c).alias(name) for name, c in exprs.items()])
     band_cols = []
@@ -451,7 +454,9 @@ def simhash_pairs(
     references it twice and would otherwise compute the whole shingle
     + 60-aggregate pipeline twice), bucket-join candidates, verify with
     bit_count(xor) — never an all-pairs comparison."""
-    sh = simhash(df, text_col, id_col, n).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    sh = persist_bounded(simhash(df, text_col, id_col, n))
     chunks = sh.select(
         "id",
         "simhash",
@@ -580,10 +585,11 @@ def cross_source_dup_matrix(
     key = key_expr if key_expr is not None else fingerprint(text_col)
     # persisted: both sides of the fingerprint self-join read this
     # aggregate — without the cache the corpus scan+agg runs twice
-    per = (
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    per = persist_bounded(
         df.groupBy(key.alias("__fp"), F.col(source_col))
         .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()
     )
     a = per.select(
         F.col("__fp"), F.col(source_col).alias("source_a"), F.col("__n").alias("__na")

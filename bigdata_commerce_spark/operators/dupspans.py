@@ -103,7 +103,9 @@ def duplicate_spans(
     # recomputes the whole split+md5 projection per consumer (measured
     # 1.8x the wall at 10x corpus: 4.8s -> 2.6s with the cache).
     # neardup_pairs' bucket-table precedent; LRU-evicted when cold.
-    occ = _window_occurrences(df, window, text_col, id_col).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    occ = persist_bounded(_window_occurrences(df, window, text_col, id_col))
     stats = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__canon"),

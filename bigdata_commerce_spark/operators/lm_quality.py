@@ -91,7 +91,9 @@ def char_bigram_nll(
         # bigrams — persist so the corpus tokenizes once, not twice
         # (the module's heaviest work; documented multi-consumer
         # cache, the repo norm)
-        bg = bg.persist()
+        from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+        bg = persist_bounded(bg)
         lm = _train_from_bigrams(bg)
     else:
         lm = train_char_bigram_lm(reference, id_col, text_col)
@@ -196,7 +198,9 @@ def dsir_logratio(
     — never a global sort. Documents shorter than 2 characters have
     no features and are absent.
     """
-    bg = _doc_bigrams(raw, id_col, text_col).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    bg = persist_bounded(_doc_bigrams(raw, id_col, text_col))
     lm_raw = _train_from_bigrams(bg)
     lm_tgt = train_char_bigram_lm(target, id_col, text_col)
     consts = (

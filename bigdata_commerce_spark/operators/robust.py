@@ -116,15 +116,17 @@ def robust_flag_anomalies(
     # scanned 3× (med build, mad build, output), the two-pass minimum
     # for MAD, instead of re-deriving the aggregates per consumer.
     # LRU eviction reclaims them; at scale use MEMORY_AND_DISK.
-    med = df.groupBy(key_col).agg(
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    med = persist_bounded(df.groupBy(key_col).agg(
         F.round(F.expr(f"percentile({value_col}, 0.5)"), round_dp).alias("__med")
-    ).persist()
+    ))
     with_dev = df.join(med, key_col, "left").withColumn(
         "__ad", F.abs(F.col(value_col) - F.col("__med"))
     )
-    mad = with_dev.groupBy(key_col).agg(
+    mad = persist_bounded(with_dev.groupBy(key_col).agg(
         F.round(F.expr("percentile(__ad, 0.5)"), round_dp).alias("__mad")
-    ).persist()
+    ))
     rz = F.when(
         F.col("__mad") > 0,
         F.round(

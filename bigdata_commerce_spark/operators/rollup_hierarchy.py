@@ -25,11 +25,21 @@ def rollup_ladder(
     ts_col: str = "event_time",
     key_cols: list[str] | None = None,
     value_col: str | None = None,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
     """Build the minute/hour/day ladder. Each level carries
     (bucket, keys, event_count, value_sum) — the mergeable form.
     Only the minute level touches the raw events; each coarser level
-    re-aggregates the previous one."""
+    re-aggregates the previous one.
+
+    ``persist=True`` caches the minute level (bounded registry —
+    operators/cache_util) before deriving the coarser levels: a
+    caller that consumes several levels in ONE plan (the
+    event_rollup_ladder union) otherwise re-executes the raw scan +
+    minute aggregation once per level — 3 raw scans where the ladder
+    design promises exactly one. The coarser levels are cheap
+    re-aggregations of the (much smaller) cached minute table either
+    way, so only the level that touches raw is cached."""
     key_cols = key_cols or []
     base_val = (
         F.col(value_col) if value_col is not None else F.lit(1).cast("bigint")
@@ -43,6 +53,10 @@ def rollup_ladder(
             F.sum(base_val).alias("value_sum"),
         )
     )
+    if persist:
+        from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+        minute = persist_bounded(minute)
     ladder = {"minute": minute}
     finer = minute
     for level in ("hour", "day"):

@@ -183,7 +183,9 @@ def neardup_pairs(
     # ONE bucket table self-joined — two _sign_buckets calls would run
     # the plane-projection UDF over the corpus twice; persist so the
     # self-join's two sides share a single materialization.
-    b = _sign_buckets(corpus, "vid", id_col, vec_col, planes, bands).persist()
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
+
+    b = persist_bounded(_sign_buckets(corpus, "vid", id_col, vec_col, planes, bands))
     candidates = (
         b.select(F.col("vid").alias("id1"), "band", "bucket")
         .join(b.select(F.col("vid").alias("id2"), "band", "bucket"), ["band", "bucket"])

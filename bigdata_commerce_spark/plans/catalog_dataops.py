@@ -1714,9 +1714,16 @@ def ad_launch_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi shuffle on (ad_id, bucket), exact BETWEEN on candidates —
     instead of the planner's broadcast-nested-loop for the raw
     non-equi predicate."""
+    from bigdata_commerce_spark.operators.cache_util import persist_bounded
     from bigdata_commerce_spark.operators.range_join import range_join
 
-    ev = _events(spark, sf_dir).select("ad_id", "ts")
+    # Both the window build (min per ad) and the probe side read the
+    # same narrow (ad_id, ts) projection; persisting it (bounded
+    # registry) halves the event scans and runs the JSON ad_id
+    # extraction once instead of twice — measured ~2x at sf0.1. At
+    # scale this is the guide's "fingerprints only" pattern: the
+    # 12-byte projection spills to disk cache, never re-reads raw.
+    ev = persist_bounded(_events(spark, sf_dir).select("ad_id", "ts"))
     windows = ev.groupBy("ad_id").agg(F.min("ts").alias("window_start")).withColumn(
         "window_end", F.col("window_start") + F.expr("INTERVAL 2 HOURS")
     )
@@ -1757,8 +1764,12 @@ def event_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_commerce_spark.operators.rollup_hierarchy import rollup_ladder
 
     ev = _events(spark, sf_dir)
+    # persist=True: the three-level union otherwise re-runs the raw
+    # scan + minute aggregation once per level (3 raw scans; plan
+    # audit r12) — the cached minute level restores the ladder's
+    # one-raw-scan contract.
     ladder = rollup_ladder(
-        ev, ts_col="ts", key_cols=["province"], value_col="ad_id"
+        ev, ts_col="ts", key_cols=["province"], value_col="ad_id", persist=True
     )
     out = None
     for lvl, df in ladder.items():

@@ -93,6 +93,19 @@ def get_spark(
         # (sources.testdata normalizes to microsecond timestamps, the
         # same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ObjectHashAggregate (collect_set/collect_list and other
+        # TypedImperativeAggregates) falls back to SORT-based
+        # aggregation after only 128 in-memory keys by default — any
+        # real group-by cardinality (region_top3_parts has ~100k
+        # (area, part) groups per map task) degenerates to a per-task
+        # sort. 128k keys x a small set buffer is tens of MB per task,
+        # safely inside execution memory at the AQE-advised partition
+        # sizes; measured 1.35x on region_top3_parts at sf0.1.
+        # Env-tunable for clusters where per-task buffers must shrink.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(128 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
