@@ -874,6 +874,195 @@ def run_probe(pairs: dict, headline: str, labels: tuple[str, str] = ("1x", "10x"
     return out
 
 
+def r12opt_probes(spark, sf1: str, sf10: str) -> dict:
+    """Round-12 OPTIMIZATION evidence at 10x data — two probe sets:
+
+    1. pre-vs-post at 10x: the pre-optimization expression/plan forms
+       (reconstructed inline, byte-identical to the e68fdb9^/30e02dd^
+       code) against the shipped forms, so the round's claimed wins
+       are measured where they matter, not only at sf0.1;
+    2. 1x-vs-10x scaling of the shipped forms: the rewritten
+       operators must stay ~linear (ratio near 10x = scan/CPU-bound,
+       the map-side design intent).
+    """
+    from bigdata_commerce_spark.operators import text as text_ops
+    from bigdata_commerce_spark.operators.range_join import range_join
+    from bigdata_commerce_spark.operators.rollup_hierarchy import rollup_ladder
+    from bigdata_commerce_spark.plans import QUERIES, TWIN_QUERIES
+    from bigdata_commerce_spark.plans.catalog import _events
+    from bigdata_commerce_spark.sources.testdata import load_table
+
+    all_q = {**TWIN_QUERIES, **QUERIES}
+
+    # --- pre-optimization replicas (the exact pre-round expressions) ---
+    def _old_stat_exprs(text_col):
+        t = text_ops.tokens(text_col)
+        n_chars = F.length(F.col(text_col))
+        n_tokens = F.size(t)
+        en_stops = text_ops.LANG_STOPWORDS["en"]
+        stop_hits = F.size(F.filter(t, lambda x: x.isin(*en_stops)))
+        punct = F.length(F.regexp_replace(F.col(text_col), text_ops.PUNCT_CLASS, ""))
+        digits = F.length(F.regexp_replace(F.col(text_col), text_ops.DIGIT_CLASS, ""))
+        norm_len = F.length(text_ops.normalize_text(text_col))
+        return [
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round((norm_len - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
+            F.round(F.try_divide(punct, n_chars), 4).alias("punct_ratio"),
+            F.round(F.try_divide(digits, n_chars), 4).alias("digit_ratio"),
+            F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        ]
+
+    def _old_lang_pred(text_col):
+        t = text_ops.tokens(text_col)
+        cjk = F.length(
+            F.regexp_replace(F.col(text_col), text_ops.CJK_PATTERN, "")
+        ) < F.length(F.col(text_col))
+        def _hits(stops):
+            # closure factory, NOT a default-arg lambda: the latter
+            # changes arity and filter() then passes (element, index)
+            return F.size(F.filter(t, lambda x: x.isin(*stops)))
+
+        hit_cols = {
+            lang: _hits(stops) for lang, stops in text_ops.LANG_STOPWORDS.items()
+        }
+        best = F.greatest(*[hit_cols[lang] for lang in text_ops.LANG_ORDER])
+        pred = F.when(cjk, F.lit("zh"))
+        for lang in text_ops.LANG_ORDER:
+            pred = pred.when((best > 0) & (hit_cols[lang] == best), F.lit(lang))
+        return pred.otherwise(F.lit("unknown"))
+
+    def old_curate(sf):
+        docs = load_table(spark, "documents", sf)
+        enriched = docs.select(
+            "doc_id",
+            *_old_stat_exprs("text"),
+            _old_lang_pred("text").alias("predicted_lang"),
+            text_ops.fingerprint("text").alias("fp"),
+        ).withColumn("quality", text_ops._quality_expr())
+        kept = enriched.where(
+            (F.col("quality") >= 0.5) & (F.col("predicted_lang") == "en")
+        )
+        return kept.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("quality", "doc_id").alias("quality"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+
+    def old_repetition(sf):
+        docs = load_table(spark, "documents", sf)
+        t = text_ops.tokens("text")
+
+        def dupf(arr):
+            n = F.size(arr)
+            return F.when(
+                n > 0, F.round((n - F.size(F.array_distinct(arr))) / n, 4)
+            ).otherwise(F.lit(0.0))
+
+        barrier = docs.select(
+            "doc_id", F.explode(F.array(F.struct(t.alias("t")))).alias("x")
+        )
+        tb = F.col("x.t")
+
+        def dup_of(n):
+            if n == 1:
+                return dupf(tb)
+            return F.when(
+                F.size(tb) >= n, dupf(text_ops.ngram_fold(tb, n))
+            ).otherwise(F.lit(0.0))
+
+        return barrier.select(
+            "doc_id",
+            F.size(tb).alias("n_tokens"),
+            dup_of(1).alias("dup_token_frac"),
+            dup_of(2).alias("dup_2gram_frac"),
+            dup_of(3).alias("dup_3gram_frac"),
+        )
+
+    def old_launch_counts(sf):
+        ev = _events(spark, sf).select("ad_id", "ts")  # no cache: 2 scans
+        windows = (
+            ev.groupBy("ad_id")
+            .agg(F.min("ts").alias("window_start"))
+            .withColumn("window_end", F.col("window_start") + F.expr("INTERVAL 2 HOURS"))
+        )
+        joined = range_join(
+            ev, windows, ts_col="ts", start_col="window_start",
+            end_col="window_end", key_cols=["ad_id"], bucket_seconds=3600,
+        )
+        return joined.groupBy("ad_id", "window_start", "window_end").agg(
+            F.count(F.lit(1)).alias("events_in_window")
+        )
+
+    def old_ladder(sf):
+        ev = _events(spark, sf)
+        ladder = rollup_ladder(
+            ev, ts_col="ts", key_cols=["province"], value_col="ad_id", persist=False
+        )
+        out = None
+        for lvl, df in ladder.items():
+            tagged = df.select(
+                F.lit(lvl).alias("level"), "bucket", "province", "event_count",
+                F.col("value_sum").cast("bigint").alias("value_sum"),
+            )
+            out = tagged if out is None else out.unionByName(tagged)
+        return out
+
+    def with_objagg(thresh, fn):
+        key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(thresh))
+        try:
+            return fn()
+        finally:
+            spark.conf.set(key, prev)
+
+    pre_post = {
+        "curate_text_binding": (
+            lambda: len(old_curate(sf10).collect()),
+            lambda: len(all_q["corpus_curation"](spark, sf10).collect()),
+        ),
+        "repetition_binding": (
+            lambda: len(old_repetition(sf10).collect()),
+            lambda: len(all_q["repetition_stats"](spark, sf10).collect()),
+        ),
+        "launch_window_cache": (
+            lambda: len(old_launch_counts(sf10).collect()),
+            lambda: len(all_q["ad_launch_window_counts"](spark, sf10).collect()),
+        ),
+        "rollup_ladder_scans": (
+            lambda: len(old_ladder(sf10).collect()),
+            lambda: len(all_q["event_rollup_ladder"](spark, sf10).collect()),
+        ),
+        "objagg_fallback_region_top3": (
+            lambda: with_objagg(
+                128, lambda: len(all_q["region_top3_parts"](spark, sf10).collect())
+            ),
+            lambda: len(all_q["region_top3_parts"](spark, sf10).collect()),
+        ),
+    }
+    out_pre = run_probe(pre_post, "r12opt_pre_vs_post_10x", labels=("pre", "post"))
+
+    scaling = {
+        name: (
+            lambda n=name: len(all_q[n](spark, sf1).collect()),
+            lambda n=name: len(all_q[n](spark, sf10).collect()),
+        )
+        for name in (
+            "corpus_curation",
+            "lang_id",
+            "repetition_stats",
+            "text_quality_score",
+            "ad_launch_window_counts",
+            "event_rollup_ladder",
+            "region_top3_parts",
+        )
+    }
+    out_scale = run_probe(scaling, "r12opt_scaling_1x_vs_10x")
+    return {"metric": "r12opt", "pre_vs_post_10x": out_pre, "scaling": out_scale}
+
+
 def round10_phash_probes(spark) -> dict:
     """Round-10 (verdict item 5): the production-width 16x16 -> 256-bit
     real-decode aHash, banding vs brute force at growing corpus sizes
@@ -1955,6 +2144,10 @@ def main() -> None:
             {"published_recipe_funnel": (funnel_run(docs1), funnel_run(docs10))},
             "scale_probe_10x_ratio_round9",
         )
+    elif suite == "r12opt":
+        sf1 = build_relational_corpus(spark, docs10, emb10, 1)
+        sf10 = build_relational_corpus(spark, docs10, emb10, COPIES)
+        out = r12opt_probes(spark, sf1, sf10)
     elif suite == "round10":
         out = round10_phash_probes(spark)
     elif suite == "round11":
