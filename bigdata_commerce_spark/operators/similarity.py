@@ -72,16 +72,27 @@ def cosine_topk(
     is scanned once, never shuffled; ranking windows partition by
     probe id. Scores rounded to 4dp *before* ranking so rank order is
     engine-stable."""
+    # Norms hoisted onto each SIDE before the join (the neardup_pairs
+    # precedent): norm(cvec) otherwise re-folds per probe and
+    # norm(pvec) per corpus row. try_divide(dot, nc*np) is the exact
+    # expression _cosine builds over the same values — bit-identical.
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
-    )
-    p = probes.select(F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec"))
+    ).withColumn("__nc", _norm(F.col("cvec")))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
+    ).withColumn("__np", _norm(F.col("pvec")))
     scored = (
         c.join(F.broadcast(p), F.col("corpus_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "corpus_id",
-            F.round(_cosine(F.col("cvec"), F.col("pvec")), 4).alias("score"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("cvec"), F.col("pvec")), F.col("__nc") * F.col("__np")
+                ),
+                4,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("corpus_id"))
@@ -249,19 +260,29 @@ def _exact_rerank(
     (probe_id, corpus_id) candidate pairs, score exact cosine, keep
     the top k per probe. Probe side broadcast; scores rounded to 4dp
     before ranking so rank order is engine-stable."""
+    # Norms hoisted onto the vector sides before the candidate joins
+    # (the neardup_pairs precedent): computed once per corpus/probe
+    # row instead of once per candidate pair. try_divide(dot, nc*np)
+    # is the exact expression _cosine builds — bit-identical.
     c_vec = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("corpus_vec")
-    )
+    ).withColumn("__nc", _norm(F.col("corpus_vec")))
     p_vec = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("probe_vec")
-    )
+    ).withColumn("__np", _norm(F.col("probe_vec")))
     scored = (
         candidates.join(c_vec, "corpus_id")
         .join(F.broadcast(p_vec), "probe_id")
         .select(
             "probe_id",
             "corpus_id",
-            F.round(_cosine(F.col("corpus_vec"), F.col("probe_vec")), 4).alias("score"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("corpus_vec"), F.col("probe_vec")),
+                    F.col("__nc") * F.col("__np"),
+                ),
+                4,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("corpus_id"))
@@ -275,7 +296,11 @@ def _exact_rerank(
 def _centroid_fold_row(centroids: DataFrame):
     """(one-row broadcast DF holding all centroids as a sorted struct
     array, centroid-id type string). Sorted for a deterministic fold
-    order, though argmax-with-tiebreak is order-independent."""
+    order, though argmax-with-tiebreak is order-independent. Each
+    struct carries the centroid's norm (``cn``) precomputed ONCE at
+    build — the per-row scoring fold otherwise re-folds every
+    centroid's norm per corpus row (norm-hoisting, the neardup_pairs
+    precedent)."""
     id_type = centroids.schema["centroid_id"].dataType.simpleString()
     cent_row = F.broadcast(
         centroids.agg(
@@ -284,6 +309,7 @@ def _centroid_fold_row(centroids: DataFrame):
                     F.struct(
                         F.col("centroid_id").alias("cid"),
                         F.col("centroid_vec").alias("cv"),
+                        _norm(F.col("centroid_vec")).alias("cn"),
                     )
                 )
             ).alias("cents")
@@ -292,15 +318,25 @@ def _centroid_fold_row(centroids: DataFrame):
     return cent_row, id_type
 
 
-def _cell_scores(vec: str) -> Column:
+def _cell_scores(vec: str, norm_col: str = "__nv") -> Column:
     """Per-row array of (cosine score, centroid id) structs against the
     broadcast ``cents`` array. transform (scores once per centroid)
     then fold on cheap scalars — a lambda body referencing the dot
-    product twice would re-evaluate it per element."""
+    product twice would re-evaluate it per element. ``norm_col`` must
+    be a BOUND column holding norm(vec) (callers compute it once per
+    row before the centroid crossJoin): referencing an in-projection
+    alias here would re-fold the row norm per centroid.
+    try_divide(dot, nv*cn) is the exact expression _cosine builds over
+    the same values — bit-identical scores."""
     return F.transform(
         F.col("cents"),
         lambda cent: F.struct(
-            F.round(_cosine(F.col(vec), cent["cv"]), 4).alias("s"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col(vec), cent["cv"]), F.col(norm_col) * cent["cn"]
+                ),
+                4,
+            ).alias("s"),
             cent["cid"].alias("cid"),
         ),
     )
@@ -327,8 +363,13 @@ def _assign_cells(
             x,
         ).otherwise(acc),
     )
-    return df.crossJoin(cent_row).select(
-        *df.columns, best["cid"].alias("centroid_id")
+    # row norm computed once BELOW the crossJoin so the scoring
+    # transform references a bound attribute, not a per-centroid
+    # re-fold of the alias
+    return (
+        df.withColumn("__nv", _norm(F.col(vec)))
+        .crossJoin(cent_row)
+        .select(*df.columns, best["cid"].alias("centroid_id"))
     )
 
 
@@ -338,7 +379,8 @@ def _probe_cells(p: DataFrame, cent_row: DataFrame, nprobe: int) -> DataFrame:
     contract (they broadcast in the re-rank), so this window is cheap.
     """
     p_scored = (
-        p.crossJoin(cent_row)
+        p.withColumn("__nv", _norm(F.col("pvec")))
+        .crossJoin(cent_row)
         .select("probe_id", F.explode(_cell_scores("pvec")).alias("sc"))
         .select(
             "probe_id",
@@ -703,12 +745,14 @@ def mine_hard_negatives(
     Scores round to 4dp before ranking (cosine_topk's engine-stable
     rank discipline); ties break on neg_id ascending.
     """
+    # norms hoisted onto each side before the pair join (the
+    # neardup_pairs precedent) — same expression, bit-identical
     c = corpus.select(
         F.col(id_col).alias("neg_id"), _as_double(vec_col).alias("cvec")
-    )
+    ).withColumn("__nc", _norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
-    )
+    ).withColumn("__nq", _norm(F.col("qvec")))
     pos = positives.select(
         F.col(query_id_col).alias("query_id"), F.col(pos_id_col).alias("neg_id")
     )
@@ -718,7 +762,12 @@ def mine_hard_negatives(
         .select(
             "query_id",
             "neg_id",
-            F.round(_cosine(F.col("cvec"), F.col("qvec")), 4).alias("score"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("cvec"), F.col("qvec")), F.col("__nc") * F.col("__nq")
+                ),
+                4,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neg_id"))
@@ -892,10 +941,15 @@ def semdedup(
     # the plan is unreachable — same pattern as operators/text.py's
     # curation funnel.
     assigned = (
-        c.crossJoin(cent_row)
+        # row norm bound below the crossJoin (see _cell_scores); kept
+        # in the checkpoint so the within-cell dominance join reads it
+        # instead of re-folding a norm per candidate pair
+        c.withColumn("__nv", _norm(F.col("__v")))
+        .crossJoin(cent_row)
         .select(
             "__id",
             "__v",
+            "__nv",
             best["cid"].alias("centroid_id"),
             best["s"].alias("centroid_sim"),
         )
@@ -944,6 +998,7 @@ def semdedup(
     a = joined.select(
         F.col("__id").alias("__xa"),
         F.col("__v").alias("__va"),
+        F.col("__nv").alias("__na"),
         F.col("centroid_id").alias("__ca"),
         F.col("centroid_sim").alias("__sa"),
         F.col("__salt").alias("__salta"),
@@ -951,6 +1006,7 @@ def semdedup(
     b = joined.select(
         F.col("__id").alias("__xb"),
         F.col("__v").alias("__vb"),
+        F.col("__nv").alias("__nb"),
         F.col("centroid_id").alias("__cb"),
         F.col("centroid_sim").alias("__sb"),
         F.col("__salt").alias("__saltb"),
@@ -963,7 +1019,16 @@ def semdedup(
             & (F.col("__xa") != F.col("__xb")),
         )
         .where(
-            (F.round(_cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(tau))
+            (
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
+                    6,
+                )
+                >= F.lit(tau)
+            )
             & (
                 # keep-the-peripheral: the member CLOSER to the
                 # centroid is the redundant one — a lower-sim
