@@ -214,8 +214,12 @@ def neardup_pairs(
     # candidate set is ~N^2/2^bits rows and the shuffle dominated the
     # whole query (84x wall in scale_probe.py). Candidate volume is
     # the quantity that grows, so the shuffle-free plan is the one
-    # that survives scale; for latency-sensitive small corpora, tune
-    # spark.sql.adaptive.advisoryPartitionSizeInBytes down instead.
+    # that survives scale. The session factory closes the small-corpus
+    # case from the conf side instead: coalescePartitions.
+    # minPartitionSize=64k (see session.py) floors the coalescing so
+    # this stage keeps ~core-count tasks (measured 1.60->0.74 s at
+    # sf0.1, neutral at the 10x probe where byte-based sizing
+    # dominates anyway).
     # Norms precomputed PER CORPUS ROW, not per candidate pair: the
     # verify's cosine is 3 array folds (dot + two norms) and the
     # candidate set is ~N^2/2^bits times larger than the corpus —

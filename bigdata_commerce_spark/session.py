@@ -106,6 +106,22 @@ def get_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(128 * 1024)),
         )
+        # AQE coalesces shuffle reads by BYTE size, floored at this
+        # value (default 1m). Compute-dense stages with tiny rows —
+        # the candidate-verify streams (two longs per row, a 2*dim
+        # cosine per row of work) — then serialize onto a handful of
+        # tasks: partitions ~= min(parallelism, total/minSize), and a
+        # few MB of candidates is a few tasks. 64k lets such stages
+        # keep ~core-count parallelism while leaving large shuffles
+        # untouched (the total/parallelism term dominates them at any
+        # real scale). Measured (alternating A/B medians, sf0.1):
+        # embedding_neardup 1.60->0.74s, session_stats 0.55->0.30s,
+        # no query slower. Clusters preferring fewer, larger tasks on
+        # busy schedulers can raise it via the env knob.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
