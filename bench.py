@@ -13,7 +13,16 @@ registry; the timing contract is identical.
 
 Each query is timed over a full materialization (collect) after a
 warm-up of the session itself; inputs are re-read per query (no
-cross-query caching). The timed region is the collect alone — the
+cross-query caching — ENFORCED since round 13: every timed shot first
+resets the operator persist registry, the memoized pairs frame and the
+Spark catalog cache, so a cache-bearing query's recorded time always
+includes materializing its own caches. VERDICT r12 item 1: the warm
+re-shot protocol recorded cache-hit minimums — ad_launch_window_counts
+0.141 s warm vs 0.961 s cold — and queries riding a cache an EARLIER
+query materialized, e.g. dedup_ngram_jaccard at 0.057 s, were not
+measuring their own plan at all. Set SPARK_GRAFT_BENCH_WARM=1 to
+reproduce the pre-r13 warm protocol for cross-round comparison).
+The timed region is the collect alone — the
 DataFrame build, planning, and plan fingerprint run BEFORE the timer
 (ADVICE r11 item 3: the fingerprint's toString + normalization inside
 the timer was a systematic additive bias, largest on the fastest
@@ -158,9 +167,43 @@ def fp_changes(
     }
 
 
+def reset_caches(spark) -> None:
+    """Cold-honest shot boundary (VERDICT r12 item 1): drop every
+    in-session data cache so the next timed collect pays for
+    materializing its own persists. Covers the three cache layers the
+    operators use: the bounded persist registry (cache_util), the
+    memoized cross-query pairs frame (catalog_dataops), and the Spark
+    catalog cache itself (which also catches raw .persist() calls
+    inside iterative operators). JVM/codegen/scheduler warmth is NOT
+    reset — re-shots stay warm in every sense except data caches,
+    which is the quantity the suite claims to measure.
+
+    Every drop is BLOCKING: async unpersist floods the block manager
+    with removal RPCs that stall the NEXT job's scheduling (measured:
+    random 7-22 s spikes on trivial collects in the cold loop at
+    sf0.01 — heavy_hitter_users recorded 15-22 s for a 10-row window).
+    clearCache() is async by API, so any RDD still registered after it
+    gets a second, blocking unpersist via the JVM handle."""
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
+        return
+    from bigdata_commerce_spark.operators.cache_util import release_all
+    from bigdata_commerce_spark.plans.catalog_dataops import reset_pairs_cache
+
+    release_all(blocking=True)
+    reset_pairs_cache()
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(True)
+    except Exception:  # noqa: BLE001 — py4j surface, never fail the bench
+        pass
+
+
 def time_query(fn, spark, sf_dir: str) -> tuple[float, str]:
-    """One timed shot: build + plan + fingerprint OUTSIDE the timed
-    region, then time the collect alone. ADVICE r11 item 3: the
+    """One timed shot: reset data caches (see ``reset_caches``), then
+    build + plan + fingerprint OUTSIDE the timed region, then time the
+    collect alone. ADVICE r11 item 3: the
     fingerprint's executedPlan().toString() (with the metadata-length
     cap raised) plus regex normalization and two conf RPCs ran inside
     the timer, a small systematic additive bias largest in relative
@@ -170,6 +213,7 @@ def time_query(fn, spark, sf_dir: str) -> tuple[float, str]:
     quantity on every shot. BENCH_BASELINE.json records which
     protocol produced it in its `provenance` note; ratios only
     compare like with like."""
+    reset_caches(spark)
     df = fn(spark, sf_dir)
     fp = plan_fingerprint(df)
     t0 = time.perf_counter()
@@ -249,6 +293,26 @@ def warm_session(spark, sf_dir: str) -> None:
 
 
 def main() -> None:
+    # Stdout contract (VERDICT r12 item 8): the driver parses ONE JSON
+    # line from stdout, and round 11's artifact failed that parse
+    # (BENCH_r11 parsed: null, rc 0) — a stray fd-1 write from the JVM
+    # or an operator is enough to break a whole round's comparability.
+    # Divert fd 1 to stderr for the entire run (dup2 catches JVM-side
+    # writes that sys.stdout redirection cannot), restore it after
+    # spark.stop(), and print the JSON line as the very last act.
+    sys.stdout.flush()
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        out = _run_suite()
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(json.dumps(out))
+
+
+def _run_suite() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bigdata_commerce_spark_bench")
@@ -384,8 +448,8 @@ def main() -> None:
         latest_path.write_text(json.dumps(out, indent=2) + "\n")
     except OSError:
         pass  # archiving must never fail the bench itself
-    print(json.dumps(out))
     spark.stop()
+    return out
 
 
 def rebaseline(n_warm: int = 5) -> None:
@@ -395,9 +459,10 @@ def rebaseline(n_warm: int = 5) -> None:
     movers every round — the per-query noise floor was eating the
     signal the 2x regression gate carries. Protocol: same pinned
     query set and warmups as the headline run; per query ONE
-    discarded cold shot (materializes shared persisted subtrees),
-    then ``n_warm`` timed shots via ``time_query`` (collect-only
-    timed region), recording the MEDIAN of the warm shots — not the
+    discarded first shot (absorbs per-query codegen/JIT), then
+    ``n_warm`` timed shots via ``time_query`` (collect-only timed
+    region; since round 13 every shot is data-cache-cold — see
+    ``reset_caches``), recording the MEDIAN of the timed shots — not the
     min, which just re-creates the lucky-shot denominator (measured:
     dedup_minhash_lsh warm shots [1.497, 1.498, 0.912] — the 0.912
     is a one-off a min would enshrine while the query's warm steady
@@ -445,13 +510,19 @@ def rebaseline(n_warm: int = 5) -> None:
         "shots": shots_log,
         "provenance": {
             "protocol": (
-                f"median of {n_warm} warm shots per query after one "
-                "discarded cold shot; timed region = collect only "
-                "(build/plan/fingerprint excluded — bench.time_query); "
-                f"quiet box, local[{spark.sparkContext.defaultParallelism}]"
+                f"median of {n_warm} data-cache-cold shots per query "
+                "after one discarded warmup shot; every shot resets the "
+                "persist registry + catalog cache (bench.reset_caches, "
+                "round-13 cold-honest protocol); timed region = collect "
+                "only (build/plan/fingerprint excluded — "
+                "bench.time_query); quiet box, "
+                f"local[{spark.sparkContext.defaultParallelism}]"
             ),
             "recorded_at_head": head,
-            "replaces": "round-1 per-query best-of (BENCH_BASELINE_r1.json)",
+            "replaces": (
+                "round-11 warm-protocol baseline (git history; "
+                "originally round-1 per-query best-of, BENCH_BASELINE_r1.json)"
+            ),
         },
     }
     path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"

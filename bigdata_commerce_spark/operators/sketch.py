@@ -155,3 +155,72 @@ def hll_estimate_over(
         *group_keys,
         F.hll_sketch_estimate("hll").cast("bigint").alias(out_col),
     )
+
+
+# Default ceiling for exact_group_percentiles: Spark's `percentile` is
+# a TypedImperativeAggregate that buffers every group's DISTINCT
+# values in an OpenHashMap<double, long> on ONE reducer (~48 bytes per
+# entry with open-addressing slack) — 16M distinct values per group is
+# ~768 MB of buffer, the edge of a default executor's execution
+# memory. Past the bound the job fails LOUDLY with a clear message
+# instead of an opaque executor OOM hours into a 100 TB run.
+EXACT_PERCENTILE_MAX_GROUP_ROWS = 16 * 1024 * 1024
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    group_cols: list[str],
+    round_dp: int = 6,
+    max_group_rows: int | None = EXACT_PERCENTILE_MAX_GROUP_ROWS,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, with a LOUD scale
+    guard (VERDICT r12 item 7).
+
+    Scale contract: Spark's exact ``percentile`` buffers each group's
+    values on a single reducer — cost is O(distinct values in the
+    group) MEMORY on one task, which no partitioning setting can
+    spread. That is fine for bounded-cardinality values (prices,
+    latencies bucketed to cents) and catastrophic for unbounded ones.
+    ``max_group_rows`` bounds the exposure: the group row count rides
+    the SAME aggregate (a plain count — no extra pass over the data),
+    and any group past the bound fails the job with a clear error
+    naming this knob instead of an executor OOM. Callers that need
+    percentiles over unboundedly large groups should use the
+    ``percentile_approx`` sketch path (``price_quantiles`` is the
+    catalog's designed pair) — it partial-aggregates and has no hot
+    reducer.
+
+    ``percentiles`` maps output column name -> fraction. Guard columns
+    are dropped before return, so results are byte-identical to the
+    unguarded aggregate (pinned by test).
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {frac!r})"), round_dp).alias(name)
+        for name, frac in percentiles.items()
+    ]
+    if max_group_rows is None:
+        return df.groupBy(*group_cols).agg(*aggs)
+    out = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__group_n"), *aggs
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__group_n") <= F.lit(max_group_rows),
+            F.concat(
+                F.lit(
+                    "exact_group_percentiles: group "
+                ),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in group_cols]),
+                F.lit(
+                    f" holds more than max_group_rows={max_group_rows} rows "
+                    "— the exact percentile buffer would sit on one reducer; "
+                    "raise max_group_rows deliberately or use the "
+                    "percentile_approx sketch path"
+                ),
+            ),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    return out.where(guard).drop("__group_n")

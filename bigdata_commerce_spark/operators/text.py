@@ -138,6 +138,16 @@ def _doc_profile(
     contract is unchanged. Still one scan, zero shuffles, and the
     arrays never outlive the projection.
     """
+    # Contract guard (ADVICE r12 item 3): fp=True alone (or all flags
+    # False) would build F.struct() over an empty field list in L3 and
+    # bind t to a nonexistent __x1.t — every current caller passes
+    # stats or lang, but a future fingerprint-only caller deserves a
+    # clear failure, not an analysis error from an empty-struct explode.
+    if not (stats or lang):
+        raise ValueError(
+            "_doc_profile requires stats=True or lang=True "
+            "(fingerprint-only callers: use F.md5(normalize_text(...)) directly)"
+        )
     keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     raw = F.col(text_col)
 

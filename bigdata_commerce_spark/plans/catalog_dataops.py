@@ -674,6 +674,21 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def reset_pairs_cache() -> None:
+    """Drop (and unpersist) the memoized pairs frame. The bench calls
+    this between timed shots so a query that consumes the shared pairs
+    pipeline (dedup_ngram_jaccard, dedup_clusters) pays for building it
+    inside its own timed region instead of riding a cache an earlier
+    query materialized (VERDICT r12 item 1: cold-honest timings).
+    Blocking unpersist: async removal RPCs otherwise stall the next
+    timed job (see cache_util.release_all)."""
+    for key in list(_PAIRS_CACHE):
+        try:
+            _PAIRS_CACHE.pop(key).unpersist(blocking=True)
+        except Exception:  # noqa: BLE001 — session may be stopped
+            _PAIRS_CACHE.pop(key, None)
+
+
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:

