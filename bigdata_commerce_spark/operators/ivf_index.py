@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators.similarity import (
     _as_double,
-    _assign_cells,
+    _assign_cells_best,
     _centroid_fold_row,
     _exact_rerank,
     _probe_cells,
@@ -66,11 +66,12 @@ def write_ivf_index(
             "the quantizer needs at least one vector (pass centroids= "
             "to seed an empty index for later append)"
         )
-    cent_row, id_type = _centroid_fold_row(centroids)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
-    assigned = _assign_cells(c, "cvec", cent_row, id_type)
+    # Arrow-kernel assignment (similarity._assign_cells_best): this is
+    # the pass that touches every corpus vector at index build.
+    assigned, _, _ = _assign_cells_best(c, "cvec", centroids)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/cells"
     )
@@ -108,11 +109,10 @@ def append_to_ivf_index(
     """
     spark = delta.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
-    cent_row, id_type = _centroid_fold_row(centroids)
     c = delta.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
-    assigned = _assign_cells(c, "cvec", cent_row, id_type)
+    assigned, _, _ = _assign_cells_best(c, "cvec", centroids)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/cells")
 
 

@@ -377,6 +377,149 @@ def _assign_cells(
     )
 
 
+def _round4_like_spark(s: "np.ndarray") -> "np.ndarray":
+    """Vectorized reproduction of Spark's round(double, 4): HALF_UP on
+    BigDecimal(Double.toString(x)). Away from the .00005 boundaries
+    the binary formula floor(|x|*1e4 + 0.5) equals it exactly (the
+    shortest-repr decimal differs from the binary value by < 1 ulp,
+    far under the 1e-7 guard band); the rare boundary suspects are
+    resolved through Python's repr (shortest round-trip decimal, the
+    same string Double.toString yields for these short-fraction
+    values) + decimal HALF_UP. NaN (the NULL marker) passes through.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scaled = s * 1e4
+    absn = np.abs(scaled)
+    r = np.copysign(np.floor(absn + 0.5), s) / 1e4
+    frac_dist = np.abs(absn - np.floor(absn) - 0.5)
+    suspects = np.nonzero(frac_dist < 1e-7)
+    if len(suspects[0]):
+        q = Decimal("0.0001")
+        flat_idx = zip(*suspects)
+        for idx in flat_idx:
+            v = float(s[idx])
+            r[idx] = float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+    return r
+
+
+def _assign_cells_arrow(
+    df: DataFrame, vec: str, centroid_rows: list, id_type: str
+) -> DataFrame:
+    """``df`` plus its nearest-centroid ``centroid_id`` — the Arrow
+    kernel form of ``_assign_cells`` (guide §4: the fold is ~16 dots x
+    64 interpreted fold steps per row; the kernel runs the identical
+    arithmetic vectorized over the batch).
+
+    Bit-identity with the fold (pinned by tests/fuzz + oracle): every
+    accumulation runs in the fold's exact order — sequential over the
+    dimension, vectorized over rows — with IEEE float64 ops, so dots
+    and norms are bit-equal; try_divide's NULL-on-zero-denominator
+    becomes NaN; rounding reproduces Spark's round(.,4) (see
+    _round4_like_spark); argmax over the cid-ascending centroid block
+    with first-wins ties reproduces the fold's
+    "higher score, then smaller cid" rule. Rows whose vector is NULL,
+    ragged, or carries NULL elements get a NULL cid — the same outcome
+    the fold produces (every score NULL). Non-finite embeddings are
+    outside the contract (operators/validate.finite is the gate), as
+    Spark's NaN-is-largest comparison has no numpy counterpart.
+
+    ``centroid_rows``: collected (centroid_id, centroid_vec) rows —
+    n_centroids rows, the funnel-spec/centroid collect pattern the
+    plan-manifest already documents.
+    """
+    cents = sorted(centroid_rows, key=lambda r: r[0])
+    cids = [r[0] for r in cents]
+    cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
+    k, d = cmat.shape
+    # centroid norms, the fold's sequential order
+    cn = np.zeros(k)
+    for j in range(d):
+        cn += cmat[:, j] * cmat[:, j]
+    cn = np.sqrt(cn)
+
+    @F.pandas_udf(id_type)
+    def nearest(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mat = np.full((n, d), np.nan)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (d,):
+                mat[i] = a
+        nv = np.zeros(n)
+        for j in range(d):
+            nv += mat[:, j] * mat[:, j]
+        nv = np.sqrt(nv)
+        scores = np.empty((n, k))
+        for ci in range(k):
+            dot = np.zeros(n)
+            cv = cmat[ci]
+            for j in range(d):
+                dot += mat[:, j] * cv[j]
+            denom = nv * cn[ci]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sc = dot / denom
+            sc[denom == 0.0] = np.nan  # try_divide: NULL on zero denominator
+            scores[:, ci] = _round4_like_spark(sc)
+        masked = np.where(np.isnan(scores), -np.inf, scores)
+        best = np.argmax(masked, axis=1)  # first max = smallest cid on ties
+        all_null = np.all(np.isnan(scores), axis=1)
+        return pd.Series(
+            [None if all_null[i] else cids[best[i]] for i in range(n)], dtype=object
+        )
+
+    # §4.4: the downstream equi-join pushes an isnotnull(centroid_id)
+    # filter below the projection and the optimizer then evaluates the
+    # (deterministic) UDF TWICE — one ArrowEvalPython for the filter,
+    # one for the projection (seen in the first plan capture). The
+    # function is semantically deterministic; the marker only forbids
+    # the optimizer from duplicating/reordering it.
+    return df.withColumn("centroid_id", nearest.asNondeterministic()(F.col(vec)))
+
+
+_KERNEL_ID_TYPES = ("int", "bigint", "smallint", "tinyint")
+
+
+def _assign_cells_best(
+    df: DataFrame, vec: str, centroids: DataFrame
+) -> tuple[DataFrame, DataFrame, str]:
+    """Assignment dispatcher: collect the centroid block once (tiny),
+    use the Arrow kernel when enabled and the id type is integral
+    (Python sort order == Spark ordering), else the expression fold.
+    Returns (assigned df+centroid_id, localized cent_row for the probe
+    path, centroid id type). The localized cent_row carries the exact
+    collected doubles, so probe-side scores are bit-identical to the
+    in-plan recompute it replaces (and the centroid-pick job runs once
+    instead of twice). Env: SPARK_GRAFT_IVF_KERNEL=0 forces the fold.
+    """
+    import os
+
+    id_type = centroids.schema["centroid_id"].dataType.simpleString()
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    spark = df.sparkSession
+    local_cents = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in rows],
+        f"centroid_id {id_type}, centroid_vec array<double>",
+    )
+    cent_row, _ = _centroid_fold_row(local_cents)
+    use_kernel = (
+        os.environ.get("SPARK_GRAFT_IVF_KERNEL", "1") != "0"
+        and id_type in _KERNEL_ID_TYPES
+        and rows
+        and all(r[0] is not None for r in rows)
+    )
+    if use_kernel:
+        assigned = _assign_cells_arrow(df, vec, rows, id_type)
+    else:
+        assigned = _assign_cells(df, vec, cent_row, id_type)
+    return assigned, cent_row, id_type
+
+
 def _probe_cells(p: DataFrame, cent_row: DataFrame, nprobe: int) -> DataFrame:
     """(probe_id, centroid_id) rows for each probe's ``nprobe`` BEST
     cells — posexplode the scored array and rank. Probes are few by
@@ -421,10 +564,11 @@ def _ivf_search(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cvec")
     )
-    cent_row, id_type = _centroid_fold_row(centroids)
-    assigned = _assign_cells(c, "cvec", cent_row, id_type).select(
-        "corpus_id", "centroid_id"
-    )
+    # Arrow-kernel assignment over the collected centroid block (§4 —
+    # the fold ran 16 interpreted 64-step dot folds per corpus row);
+    # the probe path keeps the fold over the localized block.
+    assigned, cent_row, _ = _assign_cells_best(c, "cvec", centroids)
+    assigned = assigned.select("corpus_id", "centroid_id")
     p = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pvec")
     )
@@ -829,10 +973,8 @@ def ivf_projected_topk(
         proj_c, n_centroids, vec_col="projected", seed=seed, max_iter=max_iter
     )
     c = proj_c.select(F.col(id_col).alias("corpus_id"), F.col("projected").alias("cvec"))
-    cent_row, id_type = _centroid_fold_row(centroids)
-    assigned = _assign_cells(c, "cvec", cent_row, id_type).select(
-        "corpus_id", "centroid_id"
-    )
+    assigned, cent_row, _ = _assign_cells_best(c, "cvec", centroids)
+    assigned = assigned.select("corpus_id", "centroid_id")
     p = proj_p.select(F.col(id_col).alias("probe_id"), F.col("projected").alias("pvec"))
     probe_cells = _probe_cells(p, cent_row, nprobe)
     candidates = (
