@@ -75,6 +75,37 @@ def money_sum(col: Column, scale: int = 2) -> Column:
     return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
 
 
+def money_dec(col: Column) -> Column:
+    """The exact per-row addend ``money_sum``/``money_avg`` cast inside
+    their aggregates — exposed so queries can BIND it once per source
+    row. Two places the inline cast evaluates more than once per row:
+    grouping sets (CUBE/ROLLUP run aggregate input expressions per
+    Expand copy — 4x for a 2-dim cube), and aggregate sets where
+    several functions share one addend (sum + avg of the same column)
+    and codegen subexpression elimination only partially dedups. The
+    double->decimal cast is the expensive step (Double.toString +
+    BigDecimal parse per value), so project ``money_dec(col)`` before
+    the groupBy/cube/rollup and aggregate with ``money_sum_dec`` /
+    ``money_avg_dec`` — same addends, same sums, byte-identical
+    results (oracle-pinned)."""
+    return col.cast("decimal(30,8)")
+
+
+def money_sum_dec(col: Column, scale: int = 2) -> Column:
+    """``money_sum`` over a column already bound via ``money_dec``."""
+    return F.round(F.sum(col), scale).cast("double")
+
+
+def money_avg_dec(dec_col: Column, raw_col: Column, scale: int = 6) -> Column:
+    """``money_avg`` over a column already bound via ``money_dec``.
+    The count divisor is the RAW column, exactly as money_avg counts
+    it: a NaN/Inf addend becomes NULL in the decimal cast (skipped by
+    the sum) but is a non-NULL double the original COUNT(col) still
+    counts — dividing by COUNT(dec_col) would silently change the avg
+    on corrupt rows."""
+    return F.round(F.sum(dec_col).cast("double") / F.count(raw_col), scale)
+
+
 def money_avg(col: Column, scale: int = 6) -> Column:
     """Exact-decimal sum -> double division -> deterministic rounding.
 

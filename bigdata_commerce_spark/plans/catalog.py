@@ -87,22 +87,42 @@ events_n AS (
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped scan + filter + hash aggregate. The filter and
     the two-column grouping push to the parquet scan; decimal-exact
-    sums keep the result hash-stable (see functions.money_sum)."""
+    sums keep the result hash-stable (see functions.money_sum).
+
+    The double->decimal addend casts are BOUND once per row in a
+    projection below the aggregate (functions.money_dec): sum and avg
+    of the same column otherwise each carry their own
+    cast(x as decimal(30,8)) input expression and codegen CSE only
+    partially dedups the Double.toString+BigDecimal parse — the
+    expensive step of the whole query (the decimal tax decomposition
+    in OPTIMIZATION_r12.md). Addends, counts and rounding are the
+    byte-identical money_sum/money_avg expressions over bound inputs."""
+    from bigdata_commerce_spark.functions import money_avg_dec, money_dec, money_sum_dec
+
     li = load_table(spark, "lineitem", sf_dir)
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum(F.col("l_quantity")).alias("sum_qty"),
-            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            money_avg(F.col("l_quantity")).alias("avg_qty"),
-            money_avg(F.col("l_extendedprice")).alias("avg_price"),
-            money_avg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    bound = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        money_dec(F.col("l_quantity")).alias("__qty_dec"),
+        money_dec(F.col("l_extendedprice")).alias("__price_dec"),
+        money_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "__disc_price_dec"
+        ),
+        money_dec(F.col("l_discount")).alias("__disc_dec"),
+    )
+    return bound.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum_dec(F.col("__qty_dec")).alias("sum_qty"),
+        money_sum_dec(F.col("__price_dec")).alias("sum_base_price"),
+        money_sum_dec(F.col("__disc_price_dec")).alias("sum_disc_price"),
+        money_avg_dec(F.col("__qty_dec"), F.col("l_quantity")).alias("avg_qty"),
+        money_avg_dec(F.col("__price_dec"), F.col("l_extendedprice")).alias("avg_price"),
+        money_avg_dec(F.col("__disc_dec"), F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 

@@ -145,10 +145,17 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (flag -> flag+status -> grand total) —
-    grouping sets the reference cannot express (SURVEY.md §2.4)."""
+    grouping sets the reference cannot express (SURVEY.md §2.4).
+    Decimal addend bound below the rollup's Expand (3 copies/row) —
+    see lineitem_cube; byte-identical result."""
+    from bigdata_commerce_spark.functions import money_dec, money_sum_dec
+
     li = load_table(spark, "lineitem", sf_dir)
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        money_sum(F.col("l_quantity")).alias("sum_qty"),
+    bound = li.select(
+        "l_returnflag", "l_linestatus", money_dec(F.col("l_quantity")).alias("__qty_dec")
+    )
+    return bound.rollup("l_returnflag", "l_linestatus").agg(
+        money_sum_dec(F.col("__qty_dec")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -401,10 +408,23 @@ def group_concat_distinct_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grouping-set lattice (CUBE)."""
+    """Full grouping-set lattice (CUBE).
+
+    The decimal addend is BOUND below the cube (functions.money_dec):
+    grouping sets run aggregate input expressions per Expand copy, so
+    the inline cast(l_quantity as decimal(30,8)) — the expensive
+    Double.toString+BigDecimal step — ran 4x per source row (verified
+    in plans/r13/lineitem_cube_before.txt: the Expand emits the raw
+    double and the partial HashAggregate carries the cast). Same
+    addends, same sums — byte-identical result (oracle-pinned)."""
+    from bigdata_commerce_spark.functions import money_dec, money_sum_dec
+
     li = load_table(spark, "lineitem", sf_dir)
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        money_sum(F.col("l_quantity")).alias("sum_qty"),
+    bound = li.select(
+        "l_returnflag", "l_linestatus", money_dec(F.col("l_quantity")).alias("__qty_dec")
+    )
+    return bound.cube("l_returnflag", "l_linestatus").agg(
+        money_sum_dec(F.col("__qty_dec")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
