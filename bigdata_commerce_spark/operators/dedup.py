@@ -133,42 +133,64 @@ def jaccard_pairs(
     ``|d| - ceil(t*|d|) + 1`` shingles. Candidates therefore join only
     on rare prefix shingles; the exact Jaccard verify on candidates
     keeps the result identical to the naive join (asserted in tests).
+
+    Shape (optimization round 13, guide §2.3/§2.4 — "shuffle the
+    payload once, decide on proxies"): the shingle stream is folded
+    into ONE per-document row (rarest-first sorted shingle array +
+    size) by a single groupBy(id); the prefix is an array slice of
+    that row, candidates explode only the prefix, and the verify is
+    ``size(array_intersect(s1, s2))`` over the two per-doc arrays.
+    The previous formulation shuffled the full (id, shingle) stream
+    THREE more times after the doc-frequency join — a row_number
+    window (sort by id), then both sides of the verify join, then the
+    common-count aggregate — and kept two persisted frames (ex +
+    prefix) alive. Identical output: the sorted array's first
+    ``plen`` elements are exactly the window's ``pos <= plen`` rows
+    (same (df, shingle) ascending order), array elements are distinct
+    by construction so ``size(array_intersect)`` equals the old
+    per-pair join count, and the threshold/round arithmetic is
+    byte-identical (cross-multiplied int64, round after filter).
     """
-    # ex feeds doc-frequency, the prefix rank AND the verify — persist
-    # it or the whole shingle pipeline re-runs per consumer (LRU
-    # eviction reclaims it; at scale use MEMORY_AND_DISK spill).
     from bigdata_commerce_spark.operators.cache_util import persist_bounded
 
+    # ex feeds doc-frequency AND the per-doc fold — persist, or the
+    # regex tokenize+shingle pipeline (the CPU-heavy part) runs twice.
     ex = persist_bounded(_exploded_shingles(df, text_col, id_col, n))
     doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
-
-    # n_shingles from an unbounded window over the same id partition
-    # as the prefix rank — one shuffle for both, no sizes join.
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = (
-        ex.join(doc_freq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    )
     # Exact integer arithmetic for the filters: t as a rational p/q
     # (float t*n breaks exactness at boundaries — 0.8*5 in double is
     # 4.0000000000000002, so F.ceil overshoots and the prefix loses
     # its last element, and the size filter rejects |y| == t*|x|).
     # ceil(p*n/q) == (p*n + q - 1) div q, all in int64.
     p, q = _threshold_fraction(threshold)
-    ceil_tn = _ceil_div(F.lit(p) * F.col("n_shingles"), q)
-    # prefix feeds BOTH sides of the self-join and (via its per-doc
-    # sizes) the verify — persist, or the ranked-window chain runs
-    # three times.
-    prefix = persist_bounded(
-        ranked.where(F.col("pos") <= F.col("n_shingles") - ceil_tn + 1)
-        .select("id", "shingle", "n_shingles")
+    # One per-document row: shingles sorted by the global rarest-first
+    # order (struct sort = (df asc, shingle asc), the exact window
+    # order the prefix theorem needs). collect_list over the distinct
+    # (id, shingle) pairs — the single payload shuffle of the job.
+    per_doc = (
+        ex.join(doc_freq, "shingle")
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("df", "shingle")).alias("__rs"))
+        # explode barrier binds the sorted array once — the prefix
+        # slice below and the verify both reference the bound attribute
+        # instead of re-sorting (CollapseProject inlining).
+        .select(
+            "id",
+            F.explode(
+                F.array(F.transform(F.array_sort("__rs"), lambda s: s["shingle"]))
+            ).alias("shingles"),
+            F.size("__rs").alias("n_shingles"),
+        )
     )
-    # Every doc keeps >= 1 prefix row (the bound is >= 1), so per-doc
-    # sizes are recoverable from the persisted prefix — no extra pass
-    # over ex for the verify join.
-    sizes = prefix.select("id", "n_shingles").distinct()
+    ceil_tn = _ceil_div(F.lit(p) * F.col("n_shingles"), q)
+    plen = (F.col("n_shingles") - ceil_tn + 1).cast("int")
+    # per_doc feeds BOTH sides of the candidate self-join and both
+    # sides of the verify — one small persisted frame (a row per doc)
+    # instead of the exploded prefix + ex.
+    per_doc = persist_bounded(per_doc.withColumn("prefix", F.slice("shingles", 1, plen)))
+    prefix = per_doc.select(
+        "id", "n_shingles", F.explode("prefix").alias("shingle")
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (
@@ -184,7 +206,7 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    return _verify_jaccard(candidates, ex, sizes, threshold)
+    return _verify_jaccard_arrays(candidates, per_doc, threshold)
 
 
 def containment_pairs(
@@ -267,6 +289,45 @@ def containment_pairs(
     )
 
 
+def _verify_jaccard_arrays(
+    candidates: DataFrame, per_doc: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact |A∩B|/|A∪B| over candidate pairs, from per-document
+    shingle ARRAYS: two joins against the (id, shingles, n_shingles)
+    frame and a ``size(array_intersect)`` per pair. Replaces the
+    exploded form (join candidates to the full (id, shingle) stream
+    twice + count aggregate) — identical counts because the arrays
+    hold each document's distinct shingle set, and identical
+    threshold/round arithmetic (cross-multiplied int64 filter on the
+    exact ratio, round only for output)."""
+    s1 = per_doc.select(
+        F.col("id").alias("id1"),
+        F.col("shingles").alias("__s1"),
+        F.col("n_shingles").alias("n1"),
+    )
+    s2 = per_doc.select(
+        F.col("id").alias("id2"),
+        F.col("shingles").alias("__s2"),
+        F.col("n_shingles").alias("n2"),
+    )
+    p, q = _threshold_fraction(threshold)
+    common = F.size(F.array_intersect("__s1", "__s2")).cast("long")
+    # one-element explode barrier (the _exploded_shingles trick): the
+    # intersection is referenced by the filter AND the output round —
+    # without the Generate the pushed filter re-evaluates it per row.
+    joined = (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", "n1", "n2", F.explode(F.array(common)).alias("__common"))
+    )
+    union_size = F.col("n1") + F.col("n2") - F.col("__common")
+    return (
+        joined.where(F.lit(q) * F.col("__common") >= F.lit(p) * union_size)
+        .withColumn("jaccard", F.round(F.col("__common") / union_size, 4))
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def _verify_jaccard(
     candidates: DataFrame, ex: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
@@ -328,6 +389,7 @@ def _minhash_digest_barrier(ex: DataFrame, num_hashes: int) -> tuple[DataFrame, 
     n_seeds = (num_hashes + 3) // 4
     bound = ex.select(
         "id",
+        "shingle",
         F.explode(
             F.array(
                 F.struct(
@@ -396,16 +458,31 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     from bigdata_commerce_spark.operators.cache_util import persist_bounded
 
-    ex = persist_bounded(_exploded_shingles(df, text_col, id_col, n))
+    # ONE pass over the shingle stream (optimization round 13, guide
+    # §2.3/§2.4): the signature mins, the document's shingle array and
+    # its size all come out of a single groupBy(id) — the previous
+    # shape persisted the exploded (id, shingle) frame and re-read it
+    # FOUR times (signature aggregate, both verify join sides, sizes
+    # aggregate), shuffling the shingle payload three times. Identical
+    # output: the min/substring expressions are byte-identical, and
+    # the verify's size(array_intersect) over the distinct per-doc
+    # arrays equals the old exploded join count.
+    ex = _exploded_shingles(df, text_col, id_col, n)
     bound, aggs = _minhash_digest_barrier(ex, num_hashes)
-    sig = bound.groupBy("id").agg(*aggs)
+    per_doc = persist_bounded(
+        bound.groupBy("id").agg(
+            *aggs,
+            F.collect_list("shingle").alias("shingles"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
         )
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    buckets = per_doc.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = buckets.alias("a")
@@ -420,9 +497,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over the same persisted ex.
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _verify_jaccard(candidates, ex, sizes, threshold)
+    return _verify_jaccard_arrays(candidates, per_doc, threshold)
 
 
 # ---------------------------------------------------------------------------
