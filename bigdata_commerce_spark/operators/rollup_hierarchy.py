@@ -33,13 +33,15 @@ def rollup_ladder(
     re-aggregates the previous one.
 
     ``persist=True`` caches the minute level (bounded registry —
-    operators/cache_util) before deriving the coarser levels: a
+    operators/cache_util) before deriving the coarser levels. A
     caller that consumes several levels in ONE plan (the
-    event_rollup_ladder union) otherwise re-executes the raw scan +
-    minute aggregation once per level — 3 raw scans where the ladder
-    design promises exactly one. The coarser levels are cheap
-    re-aggregations of the (much smaller) cached minute table either
-    way, so only the level that touches raw is cached."""
+    event_rollup_ladder union) does NOT need it: AQE's runtime stage
+    reuse dedups the identical minute partial-agg exchange across the
+    branches (ReusedExchange in the executed plan), so raw is scanned
+    once either way and the cache only adds a blocking in-memory
+    materialization (measured slower at sf0.1 — r13). persist=True
+    remains for callers that consume levels in SEPARATE actions,
+    where no single plan exists for stage reuse to work on."""
     key_cols = key_cols or []
     base_val = (
         F.col(value_col) if value_col is not None else F.lit(1).cast("bigint")

@@ -1779,12 +1779,15 @@ def event_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_commerce_spark.operators.rollup_hierarchy import rollup_ladder
 
     ev = _events(spark, sf_dir)
-    # persist=True: the three-level union otherwise re-runs the raw
-    # scan + minute aggregation once per level (3 raw scans; plan
-    # audit r12) — the cached minute level restores the ladder's
-    # one-raw-scan contract.
+    # persist=False (optimization round 13): AQE reuses the minute
+    # level's shuffle stage across the three union branches at runtime
+    # (executed plan shows ReusedExchange on the minute partial-agg
+    # exchange, and again hour->day), so the one-raw-scan contract
+    # holds WITHOUT materializing a cache — the r12 persist paid a
+    # blocking in-memory materialization per run that stage reuse gets
+    # for free (measured 1.83 -> 1.37 s min-of-6 at sf0.1, same box).
     ladder = rollup_ladder(
-        ev, ts_col="ts", key_cols=["province"], value_col="ad_id", persist=True
+        ev, ts_col="ts", key_cols=["province"], value_col="ad_id", persist=False
     )
     out = None
     for lvl, df in ladder.items():
