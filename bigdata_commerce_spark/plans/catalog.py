@@ -205,16 +205,77 @@ def region_top3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name")
 
-    basic = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .select(F.col("r_name").alias("area"), F.col("n_name").alias("nation"), "l_partkey")
+    # Nation-list as a BITMASK aggregate (optimization round 13, guide
+    # §2.3 "shuffle keys and metadata instead of payloads"): nation is
+    # a config-scale dimension (25 rows), so the distinct-nation set
+    # per (area, part) fits one int64 of bits. bit_or over
+    # 1<<n_nationkey keeps the aggregate a pure HashAggregate with an
+    # 8-byte buffer — collect_set shuffled partial STRING SETS through
+    # an ObjectHashAggregate — and the name list is decoded after the
+    # aggregate from a name-sorted literal table (the funnel-spec /
+    # centroid bounded-collect pattern; 25 rows, build-time).
+    # Identical output: filter() preserves the literal array's
+    # name-ascending order, so the joined string equals
+    # array_join(array_sort(collect_set(nation)), ",").
+    nat_rows = nat.select("n_nationkey", "n_name").collect()
+    mask_safe = bool(nat_rows) and all(
+        r[0] is not None and 0 <= int(r[0]) < 63 for r in nat_rows
     )
-    counts = basic.groupBy("area", "l_partkey").agg(
-        F.count(F.lit(1)).alias("order_count"),
-        F.array_join(F.array_sort(F.collect_set("nation")), ",").alias("nation_list"),
-    )
+    if mask_safe:
+        name_table = F.array(
+            *[
+                F.struct(
+                    F.lit(1 << int(r[0])).cast("long").alias("m"),
+                    F.lit(r[1]).alias("nm"),
+                )
+                for r in sorted(nat_rows, key=lambda r: r[1])
+            ]
+        )
+        basic = (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select(
+                F.col("r_name").alias("area"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), n_nationkey)").alias("__nbit"),
+                "l_partkey",
+            )
+        )
+        counts = (
+            basic.groupBy("area", "l_partkey")
+            .agg(
+                F.count(F.lit(1)).alias("order_count"),
+                F.bit_or("__nbit").alias("__nmask"),
+            )
+            .select(
+                "area",
+                "l_partkey",
+                "order_count",
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            name_table,
+                            lambda s: F.col("__nmask").bitwiseAND(s["m"]) != 0,
+                        ),
+                        lambda s: s["nm"],
+                    ),
+                    ",",
+                ).alias("nation_list"),
+            )
+        )
+    else:  # nation keys outside [0, 63) — fall back to the set form
+        basic = (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select(
+                F.col("r_name").alias("area"), F.col("n_name").alias("nation"), "l_partkey"
+            )
+        )
+        counts = basic.groupBy("area", "l_partkey").agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.array_join(F.array_sort(F.collect_set("nation")), ",").alias("nation_list"),
+        )
     ranked = top_k_per_group(
         counts, ["area"], [F.desc("order_count"), F.asc("l_partkey")], k=3
     )
