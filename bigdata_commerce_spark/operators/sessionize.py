@@ -182,15 +182,31 @@ def session_aggregates(
 
     Mirrors ``getSessionFullInfo`` (``SessionStat.scala:618-673``)
     minus the concat-string encoding — real columns instead.
+
+    Grouping key is (user, session), not session alone (optimization
+    round 13, guide §2.4): session_id is functionally dependent on
+    user_id (``user_id || '_' || seq``), so the groups are identical —
+    but with user_id in the key, the sessionizer's existing
+    hashpartitioning(user_id) SATISFIES the aggregation's clustered
+    distribution and the groupBy's own Exchange disappears (the
+    session stream was being shuffled a second time for nothing).
+    ``min(user_id)`` per session equals the key, so output values are
+    unchanged; the final select pins the original column order.
     """
-    return df.groupBy(session_col).agg(
-        F.min(user_col).alias(user_col),
-        F.min(ts_col).alias("start_time"),
-        F.max(ts_col).alias("end_time"),
-        F.count(F.lit(1)).alias("step_length"),
-        (
-            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
-        ).alias("visit_length"),
+    return (
+        df.groupBy(user_col, session_col)
+        .agg(
+            F.min(ts_col).alias("start_time"),
+            F.max(ts_col).alias("end_time"),
+            F.count(F.lit(1)).alias("step_length"),
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).alias("visit_length"),
+        )
+        .select(
+            session_col, user_col, "start_time", "end_time",
+            "step_length", "visit_length",
+        )
     )
 
 
