@@ -30,6 +30,10 @@ from bigdata_commerce_spark.operators.codecs import (
     resize_nearest,
 )
 
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): codec kernel
+# end-to-end suites (~40 s).
+pytestmark = pytest.mark.slow
+
 # -------------------------------------------------- decode fixtures
 
 # 2x1 P6: left pixel pure red, right pure green

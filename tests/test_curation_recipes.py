@@ -17,6 +17,9 @@ from bigdata_commerce_spark.operators.text import gopher_quality_flags
 from tests.conftest import SF_SMOKE
 
 
+
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): composed end-to-end curation recipes (~50 s).
+pytestmark = pytest.mark.slow
 GOOD = (
     "The quick brown fox jumps over the lazy dog and runs off to be "
     "free of that noisy farm with all its ducks and hens and very "

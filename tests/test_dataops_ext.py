@@ -14,6 +14,9 @@ from bigdata_commerce_spark.operators.packing import pack_sequences
 from bigdata_commerce_spark.operators.text import pii_scrub, repetition_stats
 
 
+
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): extended twin-oracle sweep (~220 s); the core operator oracle signal stays fast-tier in test_dataops.py.
+pytestmark = pytest.mark.slow
 def test_repetition_stats_known_values(spark):
     rows = [
         # 4 tokens, all distinct; 3 distinct 2-grams, 2 distinct 3-grams

@@ -4,6 +4,8 @@ idempotent re-commit, and the partition-pruned store read."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.operators import incremental_dedup as inc
@@ -11,6 +13,9 @@ from bigdata_commerce_spark.operators.text import fingerprint
 from tests.conftest import SF_SMOKE
 
 
+
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): stateful multi-batch end-to-end runs (~110 s).
+pytestmark = pytest.mark.slow
 def _docs(spark):
     return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
 

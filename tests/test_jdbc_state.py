@@ -5,6 +5,8 @@ parity with the parquet epoch sinks on identical batch sequences."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_commerce_spark.sources.sinks import derby_config
@@ -12,6 +14,9 @@ from bigdata_commerce_spark.streaming import sinks
 from bigdata_commerce_spark.streaming.jdbc_state import JdbcStateBackend
 
 
+
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): JDBC-backed state end-to-end (~70 s).
+pytestmark = pytest.mark.slow
 def _backend(spark, tmp_path, name):
     return JdbcStateBackend(spark, derby_config(str(tmp_path / name)))
 

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 from bigdata_commerce_spark.operators.mixing import weighted_sample
 
 
+
+# Slow tier (VERDICT r12 item 2 / r13 suite tiering): statistical
+# repeat-sweeps (~55 s).
+pytestmark = pytest.mark.slow
+
+
 def _key(doc_id: int, w: float, salt: str = "aes") -> float:
     h = int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15], 16)
     u = (h + 1) / float(1 << 60)
