@@ -452,7 +452,7 @@ def _run_suite() -> dict:
     return out
 
 
-def rebaseline(n_warm: int = 5) -> None:
+def rebaseline(n_warm: int = 5, names: list[str] | None = None) -> None:
     """Record a fresh BENCH_BASELINE.json (VERDICT r11 item 2): the
     round-1 baseline was a per-query best-of that accumulated three
     pinned "the baseline was a lucky shot" bands and ±50% plan-stable
@@ -469,7 +469,15 @@ def rebaseline(n_warm: int = 5) -> None:
     state is ~1.5s). Every shot is kept in `shots` for audit, the
     plan fingerprint in `plan_fp`. The old file must be archived
     (git) before running; the headline suite stays pinned to the
-    same query set because the keys don't change."""
+    same query set because the keys don't change.
+
+    ``names`` re-times ONLY those queries and merges them into the
+    existing baseline (re-deriving the total) — the repair path for a
+    baseline entry contaminated by a host noise storm (this box
+    stalls multi-second at random: a storm spanning a query's whole
+    shot window poisons its median; every other entry is fine, so a
+    full re-run would risk trading one storm for another). The merged
+    file keeps both entries' shots for audit."""
     import statistics
     import subprocess
 
@@ -482,7 +490,16 @@ def rebaseline(n_warm: int = 5) -> None:
     queries: dict[str, float] = {}
     plan_fp: dict[str, str] = {}
     shots_log: dict[str, list[float]] = {}
-    for name in headline_names():
+    path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    if names is not None:
+        prior = json.loads(path.read_text())
+        unknown = sorted(set(names) - set(prior["queries"]))
+        if unknown:
+            raise SystemExit(f"not in the pinned baseline set: {unknown}")
+        queries = prior["queries"]
+        plan_fp = prior.get("plan_fp", {})
+        shots_log = prior.get("shots", {})
+    for name in names if names is not None else headline_names():
         fn = ALL_QUERIES[name]
         shots = []
         fp = None
@@ -525,7 +542,6 @@ def rebaseline(n_warm: int = 5) -> None:
             ),
         },
     }
-    path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps({"rebaselined": len(queries), "total": out["value"]}))
     spark.stop()
@@ -575,7 +591,10 @@ def fp_manifest(check: bool = False) -> None:
 
 if __name__ == "__main__":
     if "--rebaseline" in sys.argv:
-        rebaseline()
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        rebaseline(names=only)
     elif "--fp-manifest" in sys.argv:
         fp_manifest(check="--check" in sys.argv)
     else:
