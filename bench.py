@@ -84,6 +84,12 @@ _PLAN_NOISE = (
     (re.compile(r"\brdd_\d+\b"), "rdd_n"),
     (re.compile(r"\[id=#?\d*\]"), "[id=n]"),
     (re.compile(r"(Subquery(?:Broadcast)?|ReusedExchange|cte)\s*\d+"), r"\1 n"),
+    # AQE stage ids are allocated in runtime materialization order —
+    # two broadcast stages of one already-executed (memoized) frame
+    # race, so the SAME plan prints BroadcastQueryStage 5/6 in either
+    # order run-to-run (seen via the pairs frame dedup_clusters
+    # materializes before dedup_ngram_jaccard fingerprints it)
+    (re.compile(r"\b((?:Shuffle|Broadcast|Result|TableCache)QueryStage)\s*\d+"), r"\1 n"),
     # higher-order-function variable names carry a session-global
     # counter: `lambda x_11#` on one build is `lambda x_21#` on the next
     (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_n"),

@@ -32,16 +32,27 @@ def test_fingerprint_stable_and_discriminating_smoke(spark):
 @pytest.mark.slow
 def test_headline_fingerprints_deterministic(spark):
     """Unchanged code => unchanged fingerprints at fixed SF: two full
-    passes over the pinned headline suite (cache cleared between
-    passes, the state difference that used to leak into cached-plan
-    renderings) must agree fingerprint-for-fingerprint — and the 50
-    fingerprints must be pairwise distinct (a normalization that
-    collapsed real plan differences would be useless as a drift
-    detector)."""
+    passes over the pinned headline suite must agree
+    fingerprint-for-fingerprint — and the 50 fingerprints must be
+    pairwise distinct (a normalization that collapsed real plan
+    differences would be useless as a drift detector).
+
+    The pass boundary resets ALL data-cache layers via the bench's own
+    ``reset_caches`` — the persist registry, the memoized pairs frame
+    AND the catalog cache — exactly the state the bench resets between
+    timed shots. Clearing only ``spark.catalog.clearCache()`` (the
+    pre-r13 form) left the Python-side pairs memo alive, so pass 2
+    skipped rebuilding jaccard_pairs and its shingle-frame persist: a
+    LATER query sharing that subtree (dedup_minhash_lsh, dedup_simhash)
+    then planned without the InMemoryRelation pass 1 saw — the two
+    passes were genuinely different cache environments, not a
+    fingerprint instability."""
+    from bench import reset_caches
+
     names = headline_names()
 
     def one_pass() -> dict[str, str]:
-        spark.catalog.clearCache()
+        reset_caches(spark)
         return {n: plan_fingerprint(ALL_QUERIES[n](spark, SF_SMOKE)) for n in names}
 
     p1, p2 = one_pass(), one_pass()

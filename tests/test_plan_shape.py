@@ -304,3 +304,55 @@ def test_ccnet_bounds_join_is_broadcast(spark):
     plan = _formatted(perplexity_buckets(docs))
     assert "BroadcastHashJoin" in plan
     assert "+- Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_minhash_lsh_single_pass_no_sort_aggregate(spark):
+    """r13 single per-doc pass: the signature+shingle-array aggregate
+    must be one groupBy over the shingle stream — no SortAggregate
+    (the old min(string) signature agg sorted the whole stream) and
+    no re-read of an exploded-shingle cache for the verify (the plan
+    carries no InMemoryTableScan; the only persisted frame is the
+    per-document row, built inside this plan)."""
+    plan = _formatted(QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE))
+    assert "SortAggregate" not in plan, plan[:1200]
+    assert "array_intersect" in plan
+
+
+def test_jaccard_pairs_no_window_rank(spark):
+    """r13: the prefix rank comes from the sorted per-doc array slice,
+    not a row_number window — no Window exec over the shingle stream."""
+    plan = _formatted(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    assert "Window [" not in plan, plan[:1200]
+    assert "array_intersect" in plan and "slice(" in plan
+
+
+def test_session_aggregate_reuses_window_partitioning(spark):
+    """r13: grouping by (user_id, session_id) lets the sessionizer's
+    hashpartitioning(user_id) satisfy the aggregate's distribution —
+    no exchange may hash on session_id, and session_stats carries
+    exactly TWO exchanges: the sessionizer window's and the one-row
+    histogram's SinglePartition (the pre-r13 plan had three)."""
+    plan = _formatted(QUERIES["session_stats"](spark, SF_SMOKE))
+    assert "hashpartitioning(session_id" not in plan, plan[:1500]
+    assert plan.count("+- Exchange ") == 2, plan[:1500]
+
+
+def test_event_rollup_ladder_reuses_minute_stage(spark):
+    """r13: the three-level union shares the minute partial-agg
+    exchange via AQE stage reuse — after execution the final plan must
+    contain ReusedExchange nodes and no InMemoryRelation (the old
+    minute cache)."""
+    df = QUERIES["event_rollup_ladder"](spark, SF_SMOKE)
+    assert "InMemoryRelation" not in _formatted(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:1500]
+
+
+def test_region_top3_bitmask_aggregate(spark):
+    """r13: the nation list must aggregate as a bit_or bitmask (pure
+    HashAggregate, 8-byte buffer) — no ObjectHashAggregate carrying
+    string sets through the exchange."""
+    plan = _formatted(QUERIES["region_top3_parts"](spark, SF_SMOKE))
+    assert "ObjectHashAggregate" not in plan, plan[:1200]
+    assert "bit_or" in plan
